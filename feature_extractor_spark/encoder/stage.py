@@ -1,0 +1,73 @@
+"""Distributed encoder forward stage (SURVEY.md §2.9 U1, §3.2).
+
+``mapInPandas`` over Arrow batches: weights are broadcast once (SparkContext
+broadcast — one copy per executor, not per task), deserialized lazily inside
+the generator, and every batch runs the whole NumPy graph vectorized. No
+per-row Python anywhere (input_hint mandate).
+
+Batch sizing: spark.sql.execution.arrow.maxRecordsPerBatch (session.py sets
+4096) bounds per-task memory at batch × W × F × 4 bytes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from feature_extractor_spark.encoder.forward import encoder_forward
+
+
+def encode_stage(
+    df: DataFrame,
+    weights: dict[str, np.ndarray],
+    window_col: str = "window",
+    h_col: str = "h_context",
+    cond_cols: list[str] | None = None,
+    out_col: str = "z_mean",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Run the encoder over window rows.
+
+    - ``window_col``: array<array<float>> (W × F, oldest first)
+    - ``h_col``: array<float> recurrent context (zeros placeholder, P5)
+    - ``cond_cols``: scalar double columns forming the conditioning vector
+      (the 10 cyclical features, P4)
+    Output: input keep_cols + ``out_col`` array<float> latent vector.
+    """
+    keep = keep_cols or [c for c in df.columns if c not in (window_col, h_col)]
+    cond_cols = cond_cols or []
+    sc = df.sparkSession.sparkContext
+    bw = sc.broadcast({k: v for k, v in weights.items()})
+
+    out_fields = [df.schema[c] for c in keep] + [
+        T.StructField(out_col, T.ArrayType(T.FloatType()), False)
+    ]
+    schema = T.StructType(out_fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = bw.value  # one deserialization per task; broadcast = one per executor
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray(
+                [np.asarray(win, dtype=np.float32) for win in pdf[window_col]],
+                dtype=np.float32,
+            )
+            if x.ndim == 2:  # single-feature windows arrive (B, W)
+                x = x[:, :, None]
+            h = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf[h_col]])
+            if cond_cols:
+                cond = pdf[cond_cols].to_numpy(dtype=np.float32)
+            else:
+                cond = np.zeros((len(pdf), 0), dtype=np.float32)
+            z = encoder_forward(x, h, cond, w)
+            out = pdf[keep].copy()
+            out[out_col] = list(z)
+            yield out
+
+    return df.mapInPandas(run, schema)

@@ -1,0 +1,10 @@
+from feature_extractor_spark.operators.windows import (  # noqa: F401
+    sliding_windows,
+    sliding_windows_map_in_pandas,
+    lag_lead_features,
+    last_step,
+)
+from feature_extractor_spark.operators.asof import asof_join  # noqa: F401
+from feature_extractor_spark.operators.sessionize import sessionize  # noqa: F401
+from feature_extractor_spark.operators.unwindow import unwindow  # noqa: F401
+from feature_extractor_spark.operators.skew import salted_repartition  # noqa: F401

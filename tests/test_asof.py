@@ -1,0 +1,94 @@
+"""J3 as-of join parity: both strategies vs pandas.merge_asof, plus the
+zero-temporal-leakage property (BASELINE.json quality gate)."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from feature_extractor_spark.operators.asof import asof_join
+
+
+def _fixtures(spark, seed=7, n_left=120, n_right=40, keys=("a", "b", "c")):
+    rng = np.random.default_rng(seed)
+    base = dt.datetime(2024, 1, 1)
+    left_rows, right_rows = [], []
+    for k in keys:
+        lts = np.sort(rng.choice(10_000, size=n_left, replace=False))
+        for t in lts:
+            left_rows.append((k, base + dt.timedelta(minutes=int(t)), float(t)))
+        if k != "c":  # key 'c' has NO right rows -> nulls after backfill
+            rts = np.sort(rng.choice(10_000, size=n_right, replace=False))
+            for t in rts:
+                right_rows.append((k, base + dt.timedelta(minutes=int(t)), float(t) * 10))
+    left = spark.createDataFrame(left_rows, "doc_id string, ts timestamp, lval double")
+    right = spark.createDataFrame(right_rows, "doc_id string, ts timestamp, aux double")
+    return left, right
+
+
+def _pandas_oracle(left, right, tolerance=None):
+    lp = left.toPandas().sort_values(["ts"], kind="mergesort")
+    rp = right.toPandas().sort_values(["ts"], kind="mergesort")
+    tol = pd.Timedelta(seconds=tolerance) if tolerance else None
+    out = pd.merge_asof(
+        lp, rp[["doc_id", "ts", "aux"]], on="ts", by="doc_id",
+        direction="backward", tolerance=tol,
+    )
+    return out.sort_values(["doc_id", "ts"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("strategy", ["union_locf", "merge_asof"])
+def test_asof_matches_pandas(spark, strategy):
+    left, right = _fixtures(spark)
+    got = (
+        asof_join(left, right, on="ts", by="doc_id", strategy=strategy)
+        .orderBy("doc_id", "ts")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    exp = _pandas_oracle(left, right)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "ts", "lval", "aux"]], exp[["doc_id", "ts", "lval", "aux"]]
+    )
+
+
+@pytest.mark.parametrize("strategy", ["union_locf", "merge_asof"])
+def test_asof_tolerance(spark, strategy):
+    left, right = _fixtures(spark)
+    got = (
+        asof_join(left, right, on="ts", by="doc_id", tolerance_seconds=1800, strategy=strategy)
+        .orderBy("doc_id", "ts")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    exp = _pandas_oracle(left, right, tolerance=1800)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "ts", "lval", "aux"]], exp[["doc_id", "ts", "lval", "aux"]]
+    )
+
+
+def test_asof_exact_ts_visible(spark):
+    """A right row AT the probe ts must be picked up (<=, not <)."""
+    t = dt.datetime(2024, 1, 1, 12)
+    left = spark.createDataFrame([("a", t, 1.0)], "doc_id string, ts timestamp, lval double")
+    right = spark.createDataFrame([("a", t, 99.0)], "doc_id string, ts timestamp, aux double")
+    got = asof_join(left, right, on="ts", by="doc_id").collect()
+    assert got[0]["aux"] == 99.0
+
+
+def test_asof_zero_temporal_leakage(spark):
+    """Perturbing right rows with ts > t never changes output at ts <= t."""
+    left, right = _fixtures(spark)
+    from pyspark.sql import functions as F
+
+    cut = dt.datetime(2024, 1, 3)
+    perturbed = right.withColumn(
+        "aux", F.when(F.col("ts") > cut, F.lit(-1e9)).otherwise(F.col("aux"))
+    )
+    a = asof_join(left, right, on="ts", by="doc_id").filter(F.col("ts") <= cut)
+    b = asof_join(left, perturbed, on="ts", by="doc_id").filter(F.col("ts") <= cut)
+    pa = a.orderBy("doc_id", "ts").toPandas()
+    pb = b.orderBy("doc_id", "ts").toPandas()
+    assert len(pa) == len(pb) > 0
+    pd.testing.assert_frame_equal(pa, pb)
