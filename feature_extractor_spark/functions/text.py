@@ -1,0 +1,122 @@
+"""Text analysis for training-data pipelines (documents table).
+
+All hot-path logic is built-in Spark SQL functions (JVM, codegen'd): regex
+counts, split, array ops. No Python UDFs.
+
+Operators:
+- tokenize / token counting (whitespace + BPE-ish regex)
+- quality scoring: length, punctuation ratio, stopword ratio, mean word len
+- language-ID: stopword-hit heuristic over small per-language lexicons
+- fingerprinting: md5 of normalized text + polynomial rolling hash
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language function-word lexicons for the n-gram/stopword heuristic
+LANG_LEXICONS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "para"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "ein", "für", "auf"],
+    "fr": ["le", "la", "et", "les", "des", "en", "un", "que", "pour", "dans"],
+}
+
+EN_STOPWORDS = LANG_LEXICONS["en"]
+
+# BPE-ish token regex: runs of word chars OR single non-space non-word chars
+BPE_TOKEN_RE = r"[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]"
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization, empty strings dropped."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    t = F.col(text_col)
+    return df.withColumn("n_words", F.size(words(t))).withColumn(
+        "n_bpe_tokens",
+        F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), F.lit(0))),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio quality features and a
+    composite [0,1] score (simple, monotone, deterministic)."""
+    t = F.col(text_col)
+    ws = words(t)
+    n_chars = F.length(t)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), F.lit(0)))
+    n_words = F.size(ws)
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform(ws, F.lower), F.array(*[F.lit(w) for w in EN_STOPWORDS])
+        )
+    )
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    mean_word_len = F.when(
+        n_words > 0,
+        F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w)) / n_words,
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+    )
+    return (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("quality", score)
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: distinct-stopword hits per language lexicon;
+    argmax with a fixed preference order on ties; 'und' when no hits."""
+    lowered = F.transform(words(F.col(text_col)), F.lower)
+    hit_cols = []
+    for i, (lang, lex) in enumerate(LANG_LEXICONS.items()):
+        hits = F.size(
+            F.array_intersect(lowered, F.array(*[F.lit(w) for w in lex]))
+        )
+        hit_cols.append((lang, i, hits))
+    # argmax via struct ordering: max (hits, -preference_index) -> lang.
+    # Structs compare lexicographically, so ties break toward the earlier
+    # lexicon — deterministic.
+    candidates = F.array(
+        *[
+            F.struct(
+                hits.alias("hits"), F.lit(-i).alias("pref"), F.lit(lang).alias("lang")
+            )
+            for lang, i, hits in hit_cols
+        ]
+    )
+    best = F.array_max(candidates)
+    out = df
+    for lang, _, hits in hit_cols:
+        out = out.withColumn(f"hits_{lang}", hits)
+    return out.withColumn(
+        "lang_pred", F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: md5 of casefolded+squashed text, plus a
+    31-base polynomial rolling hash mod 2^61-1 (order-sensitive)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " ")
+    norm = F.trim(norm)
+    # 31-base mod 2^31-1: keeps acc*31+ch < 2^36, exact in any engine's int64
+    mod = F.lit(2147483647)
+    rolling = F.aggregate(
+        F.split(norm, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * 31 + F.coalesce(F.ascii(ch), F.lit(0)), mod),
+    )
+    return df.withColumn("fp_md5", F.md5(norm)).withColumn("fp_rolling", rolling)

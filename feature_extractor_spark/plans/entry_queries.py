@@ -1,0 +1,798 @@
+"""Driver-contract queries: one entry per implemented operator
+(SURVEY.md §2), each with a DuckDB oracle SQL where SQL-expressible.
+
+Conventions that make the driver's order-insensitive value-hash match:
+- every computed column is aliased identically on both sides
+- floating aggregates are rounded (precision chosen so cross-engine
+  summation-order noise is orders of magnitude below the rounding step)
+- int aggregates are cast to BIGINT in SQL (DuckDB sum(int) is HUGEINT)
+- deterministic tie-breaks everywhere (ts is unique per entity in the
+  testdata; ranks also order by id)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from feature_extractor_spark.functions.aggregates import kl_divergence, mmd_rbf
+from feature_extractor_spark.functions.conditions import cyclical_datetime_features
+from feature_extractor_spark.functions.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_counts,
+)
+from feature_extractor_spark.functions.transforms import returns
+from feature_extractor_spark.operators.asof import asof_join
+from feature_extractor_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+)
+from feature_extractor_spark.operators.sessionize import session_bounds, sessionize
+from feature_extractor_spark.operators.similarity import cosine_topk
+from feature_extractor_spark.operators.unwindow import unwindow
+from feature_extractor_spark.operators.windows import (
+    lag_lead_features,
+    sliding_windows,
+)
+
+ENTRY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        ENTRY_QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Relational core (scan/filter/agg/join — Catalyst-planned, SURVEY §2.1/2.4)
+
+
+@_q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           count(*)::BIGINT                                            AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship relational query (TPC-H Q1 shape): predicate pushes to the
+    parquet scan, aggregation is map-side partial — verify with
+    .explain(): PushedFilters + partial/final HashAggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q3_revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(DISTINCT o.o_orderkey)::BIGINT                  AS n_orders
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q3_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join: fact-fact sort-merge (lineitem x orders), then broadcast
+    of the small dims (customer, nation) — J1 + J4 join layer."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    c, n = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@_q(
+    "o3_union_distinct",
+    """
+    SELECT name FROM (
+      SELECT r_name AS name FROM region
+      UNION ALL
+      SELECT n_name AS name FROM nation
+    ) GROUP BY name
+    """,
+)
+def o3_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 union + distinct."""
+    r = _t(spark, sf_dir, "region").select(F.col("r_name").alias("name"))
+    n = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("name"))
+    return r.unionByName(n).distinct()
+
+
+@_q(
+    "a1_a2_metrics",
+    """
+    SELECT l_returnflag,
+           round(avg(abs(l_extendedprice - l_extendedprice * (1 - l_discount))), 4) AS mae,
+           round(avg(pow(l_extendedprice - l_extendedprice * (1 - l_discount), 2)), 2) AS mse
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a1_a2_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 MAE + A2 MSE as grouped aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    pred = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    t = F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.avg(F.abs(t - pred)), 4).alias("mae"),
+        F.round(F.avg(F.pow(t - pred, F.lit(2))), 2).alias("mse"),
+    )
+
+
+@_q(
+    "a3_standardized_moments",
+    """
+    WITH stats AS (
+      SELECT l_returnflag, avg(l_extendedprice) AS mu, stddev_pop(l_extendedprice) AS sigma
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           round(avg(pow((l.l_extendedprice - s.mu) / (CASE WHEN s.sigma < 1e-12 THEN 1.0 ELSE s.sigma END), 3)), 6) AS moment_3,
+           round(avg(pow((l.l_extendedprice - s.mu) / (CASE WHEN s.sigma < 1e-12 THEN 1.0 ELSE s.sigma END), 4)), 6) AS moment_4
+    FROM lineitem l JOIN stats s USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def a3_standardized_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 skew/kurtosis as explicit standardized moments (reference
+    calculate_standardized_moment, app/autoencoder_helper.py:104-122) —
+    explicit two-pass formula so any engine agrees bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        F.avg("l_extendedprice").alias("mu"),
+        F.stddev_pop("l_extendedprice").alias("sigma"),
+    )
+    sigma = F.when(F.col("sigma") < 1e-12, F.lit(1.0)).otherwise(F.col("sigma"))
+    z = (F.col("l_extendedprice") - F.col("mu")) / sigma
+    return (
+        li.join(F.broadcast(stats), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg(F.pow(z, F.lit(3))), 6).alias("moment_3"),
+            F.round(F.avg(F.pow(z, F.lit(4))), 6).alias("moment_4"),
+        )
+    )
+
+
+@_q(
+    "a6_minmax_fit",
+    """
+    SELECT round(min(l_extendedprice), 4) AS min_price, round(max(l_extendedprice), 4) AS max_price,
+           round(min(l_quantity), 4) AS min_qty,     round(max(l_quantity), 4) AS max_qty,
+           round(min(l_discount), 4) AS min_disc,    round(max(l_discount), 4) AS max_disc
+    FROM lineitem
+    """,
+)
+def a6_minmax_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 one-pass per-feature min/max (normalization fit)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        F.round(F.min("l_quantity"), 4).alias("min_qty"),
+        F.round(F.max("l_quantity"), 4).alias("max_qty"),
+        F.round(F.min("l_discount"), 4).alias("min_disc"),
+        F.round(F.max("l_discount"), 4).alias("max_disc"),
+    )
+
+
+@_q(
+    "j4_normalize_broadcast",
+    """
+    WITH params AS (
+      SELECT l_partkey, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l.l_orderkey, l.l_linenumber,
+           round(CASE WHEN p.hi = p.lo THEN 0.0
+                      ELSE (l.l_extendedprice - p.lo) / (p.hi - p.lo) END, 6) AS price_norm
+    FROM lineitem l JOIN params p USING (l_partkey)
+    """,
+)
+def j4_normalize_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: per-key min/max params applied through a broadcast hash join
+    (the params table is tiny by construction)."""
+    li = _t(spark, sf_dir, "lineitem")
+    params = li.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    norm = F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
+        (F.col("l_extendedprice") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    )
+    return (
+        li.join(F.broadcast(params), "l_partkey")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(norm, 6).alias("price_norm"),
+        )
+    )
+
+
+@_q(
+    "a4_mmd_rbf",
+    """
+    WITH xs AS (SELECT l_extendedprice AS v FROM lineitem WHERE l_returnflag='R' AND l_orderkey % 97 = 0),
+         ys AS (SELECT l_extendedprice AS v FROM lineitem WHERE l_returnflag='A' AND l_orderkey % 97 = 0),
+         kxx AS (SELECT avg(exp(-pow(a.v - b.v, 2) / (2.0 * 10000.0 * 10000.0))) AS m FROM xs a, xs b),
+         kyy AS (SELECT avg(exp(-pow(a.v - b.v, 2) / (2.0 * 10000.0 * 10000.0))) AS m FROM ys a, ys b),
+         kxy AS (SELECT avg(exp(-pow(a.v - b.v, 2) / (2.0 * 10000.0 * 10000.0))) AS m FROM xs a, ys b)
+    SELECT round(kxx.m + kyy.m - 2 * kxy.m, 8) AS mmd2 FROM kxx, kyy, kxy
+    """,
+)
+def a4_mmd_rbf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 MMD (RBF kernel) between returned vs available lineitems,
+    deterministically sampled by key modulo (reference samples <=1000 rows,
+    app/autoencoder_helper.py:26-80)."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = li.filter(F.col("l_returnflag") == "R")
+    y = li.filter(F.col("l_returnflag") == "A")
+    out = mmd_rbf(
+        x, y, "l_extendedprice", sigma=10000.0, sample_mod=97, id_col="l_orderkey"
+    )
+    return out.select(F.round(F.col("mmd2"), 8).alias("mmd2"))
+
+
+@_q(
+    "a5_kl_divergence",
+    """
+    SELECT vec_id,
+           round(-0.5 * list_sum(list_transform(embedding,
+                 x -> 1.0 + 0.0 - x::DOUBLE * x::DOUBLE - exp(0.0)))::DOUBLE, 6) AS kl
+    FROM embeddings
+    """,
+)
+def a5_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 KL divergence vs standard normal per embedding row (log_var = 0),
+    aggregate over array columns (reference KLDivergenceLayer,
+    app/autoencoder_manager.py:26-45)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    zeros = F.transform(F.col("embedding"), lambda _: F.lit(0.0))
+    mu = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id", F.round(kl_divergence(mu, zeros), 6).alias("kl")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window / time-series operators (SURVEY §2.5, §2.2, §2.3)
+
+
+@_q(
+    "w1_window_agg",
+    """
+    SELECT user_id, ts,
+           round(win_sum, 6) AS win_sum, win_min, win_max, win_first, win_last
+    FROM (
+      SELECT user_id, ts,
+             count(*)      OVER w AS win_cnt,
+             sum(value)    OVER w AS win_sum,
+             min(value)    OVER w AS win_min,
+             max(value)    OVER w AS win_max,
+             first_value(value) OVER w AS win_first,
+             last_value(value)  OVER w AS win_last
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    ) WHERE win_cnt = 5
+    """,
+)
+def w1_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 sliding windows (stride 1, W=5) built as arrays, then reduced to
+    scalars so the oracle can hash them. N-W+1 windows per entity."""
+    ev = _t(spark, sf_dir, "events")
+    win = sliding_windows(ev, "user_id", "ts", ["value"], 5)
+    arr = F.col("window")
+    return win.select(
+        "user_id",
+        "ts",
+        F.round(
+            F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v), 6
+        ).alias("win_sum"),
+        F.array_min(arr).alias("win_min"),
+        F.array_max(arr).alias("win_max"),
+        F.element_at(arr, 1).alias("win_first"),
+        F.element_at(arr, -1).alias("win_last"),
+    )
+
+
+@_q(
+    "w3_lag_lead",
+    """
+    SELECT event_id, user_id, ts, value,
+           lag(value, 1)  OVER w AS value_lag_1,
+           lag(value, 3)  OVER w AS value_lag_3,
+           lead(value, 1) OVER w AS value_lead_1
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+)
+def w3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 explicit lag/lead features."""
+    ev = _t(spark, sf_dir, "events")
+    return lag_lead_features(
+        ev.select("event_id", "user_id", "ts", "value"),
+        "user_id",
+        "ts",
+        "value",
+        lags=[1, 3],
+        leads=[1],
+    )
+
+
+@_q(
+    "w6_sessionize",
+    """
+    SELECT event_id, user_id, ts,
+           sum(CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             AS session_id
+    FROM (
+      SELECT event_id, user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events
+    )
+    """,
+)
+def w6_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 gap-based sessionization (gap = 30 min)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return sessionize(ev, "user_id", "ts", gap_seconds=1800)
+
+
+@_q(
+    "w6_session_bounds",
+    """
+    SELECT user_id, session_id,
+           min(ts) AS session_start, max(ts) AS session_end, count(*)::BIGINT AS n_events
+    FROM (
+      SELECT user_id, ts,
+             sum(CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS session_id
+      FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events)
+    )
+    GROUP BY user_id, session_id
+    """,
+)
+def w6_session_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return session_bounds(ev, "user_id", "ts", gap_seconds=1800)
+
+
+@_q(
+    "j3_asof_locf",
+    """
+    SELECT event_id, user_id, ts, value,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM events
+    """,
+)
+def j3_asof_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 backward as-of join / LOCF backfill: every event carries the most
+    recent purchase value of the same user (ties at equal ts included —
+    merge_asof backward semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts", "value")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    return asof_join(left, right, on="ts", by="user_id")
+
+
+@_q(
+    "p4_cyclical_features",
+    """
+    SELECT event_id,
+           round(sin(2 * pi() * hour(ts) / 24), 6)                        AS sin_hour,
+           round(cos(2 * pi() * hour(ts) / 24), 6)                        AS cos_hour,
+           round(sin(2 * pi() * ((dayofweek(ts) + 6) % 7) / 7), 6)        AS sin_dow,
+           round(cos(2 * pi() * ((dayofweek(ts) + 6) % 7) / 7), 6)        AS cos_dow,
+           round(sin(2 * pi() * day(ts) / 31), 6)                         AS sin_dom,
+           round(cos(2 * pi() * day(ts) / 31), 6)                         AS cos_dom,
+           round(sin(2 * pi() * month(ts) / 12), 6)                       AS sin_month,
+           round(cos(2 * pi() * month(ts) / 12), 6)                       AS cos_month,
+           round(sin(2 * pi() * dayofyear(ts) / 366), 6)                  AS sin_doy,
+           round(cos(2 * pi() * dayofyear(ts) / 366), 6)                  AS cos_doy
+    FROM events
+    """,
+)
+def p4_cyclical_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: the reference's 10 cyclical datetime conditioning features
+    (app/data_processor.py:41-65), weekday in pandas convention."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    out = cyclical_datetime_features(ev)
+    cols = [c for c in out.columns if c.startswith(("sin_", "cos_"))]
+    return out.select("event_id", *[F.round(F.col(c), 6).alias(c) for c in cols])
+
+
+@_q(
+    "p8_returns",
+    """
+    SELECT event_id, user_id, ts,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts), 6) AS value_diff
+    FROM events
+    """,
+)
+def p8_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 use_returns: first differences per entity."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = returns(ev, "user_id", "ts", "value", kind="diff")
+    return out.select(
+        "event_id", "user_id", "ts", F.round(F.col("value_diff"), 6).alias("value_diff")
+    )
+
+
+@_q(
+    "a7_unwindow",
+    """
+    WITH win AS (
+      SELECT user_id,
+             row_number() OVER w - 1 AS rn,
+             count(*) OVER w2 AS cnt,
+             list(value) OVER w2 AS l
+      FROM events
+      WINDOW w  AS (PARTITION BY user_id ORDER BY ts),
+             w2 AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    ), exploded AS (
+      SELECT user_id, (rn - 3) + unnest(range(4)) AS abs_pos, unnest(l) AS val
+      FROM win WHERE cnt = 4
+    )
+    SELECT user_id, abs_pos,
+           round(sum(val) / count(*), 6) AS reconstructed,
+           count(*)::BIGINT AS coverage
+    FROM exploded GROUP BY user_id, abs_pos
+    """,
+)
+def a7_unwindow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 overlap-add unwindow: W=4 windows over events, posexplode +
+    group — coverage ramp 1..4 at sequence edges."""
+    ev = _t(spark, sf_dir, "events")
+    win = sliding_windows(ev, "user_id", "ts", ["value"], 4)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    idx = win.withColumn("win_start", F.row_number().over(w) - 1)
+    rec = unwindow(idx, "user_id", "win_start", "window")
+    return rec.select(
+        "user_id",
+        "abs_pos",
+        F.round(F.col("reconstructed"), 6).alias("reconstructed"),
+        "coverage",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: dedup / text / similarity (documents, embeddings)
+
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest,
+           min(doc_id) AS canonical_id, count(*)::BIGINT AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text")
+
+
+@_q(
+    "dedup_jaccard_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS token
+      FROM documents
+    ), toks2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS set_size FROM toks2 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter
+      FROM toks2 a JOIN toks2 b USING (token)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter, sa.set_size AS size_a, sb.set_size AS size_b,
+           round(inter / (sa.set_size + sb.set_size - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter / (sa.set_size + sb.set_size - inter) >= 0.8
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram(1) Jaccard near-dup pairs via token equi-join."""
+    docs = _t(spark, sf_dir, "documents")
+    out = jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+    return out.withColumn("jaccard", F.round(F.col("jaccard"), 6))
+
+
+@_q("dedup_minhash_lsh")  # xxhash64 not available in DuckDB -> rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, exact-verified. Non-SQL (hash fns);
+    correctness covered by tests/test_dedup.py against exact Jaccard."""
+    docs = _t(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    return out.withColumn("jaccard", F.round(F.col("jaccard"), 6))
+
+
+@_q("simhash_fingerprints")  # xxhash64 not in DuckDB -> rows-only check
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text")
+
+
+@_q(
+    "text_quality",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\\s+') AS ws,
+             length(text) AS n_chars_calc,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, n_chars_calc,
+             len(ws)::BIGINT AS n_words,
+             CASE WHEN n_chars_calc > 0 THEN n_punct / n_chars_calc::DOUBLE ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len(ws) > 0 THEN
+               len(list_intersect(list_transform(ws, w -> lower(w)),
+                   ['the','and','of','to','in','is','that','for','with','as'])) / len(ws)::DOUBLE
+             ELSE 0.0 END AS stopword_ratio,
+             CASE WHEN len(ws) > 0 THEN
+               list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws)
+             ELSE 0.0 END AS mean_word_len
+      FROM base
+    )
+    SELECT doc_id, n_chars_calc, n_words,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(stopword_ratio, 6) AS stopword_ratio,
+           round(mean_word_len, 6) AS mean_word_len,
+           round(least(n_words / 100.0, 1.0) * 0.4
+                 + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+                 + least(stopword_ratio * 5.0, 1.0) * 0.3, 6) AS quality
+    FROM feats
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = quality_score(docs, "text")
+    return out.select(
+        "doc_id",
+        "n_chars_calc",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+@_q(
+    "text_token_counts",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> ''))::BIGINT AS n_words,
+           len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]'))::BIGINT AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = token_counts(docs, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@_q(
+    "text_lang_id",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+                            x -> lower(x)) AS ws
+      FROM documents
+    ), hits AS (
+      SELECT doc_id,
+        len(list_intersect(ws, ['the','and','of','to','in','is','that','for','with','as'])) AS hits_en,
+        len(list_intersect(ws, ['el','la','de','que','y','en','un','por','con','para'])) AS hits_es,
+        len(list_intersect(ws, ['der','die','und','das','ist','von','mit','ein','für','auf'])) AS hits_de,
+        len(list_intersect(ws, ['le','la','et','les','des','en','un','que','pour','dans'])) AS hits_fr
+      FROM w
+    )
+    SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
+           CASE WHEN hits_en = 0 AND hits_es = 0 AND hits_de = 0 AND hits_fr = 0 THEN 'und'
+                WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
+                WHEN hits_es >= hits_de AND hits_es >= hits_fr THEN 'es'
+                WHEN hits_de >= hits_fr THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM hits
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = language_id(docs, "text")
+    return out.select(
+        "doc_id",
+        *[F.col(f"hits_{lang}").cast("int").alias(f"hits_{lang}") for lang in ("en", "es", "de", "fr")],
+        "lang_pred",
+    )
+
+
+@_q(
+    "text_fingerprint",
+    """
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
+      FROM documents
+    )
+    SELECT doc_id, md5(n) AS fp_md5,
+           list_reduce(
+             list_prepend(0::BIGINT, list_transform(string_split(n, ''), ch -> ascii(ch)::BIGINT)),
+             (acc, x) -> (acc * 31 + x) % 2147483647
+           ) AS fp_rolling
+    FROM norm
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint(docs, "text").select("doc_id", "fp_md5", "fp_rolling")
+
+
+@_q(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cosine
+      FROM embeddings c, q
+      WHERE q.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the ANN baseline). Queries = vec_id % 50 = 0
+    (deterministic sample); dot products via zip_with/aggregate — JVM-side."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.pmod(F.col("vec_id"), F.lit(50)) == 0)
+    out = cosine_topk(q, emb, "vec_id", "embedding", k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@_q("ann_lsh_topk")  # seeded-hyperplane LSH: not SQL-expressible -> rows-only
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feature_extractor_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.pmod(F.col("vec_id"), F.lit(50)) == 0)
+    out = lsh_bucketed_topk(q, emb, "vec_id", "embedding", k=5, dim=64)
+    return out.withColumn("cosine", F.round(F.col("cosine"), 6))
+
+
+@_q(
+    "s7_json_scalar",
+    """
+    SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS prop_k
+    FROM events
+    """,
+)
+def s7_json_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON decode of the props column (reference JSON handling surface,
+    app/config_handler.py:13-26) — built-in get_json_object."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("prop_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Encoder pipeline (non-SQL: model forward pass) + multimodal plumbing
+
+
+@_q("encoder_latents")  # NN forward pass -> rows-only check (parity in pytest)
+def encoder_latents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §3.2 dataflow: windows -> conditions -> zero context -> Arrow
+    encoder forward -> latent vectors. allclose parity vs the single-process
+    oracle is enforced in tests/test_encoder.py."""
+    from feature_extractor_spark.encoder import encode_stage, init_weights
+    from feature_extractor_spark.functions.conditions import zero_context
+
+    ev = _t(spark, sf_dir, "events")
+    win = sliding_windows(ev, "user_id", "ts", ["value"], 8)
+    win = cyclical_datetime_features(win)
+    win = zero_context(win, 4)
+    cond = [c for c in win.columns if c.startswith(("sin_", "cos_"))]
+    weights = init_weights(
+        window_size=8, n_features=1, rnn_hidden_dim=4,
+        conditioning_dim=len(cond), latent_dim=8,
+    )
+    return encode_stage(
+        win, weights, cond_cols=cond, keep_cols=["user_id", "ts"]
+    )
+
+
+@_q("multimodal_features")  # binary decode stub -> rows-only check
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column -> mapInPandas feature
+    extraction (deterministic fake decoder; real codecs stubbed)."""
+    from feature_extractor_spark.operators.multimodal import (
+        decode_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, n_rows=256)
+    return decode_features(media, feature_dim=8, fake=True)
+
+
+def flagship_entry(spark: SparkSession) -> DataFrame:
+    """Driver smoke entry: the full encoder pipeline at sf0.001."""
+    return encoder_latents(spark, "/root/testdata/sf0.001")
