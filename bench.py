@@ -1,0 +1,139 @@
+"""Benchmark harness: headline = sequences/sec through the as-of-join +
+windowed-feature + encoder-forward stage (BASELINE.json metric), plus
+per-query wall-clock for the representative operator set.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "sequences_per_sec": ..., "cores": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+
+Each query is forced through the noop sink (full materialization — count()
+alone would let Catalyst prune the projections we're trying to measure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_revenue_by_nation",
+    "w1_window_agg",
+    "w3_lag_lead",
+    "w6_sessionize",
+    "j3_asof_locf",
+    "j4_normalize_broadcast",
+    "p4_cyclical_features",
+    "a7_unwindow",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "ann_cosine_topk",
+    "encoder_latents",
+]
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def headline_pipeline(spark, sf_dir: str):
+    """§3.2 dataflow: as-of join -> sliding windows -> cyclical conditions ->
+    zero context -> Arrow encoder forward. Returns (n_sequences, seconds)."""
+    from pyspark.sql import functions as F
+
+    from feature_extractor_spark.encoder import encode_stage, init_weights
+    from feature_extractor_spark.functions.conditions import (
+        cyclical_datetime_features,
+        zero_context,
+    )
+    from feature_extractor_spark.operators.asof import asof_join
+    from feature_extractor_spark.operators.windows import sliding_windows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "value", "event_type"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    W = 16
+    t0 = time.time()
+    joined = asof_join(ev, right, on="ts", by="user_id").na.fill(
+        {"last_purchase_value": 0.0}
+    )
+    win = sliding_windows(
+        joined.withColumn(
+            "fv",
+            F.array(F.col("value"), F.col("last_purchase_value")),
+        ),
+        "user_id",
+        "ts",
+        ["fv"],
+        W,
+    )
+    win = cyclical_datetime_features(win)
+    win = zero_context(win, 4)
+    cond = [c for c in win.columns if c.startswith(("sin_", "cos_"))]
+    weights = init_weights(
+        window_size=W, n_features=2, rnn_hidden_dim=4,
+        conditioning_dim=len(cond), latent_dim=16,
+    )
+    # window col is array<array<double>> (W x 2)
+    z = encode_stage(win, weights, window_col="window", cond_cols=cond,
+                     keep_cols=["user_id", "ts"])
+    _force(z)
+    dt = time.time() - t0
+    n = win.count()
+    return n, dt
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+
+    from feature_extractor_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cores)
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm (plan + JIT)
+        t0 = time.time()
+        df2 = qs[name](spark, sf_dir)
+        df2.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    n_seq, headline_sec = headline_pipeline(spark, sf_dir)
+    seq_per_sec = n_seq / headline_sec if headline_sec > 0 else 0.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "asof+window+encoder pipeline wall-clock (headline); per-query secs in 'queries'",
+                "value": round(headline_sec, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "sequences": n_seq,
+                "sequences_per_sec": round(seq_per_sec, 1),
+                "cores": cores,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

