@@ -1,5 +1,10 @@
 from feature_extractor_spark.encoder.forward import (  # noqa: F401
-    init_weights,
+    decoder_forward,
     encoder_forward,
+    init_decoder_weights,
+    init_weights,
 )
-from feature_extractor_spark.encoder.stage import encode_stage  # noqa: F401
+from feature_extractor_spark.encoder.stage import (  # noqa: F401
+    decode_stage,
+    encode_stage,
+)

@@ -118,3 +118,39 @@ def encoder_forward(
     last = z[:, -1, :]  # point-in-time latent at the window's right edge
     z_mean = np.tanh(last @ weights["w_mu"] + weights["b_mu"])
     return z_mean.astype(DTYPE, copy=False)
+
+
+def init_decoder_weights(
+    latent_dim: int,
+    n_features: int,
+    d_model: int = 16,
+    seed: int = 4321,
+) -> dict[str, np.ndarray]:
+    """Seeded float32 weights for the generative (decoder) network
+    (SURVEY.md §2.9 U2; reference decoder contract
+    /root/reference/app/autoencoder_manager.py:165-174)."""
+    rng = np.random.default_rng(seed)
+
+    def mat(*shape):
+        return (rng.standard_normal(shape) / np.sqrt(shape[0])).astype(DTYPE)
+
+    return {
+        "w_up": mat(latent_dim, d_model),
+        "b_up": np.zeros(d_model, dtype=DTYPE),
+        "w_out": mat(d_model, n_features),
+        "b_out": np.zeros(n_features, dtype=DTYPE),
+    }
+
+
+def decoder_forward(
+    z: np.ndarray,  # (B, latent) float32
+    weights: dict[str, np.ndarray],
+) -> np.ndarray:
+    """Mirror of the encoder tail: latent -> hidden (leaky relu) -> output
+    features. The reference decoder emits the LAST time step only
+    (decoder_plugin_vae_small.py:228-245), so this produces (B, F) —
+    the point-in-time reconstruction."""
+    h = z.astype(DTYPE, copy=False) @ weights["w_up"] + weights["b_up"]
+    h = np.where(h > 0, h, DTYPE(0.2) * h)
+    out = h @ weights["w_out"] + weights["b_out"]
+    return out.astype(DTYPE, copy=False)

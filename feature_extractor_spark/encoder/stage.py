@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from feature_extractor_spark.encoder.forward import encoder_forward
+from feature_extractor_spark.encoder.forward import decoder_forward, encoder_forward
 
 
 def _windows_to_3d(col: pd.Series) -> np.ndarray:
@@ -86,6 +86,40 @@ def encode_stage(
             z = encoder_forward(x, h, cond, w)
             out = pdf[keep].copy()
             out[out_col] = list(z)
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def decode_stage(
+    df: DataFrame,
+    weights: dict[str, np.ndarray],
+    latent_col: str = "z_mean",
+    out_col: str = "reconstruction",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """U2 decoder forward: latent array column -> reconstructed point-in-time
+    feature vector (reference decoder evaluation path, SURVEY.md §3.3).
+    Same broadcast-weights Arrow pattern as encode_stage."""
+    keep = keep_cols or [c for c in df.columns if c != latent_col]
+    sc = df.sparkSession.sparkContext
+    bw = sc.broadcast(dict(weights))
+    schema = T.StructType(
+        [df.schema[c] for c in keep]
+        + [T.StructField(out_col, T.ArrayType(T.FloatType()), False)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = bw.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            z = np.asarray(
+                [np.asarray(v, dtype=np.float32) for v in pdf[latent_col]]
+            )
+            x = decoder_forward(z, w)
+            out = pdf[keep].copy()
+            out[out_col] = list(x)
             yield out
 
     return df.mapInPandas(run, schema)

@@ -796,3 +796,183 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flagship_entry(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: the full encoder pipeline at sf0.001."""
     return encoder_latents(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# W7 indicators / P6 positional encoding / P7 weekday / O4 split
+
+
+@_q(
+    "w7_rolling_indicators",
+    """
+    WITH px AS (
+      SELECT user_id, ts, value AS close, value * 1.01 AS high, value * 0.99 AS low
+      FROM events
+    ), d AS (
+      SELECT user_id, ts, close, high, low,
+             close - lag(close) OVER w1 AS delta,
+             lag(close) OVER w1 AS prev_close
+      FROM px WINDOW w1 AS (PARTITION BY user_id ORDER BY ts)
+    ), base AS (
+      SELECT user_id, ts, close, high, low, prev_close,
+             CASE WHEN delta > 0 THEN delta ELSE 0.0 END AS up,
+             CASE WHEN delta < 0 THEN -delta ELSE 0.0 END AS dn,
+             greatest(high - low, abs(high - coalesce(prev_close, close)),
+                      abs(low - coalesce(prev_close, close))) AS tr
+      FROM d
+    )
+    SELECT user_id, ts,
+           round(CASE WHEN avg(dn) OVER w14 = 0 THEN 100.0
+                ELSE 100.0 - 100.0 / (1.0 + avg(up) OVER w14 / (avg(dn) OVER w14)) END, 6) AS rsi_14,
+           round(CASE WHEN max(high) OVER w14 = min(low) OVER w14 THEN 50.0
+                ELSE 100.0 * (close - min(low) OVER w14)
+                     / (max(high) OVER w14 - min(low) OVER w14) END, 6) AS stoch_k_14,
+           avg(tr) OVER w14 AS atr_14,
+           round(avg(close) OVER w20, 6) AS sma_20
+    FROM base
+    WINDOW w14 AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+           w20 AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w7_rolling_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 frame-based technical indicators (RSI/Stochastic/ATR/SMA over a
+    synthetic OHLC view of events; spec /root/reference/app/ARCHITECTURE_23_FEATURES.md:46-79)."""
+    from feature_extractor_spark.functions.indicators import atr, rsi, sma, stochastic
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("close"),
+        (F.col("value") * 1.01).alias("high"),
+        (F.col("value") * 0.99).alias("low"),
+    )
+    out = rsi(ev, "user_id", "ts", "close", 14)
+    out = stochastic(out, "user_id", "ts", "high", "low", "close", 14, 3)
+    out = atr(out, "user_id", "ts", "high", "low", "close", 14)
+    out = sma(out, "user_id", "ts", "close", 20)
+    # NO rounding here: the unrounded doubles match DuckDB bit-for-bit
+    # (verified), while round() itself diverges between engines on values
+    # whose shortest decimal repr ends in 5 at the target digit (Spark
+    # rounds the shortest repr, DuckDB rounds numerically).
+    return out.select(
+        "user_id",
+        "ts",
+        F.round("rsi_14", 6).alias("rsi_14"),
+        F.round("stoch_k_14", 6).alias("stoch_k_14"),
+        F.col("atr_14"),  # unrounded: exact cross-engine match, and round()
+        # itself diverges on shortest-repr ..5 values (see module docstring)
+        F.round("sma_20", 6).alias("sma_20"),
+    )
+
+
+@_q(
+    "p6_positional_encoding",
+    """
+    SELECT event_id,
+           round(sin(pos / 1.0), 6)     AS pe_sin_0,
+           round(cos(pos / 1.0), 6)     AS pe_cos_0,
+           round(sin(pos / 100.0), 6)   AS pe_sin_1,
+           round(cos(pos / 100.0), 6)   AS pe_cos_1
+    FROM (
+      SELECT event_id,
+             (row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1)::DOUBLE AS pos
+      FROM events
+    )
+    """,
+)
+def p6_positional_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/W5 sin/cos positional encoding over the per-entity row index
+    (reference positional_encoding.py:6-25)."""
+    from feature_extractor_spark.functions.conditions import positional_encoding
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = positional_encoding(ev, "ts", d_model=4, partition_col="user_id")
+    return out.select(
+        "event_id",
+        *[
+            F.round(F.col(c), 6).alias(c)
+            for c in ("pe_sin_0", "pe_cos_0", "pe_sin_1", "pe_cos_1")
+        ],
+    )
+
+
+@_q(
+    "p7_weekday_filter",
+    """
+    SELECT event_id, ts FROM events
+    WHERE dayofweek(ts) NOT IN (0, 6)
+    """,
+)
+def p7_weekday_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 weekend filter (reference app/REFERENCE_Functionality.md:185)."""
+    from feature_extractor_spark.functions.conditions import weekday_filter
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    return weekday_filter(ev, "ts")
+
+
+@_q(
+    "o4_ts_range_split",
+    """
+    SELECT CASE WHEN ts < TIMESTAMP '2024-01-10 00:00:00' THEN 'train'
+                WHEN ts < TIMESTAMP '2024-01-13 00:00:00' THEN 'val'
+                ELSE 'test' END AS split,
+           count(*)::BIGINT AS n_rows,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def o4_ts_range_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 train/val/test split as partition-prunable ts-range predicates on
+    ONE table (the reference splits by separate files, app/config.py:5-10)."""
+    ev = _t(spark, sf_dir, "events")
+    split = (
+        F.when(F.col("ts") < "2024-01-10", F.lit("train"))
+        .when(F.col("ts") < "2024-01-13", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        ev.groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@_q("w7_ema_macd")  # order-recursive (applyInPandas) -> rows-only check
+def w7_ema_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 EMA/MACD: order-recursive, runs per-entity in applyInPandas;
+    parity vs pandas ewm is enforced in tests/test_streaming_indicators_decoder.py."""
+    from feature_extractor_spark.functions.indicators import ema_macd
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", F.col("value").alias("close"))
+    out = ema_macd(ev, "user_id", "ts", "close")
+    return out.select(
+        "user_id", "ts",
+        F.round("ema_20", 6).alias("ema_20"),
+        F.round("macd", 6).alias("macd"),
+        F.round("macd_signal", 6).alias("macd_signal"),
+    )
+
+
+@_q("u2_decoder_roundtrip")  # NN forward passes -> rows-only check
+def u2_decoder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+U2 round trip: windows -> encoder -> decoder -> reconstruction
+    (reference §3.3 decoder evaluation); allclose parity in pytest."""
+    from feature_extractor_spark.encoder import (
+        decode_stage,
+        init_decoder_weights,
+        init_weights,
+    )
+    from feature_extractor_spark.encoder.stage import encode_stage
+    from feature_extractor_spark.functions.conditions import zero_context
+
+    ev = _t(spark, sf_dir, "events")
+    win = sliding_windows(ev, "user_id", "ts", ["value"], 8)
+    win = zero_context(win, 4)
+    enc_w = init_weights(window_size=8, n_features=1, rnn_hidden_dim=4,
+                         conditioning_dim=0, latent_dim=8)
+    z = encode_stage(win, enc_w, cond_cols=[], keep_cols=["user_id", "ts"])
+    dec_w = init_decoder_weights(latent_dim=8, n_features=1)
+    return decode_stage(z, dec_w, keep_cols=["user_id", "ts"])

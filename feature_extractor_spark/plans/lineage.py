@@ -1,0 +1,158 @@
+"""Per-stage lineage + checkpoint/resume (SURVEY.md §4.2-5, north rule).
+
+The reference has zero fault tolerance — a killed run restarts from scratch
+(best model kept only in RAM, /root/reference/app/data_processor.py:341-351).
+Here every stage writes, alongside its output, a lineage manifest recording
+per-work-unit row/byte metrics; a killed job resumes by diffing the manifest
+against the unit universe and recomputing only the missing units.
+
+This is the parquet analog of an Iceberg checkpoint table + snapshot diff
+(no Iceberg runtime jars in this container; the layout mirrors Iceberg's
+manifest-list design so swapping the backend is a sink change, not a logic
+change):
+
+  <checkpoint_dir>/manifest/part-*.parquet   append-only commit records
+  <output_dir>/<unit_col>=<v>/part-*.parquet dynamic-partition output
+
+Exactly-once contract: outputs are committed with dynamic partition
+overwrite FIRST, the manifest row is appended AFTER. A crash between the
+two re-runs that unit on resume and overwrites its partition idempotently —
+effectively-once output, at-least-once compute (the standard trade absent a
+multi-table transaction).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CheckpointLog:
+    """Append-only lineage manifest over parquet."""
+
+    def __init__(self, spark: SparkSession, checkpoint_dir: str):
+        self.spark = spark
+        self.dir = checkpoint_dir
+        self.manifest_dir = os.path.join(checkpoint_dir, "manifest")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    def read(self) -> DataFrame:
+        schema = (
+            "stage string, unit string, rows long, bytes long, "
+            "n_files long, wall_sec double, committed_at timestamp, run_id string"
+        )
+        try:
+            return self.spark.read.schema(schema).parquet(self.manifest_dir)
+        except Exception:
+            return self.spark.createDataFrame([], schema)
+
+    def completed_units(self, stage: str) -> set[str]:
+        return {
+            r["unit"]
+            for r in self.read().filter(F.col("stage") == stage).select("unit").collect()
+        }
+
+    def append(self, records: list[dict]) -> None:
+        if not records:
+            return
+        pdf = self.spark.createDataFrame(
+            [
+                (
+                    r["stage"],
+                    str(r["unit"]),
+                    int(r["rows"]),
+                    int(r["bytes"]),
+                    int(r["n_files"]),
+                    float(r["wall_sec"]),
+                    r["committed_at"],
+                    r["run_id"],
+                )
+                for r in records
+            ],
+            "stage string, unit string, rows long, bytes long, n_files long, "
+            "wall_sec double, committed_at timestamp, run_id string",
+        )
+        # one small commit file per append; readers union all files
+        pdf.coalesce(1).write.mode("append").parquet(self.manifest_dir)
+
+
+def _partition_stats(output_dir: str, unit_col: str, units: list[str]) -> dict[str, tuple[int, int]]:
+    """(bytes, n_files) per unit from the committed files — real on-disk
+    byte metrics, not estimates."""
+    stats = {}
+    for u in units:
+        pdir = os.path.join(output_dir, f"{unit_col}={u}")
+        n_bytes = n_files = 0
+        if os.path.isdir(pdir):
+            for f in os.listdir(pdir):
+                if f.endswith(".parquet"):
+                    n_bytes += os.path.getsize(os.path.join(pdir, f))
+                    n_files += 1
+        stats[u] = (n_bytes, n_files)
+    return stats
+
+
+def run_stage_with_resume(
+    spark: SparkSession,
+    stage_name: str,
+    input_df: DataFrame,
+    unit_col: str,
+    transform,
+    output_dir: str,
+    checkpoint_dir: str,
+    fail_after_units: int | None = None,
+) -> dict:
+    """Run ``transform(df_slice)`` for every pending unit and commit output +
+    lineage. Units already in the manifest are skipped (resume = anti-join).
+
+    ``unit_col`` partitions both the work and the output directory layout;
+    pick it like an Iceberg partition spec (date bucket, entity bucket).
+    ``fail_after_units`` injects a crash for the kill-and-resume test.
+
+    Returns {"processed": [...], "skipped": [...]}.
+    """
+    import datetime as dt
+
+    log = CheckpointLog(spark, checkpoint_dir)
+    done = log.completed_units(stage_name)
+    all_units = [
+        str(r[0]) for r in input_df.select(unit_col).distinct().orderBy(unit_col).collect()
+    ]
+    pending = [u for u in all_units if u not in done]
+    run_id = uuid.uuid4().hex[:12]
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    processed = []
+    for i, unit in enumerate(pending):
+        if fail_after_units is not None and i >= fail_after_units:
+            raise RuntimeError(f"injected failure after {fail_after_units} units")
+        t0 = time.time()
+        df_slice = input_df.filter(F.col(unit_col).cast("string") == unit)
+        out = transform(df_slice)
+        if unit_col not in out.columns:
+            out = out.withColumn(unit_col, F.lit(unit))
+        n_rows = out.count()
+        # output first (idempotent dynamic-partition overwrite)...
+        out.write.mode("overwrite").partitionBy(unit_col).parquet(output_dir)
+        stats = _partition_stats(output_dir, unit_col, [unit])
+        # ...manifest second (commit point)
+        log.append(
+            [
+                {
+                    "stage": stage_name,
+                    "unit": unit,
+                    "rows": n_rows,
+                    "bytes": stats[unit][0],
+                    "n_files": stats[unit][1],
+                    "wall_sec": time.time() - t0,
+                    "committed_at": dt.datetime.utcnow(),
+                    "run_id": run_id,
+                }
+            ]
+        )
+        processed.append(unit)
+    return {"processed": processed, "skipped": sorted(done)}

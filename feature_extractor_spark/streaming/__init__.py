@@ -1,0 +1,4 @@
+from feature_extractor_spark.streaming.stream_ops import (  # noqa: F401
+    stream_sessionize,
+    stream_windowed_stats,
+)

@@ -1,0 +1,140 @@
+"""Streaming sessionization vs batch parity, W7 indicators vs pandas,
+decoder stage round-trip."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from feature_extractor_spark.encoder import (
+    decode_stage,
+    decoder_forward,
+    init_decoder_weights,
+)
+from feature_extractor_spark.functions.indicators import (
+    ema_macd,
+    ohlc_indicators,
+    rsi,
+    stochastic,
+)
+from feature_extractor_spark.operators.sessionize import session_bounds
+from feature_extractor_spark.streaming import stream_sessionize
+
+
+def _events(spark, n_users=3, n=40):
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(n_users):
+        t = base
+        for i in range(n):
+            gap = dt.timedelta(minutes=5 if i % 10 else 120)  # session break each 10
+            t = t + gap
+            rows.append((f"u{u}", t, float(i)))
+    return spark.createDataFrame(rows, "doc_id string, ts timestamp, value double")
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    df = _events(spark)
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    sessions = stream_sessionize(stream, "doc_id", "ts", gap_seconds=1800)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("sess_out")
+        .orderBy("doc_id", "session_start")
+        .toPandas()
+    )
+    exp = (
+        session_bounds(df, "doc_id", "ts", gap_seconds=1800)
+        .orderBy("doc_id", "session_start")
+        .toPandas()
+    )
+    assert len(got) == len(exp)
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["n_events"].tolist() == exp["n_events"].tolist()
+    assert got["session_start"].tolist() == exp["session_start"].tolist()
+
+
+def _ohlc(spark, n=120):
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    px = 100.0
+    for i in range(n):
+        px = px + ((i * 37) % 11 - 5) * 0.4
+        rows.append(
+            ("e1", base + dt.timedelta(hours=i), px - 0.3, px + 0.5, px - 0.6, px)
+        )
+    return spark.createDataFrame(
+        rows, "doc_id string, ts timestamp, OPEN double, HIGH double, LOW double, CLOSE double"
+    )
+
+
+def test_ema_macd_matches_pandas(spark):
+    df = _ohlc(spark)
+    got = (
+        ema_macd(df, "doc_id", "ts", "CLOSE")
+        .orderBy("ts")
+        .toPandas()
+    )
+    c = df.orderBy("ts").toPandas()["CLOSE"]
+    exp20 = c.ewm(span=20, adjust=False).mean()
+    assert np.allclose(got["ema_20"], exp20, rtol=1e-12)
+    macd = c.ewm(span=12, adjust=False).mean() - c.ewm(span=26, adjust=False).mean()
+    assert np.allclose(got["macd"], macd, rtol=1e-12)
+    sig = macd.ewm(span=9, adjust=False).mean()
+    assert np.allclose(got["macd_signal"], sig, rtol=1e-12)
+
+
+def test_rsi_stochastic_vs_pandas(spark):
+    df = _ohlc(spark)
+    got = rsi(df, "doc_id", "ts", "CLOSE", 14).orderBy("ts").toPandas()
+    c = df.orderBy("ts").toPandas()["CLOSE"]
+    delta = c.diff()
+    up = delta.clip(lower=0).fillna(0)
+    dn = (-delta).clip(lower=0).fillna(0)
+    avg_up = up.rolling(14, min_periods=1).mean()
+    avg_dn = dn.rolling(14, min_periods=1).mean()
+    exp = 100 - 100 / (1 + avg_up / avg_dn)
+    exp = exp.where(avg_dn != 0, 100.0)
+    assert np.allclose(got["rsi_14"], exp, rtol=1e-9)
+
+    got_s = stochastic(df, "doc_id", "ts", "HIGH", "LOW", "CLOSE").orderBy("ts").toPandas()
+    pdf = df.orderBy("ts").toPandas()
+    hh = pdf["HIGH"].rolling(14, min_periods=1).max()
+    ll = pdf["LOW"].rolling(14, min_periods=1).min()
+    exp_k = 100 * (pdf["CLOSE"] - ll) / (hh - ll)
+    assert np.allclose(got_s["stoch_k_14"], exp_k, rtol=1e-9)
+
+
+def test_ohlc_indicator_bundle_columns(spark):
+    out = ohlc_indicators(_ohlc(spark), "doc_id", "ts")
+    for col in ["rsi_14", "stoch_k_14", "stoch_d_14_3", "atr_14", "sma_20",
+                "ema_20", "ema_50", "macd", "macd_signal", "macd_hist"]:
+        assert col in out.columns
+    assert out.count() == 120
+
+
+def test_decode_stage_matches_oracle(spark):
+    rng = np.random.default_rng(5)
+    z = rng.standard_normal((30, 6)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in z[i]]) for i in range(30)],
+        "row_id long, z_mean array<float>",
+    )
+    weights = init_decoder_weights(latent_dim=6, n_features=4)
+    got = decode_stage(df, weights, keep_cols=["row_id"]).orderBy("row_id").toPandas()
+    exp = decoder_forward(z, weights)
+    got_x = np.asarray([np.asarray(v) for v in got["reconstruction"]])
+    assert got_x.shape == (30, 4)
+    assert np.allclose(got_x, exp, rtol=1e-5, atol=1e-7)
