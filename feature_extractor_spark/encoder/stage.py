@@ -22,27 +22,17 @@ from pyspark.sql import types as T
 from feature_extractor_spark.encoder.forward import decoder_forward, encoder_forward
 
 
-def _windows_to_3d(col: pd.Series) -> np.ndarray:
-    """(B,) of window values -> float32 (B, W, F).
+def _flat_windows_to_3d(col: pd.Series, n_features: int) -> np.ndarray:
+    """(B,) of FLAT window arrays (length W*F each) -> float32 (B, W, F).
 
-    Arrow materializes array<array<T>> as object ndarrays of ndarrays, which
-    np.asarray refuses to stack directly; nested windows are concatenated
-    per row then reshaped (cheap: one small concat per row, no per-element
-    Python)."""
-    first = col.iloc[0]
-    nested = len(first) > 0 and isinstance(
-        first[0], (list, tuple, np.ndarray)
-    )
-    if not nested:
-        x = np.asarray([np.asarray(w, dtype=np.float32) for w in col])
-        return x[:, :, None]
-    W = len(first)
-    rows = [
-        np.concatenate([np.asarray(s, dtype=np.float32) for s in w])
-        for w in col
-    ]
-    flat = np.stack(rows)
-    return flat.reshape(len(col), W, -1)
+    One np.concatenate over the whole Arrow batch + one reshape — no
+    per-row Python. (The nested array<array<T>> layout is flattened
+    JVM-side with F.flatten before the UDF; converting nested object
+    arrays row-by-row in Python measured ~3x slower end-to-end.)"""
+    flat = np.concatenate(col.to_numpy()).astype(np.float32, copy=False)
+    B = len(col)
+    W = flat.size // (B * n_features)
+    return flat.reshape(B, W, n_features)
 
 
 def encode_stage(
@@ -53,6 +43,7 @@ def encode_stage(
     cond_cols: list[str] | None = None,
     out_col: str = "z_mean",
     keep_cols: list[str] | None = None,
+    rebalance: bool = True,
 ) -> DataFrame:
     """Run the encoder over window rows.
 
@@ -61,8 +52,27 @@ def encode_stage(
     - ``cond_cols``: scalar double columns forming the conditioning vector
       (the 10 cyclical features, P4)
     Output: input keep_cols + ``out_col`` array<float> latent vector.
+
+    ``rebalance``: window rows are self-contained, so the forward pass is
+    embarrassingly parallel — but the upstream window build leaves rows
+    partitioned by entity, and a heavy-hitter entity turns into one
+    straggler Python worker. A round-robin repartition ahead of the UDF
+    costs one balanced shuffle and removes the skew (measured: required for
+    local[8]->local[32] scaling on Zipf-skewed entities).
     """
     keep = keep_cols or [c for c in df.columns if c not in (window_col, h_col)]
+    if rebalance:
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism * 2)
+
+    # flatten nested windows JVM-side: the Python worker then reshapes one
+    # contiguous buffer per batch instead of walking object arrays per row
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as _T
+
+    wtype = df.schema[window_col].dataType
+    if isinstance(wtype, _T.ArrayType) and isinstance(wtype.elementType, _T.ArrayType):
+        df = df.withColumn(window_col, F.flatten(F.col(window_col)))
+    n_features = int(weights["meta"][1])
     cond_cols = cond_cols or []
     sc = df.sparkSession.sparkContext
     bw = sc.broadcast({k: v for k, v in weights.items()})
@@ -77,8 +87,10 @@ def encode_stage(
         for pdf in batches:
             if pdf.empty:
                 continue
-            x = _windows_to_3d(pdf[window_col])
-            h = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf[h_col]])
+            x = _flat_windows_to_3d(pdf[window_col], n_features)
+            h = np.concatenate(pdf[h_col].to_numpy()).astype(
+                np.float32, copy=False
+            ).reshape(len(pdf), -1)
             if cond_cols:
                 cond = pdf[cond_cols].to_numpy(dtype=np.float32)
             else:

@@ -35,12 +35,20 @@ def get_spark(
             f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
         )
 
+    # One BLAS thread per Python worker: with N workers per machine, letting
+    # each numpy call spawn N BLAS threads oversubscribes N^2-fold and makes
+    # the Arrow UDF stage SLOWER at higher parallelism (measured: local[32]
+    # lost to local[8] before this). Parallelism belongs to Spark tasks.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        # one shuffle partition per core locally; on a real cluster this is
-        # set to ~2-3x total executor cores (AQE coalesces the excess).
-        shuffle_partitions = max(cores, 8)
+        # 4x cores: enough granularity for AQE to balance skewed stages
+        # (it coalesces the excess); 1x cores left stragglers pinning wall
+        # time to the slowest partition.
+        shuffle_partitions = max(cores * 4, 32)
 
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
@@ -54,8 +62,27 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
-        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
+        # shuffle spill dir: a single spinning /tmp disk caps every shuffle
+        # stage at its write bandwidth regardless of cores (measured: the
+        # as-of+window stage was wall-flat from 8 to 32 cores). tmpfs
+        # removes the artifact in this single-box sandbox; real executors
+        # have local NVMe. Override with SPARK_LOCAL_DIRS.
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"),
+        )
+        # ParallelGC: this engine's hot stages allocate big short-lived
+        # arrays (window frames, Arrow batches); G1 degraded REPEATED runs
+        # up to 6x (old-gen growth -> concurrent cycles); throughput GC
+        # keeps them flat (measured 21.9s -> 3.6s on the as-of stage).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Duser.timezone=UTC -XX:+UseParallelGC",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-Duser.timezone=UTC -XX:+UseParallelGC",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -63,13 +63,14 @@ def synth_tokens(
     source = F.element_at(
         F.array(*[F.lit(s) for s in SOURCES]), (F.pmod(_mix(rid, 3), F.lit(len(SOURCES))) + 1).cast("int")
     )
-    # hourly base + a 6h jump every 50 rows: per-doc ts stays strictly
+    # per-minute base + a 1h jump every 50 rows: per-doc ts stays strictly
     # increasing (row id increases within a doc) while leaving >session-gap
-    # holes for sessionization tests.
+    # holes for sessionization tests. Minute cadence keeps ts within pandas'
+    # ns-timestamp range up to ~10^8 rows (hourly overflowed at ~5M rows).
     ts = F.timestamp_seconds(
         F.lit(1704067200)  # 2024-01-01T00:00:00Z
-        + rid * 3600
-        + F.floor(rid / 50) * 21600
+        + rid * 60
+        + F.floor(rid / 50) * 3600
     )
     return df.select(
         F.format_string("doc_%06d", doc_idx).alias("doc_id"),
