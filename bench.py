@@ -46,52 +46,40 @@ def _force(df) -> int:
 
 
 def headline_pipeline(spark, sf_dir: str):
-    """§3.2 dataflow: as-of join -> sliding windows -> cyclical conditions ->
-    zero context -> Arrow encoder forward. Returns (n_sequences, seconds)."""
+    """§3.2 dataflow on the scale path: skew-adaptive as-of join -> FUSED
+    window build + cyclical conditioning + Arrow encoder forward (windows
+    exist only as NumPy views). Returns (n_sequences, seconds)."""
     from pyspark.sql import functions as F
 
-    from feature_extractor_spark.encoder import encode_stage, init_weights
-    from feature_extractor_spark.functions.conditions import (
-        cyclical_datetime_features,
-        zero_context,
-    )
+    from feature_extractor_spark.encoder import init_weights
     from feature_extractor_spark.operators.asof import asof_join
-    from feature_extractor_spark.operators.windows import sliding_windows
+    from feature_extractor_spark.operators.fused import windowed_encode
+    from feature_extractor_spark.operators.skew import detect_heavy_hitters
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id", "ts", "value", "event_type"
+        F.col("user_id").cast("string").alias("doc_id"), "ts", "value", "event_type"
     )
     right = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("value").alias("last_purchase_value")
+        "doc_id", "ts", F.col("value").alias("last_purchase_value")
     )
     W = 16
+    heavy = detect_heavy_hitters(ev, "doc_id", threshold_share=0.02)
     t0 = time.time()
-    joined = asof_join(ev, right, on="ts", by="user_id").na.fill(
-        {"last_purchase_value": 0.0}
-    )
-    win = sliding_windows(
-        joined.withColumn(
-            "fv",
-            F.array(F.col("value"), F.col("last_purchase_value")),
-        ),
-        "user_id",
-        "ts",
-        ["fv"],
-        W,
-    )
-    win = cyclical_datetime_features(win)
-    win = zero_context(win, 4)
-    cond = [c for c in win.columns if c.startswith(("sin_", "cos_"))]
+    joined = asof_join(
+        ev.select("doc_id", "ts", "value"), right, on="ts", by="doc_id",
+        strategy="auto", heavy_keys=heavy,
+    ).na.fill({"last_purchase_value": 0.0})
     weights = init_weights(
         window_size=W, n_features=2, rnn_hidden_dim=4,
-        conditioning_dim=len(cond), latent_dim=16,
+        conditioning_dim=10, latent_dim=16,
     )
-    # window col is array<array<double>> (W x 2)
-    z = encode_stage(win, weights, window_col="window", cond_cols=cond,
-                     keep_cols=["user_id", "ts"])
+    z = windowed_encode(
+        joined, "doc_id", "ts", ["value", "last_purchase_value"], None, W,
+        weights, heavy_keys=heavy,
+    )
     _force(z)
     dt = time.time() - t0
-    n = win.count()
+    n = z.count()
     return n, dt
 
 

@@ -187,4 +187,12 @@ def windowed_encode(
             }
         )
 
+    # explicit repartition: AQE coalesces by SHUFFLE BYTES (64MB advisory),
+    # but this stage's cost is W^2 encoder compute per row, not bytes — at
+    # W=144 AQE squeezed 1M rows into 19 tasks and idled 40% of the cores
+    # behind a 29s straggler. A user repartition on the group keys both
+    # satisfies the groupBy distribution (no second exchange) and is exempt
+    # from AQE coalescing.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism * 8
+    both = both.repartition(n_parts, F.col(entity_col), F.col("__chunk"))
     return both.groupBy(entity_col, "__chunk").applyInPandas(per_group, schema)

@@ -976,3 +976,20 @@ def u2_decoder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = encode_stage(win, enc_w, cond_cols=[], keep_cols=["user_id", "ts"])
     dec_w = init_decoder_weights(latent_dim=8, n_features=1)
     return decode_stage(z, dec_w, keep_cols=["user_id", "ts"])
+
+
+@_q("fused_windowed_encode")  # NN forward -> rows-only; parity in tests/test_fused.py
+def fused_windowed_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-path fused operator (operators/fused.py): one raw-row
+    shuffle, windows as zero-copy NumPy views, in-stage conditioning."""
+    from feature_extractor_spark.encoder import init_weights
+    from feature_extractor_spark.operators.fused import windowed_encode
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("doc_id"), "ts", "value"
+    )
+    weights = init_weights(
+        window_size=8, n_features=1, rnn_hidden_dim=4,
+        conditioning_dim=10, latent_dim=8,
+    )
+    return windowed_encode(ev, "doc_id", "ts", ["value"], None, 8, weights)

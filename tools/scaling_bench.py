@@ -68,16 +68,19 @@ def pipeline(spark, heavy=None):
     ).na.fill({"aux": 0.0})
     # fused window+encode: windows exist only as NumPy views inside the
     # Arrow stage — no W-times array amplification through JVM or shuffle
+    # d_model=32: closer to the reference encoder's compute density (its
+    # vae_small is MHA + conv stack + BiLSTM per window — far heavier than
+    # a d=16 sketch)
     weights = init_weights(
         window_size=W, n_features=3, rnn_hidden_dim=4,
-        conditioning_dim=10, latent_dim=16,
+        conditioning_dim=10, latent_dim=16, d_model=32,
     )
     # cond_cols=None: cyclical conditioning computed in-stage from ts
     return windowed_encode(
         joined, "doc_id", "ts", ["f_len", "f_mean_tok", "aux"], None, W, weights,
         # chunk ~ the light entities' group size: a heavy chunk bigger than
         # the average task creates a straggler tail (measured 40% idle)
-        rows_per_chunk=2048, rn_ts_chunk_seconds=6 * 3600, heavy_keys=heavy,
+        rows_per_chunk=1024, rn_ts_chunk_seconds=6 * 3600, heavy_keys=heavy,
     )
 
 
@@ -107,7 +110,16 @@ def main() -> None:
         pipeline(spark, heavy).write.format("noop").mode("overwrite").save()
         walls.append(time.time() - t0)
     wall = min(walls)
-    n_seq = pipeline(spark, heavy).count()
+    # analytic sequence count (windows per doc = max(n_i - W + 1, 0)):
+    # counting via the pipeline would re-run the whole encoder stage
+    n_seq = (
+        spark.read.parquet(DATA_DIR)
+        .groupBy("doc_id")
+        .count()
+        .select(F.greatest(F.col("count") - (W - 1), F.lit(0)).alias("w"))
+        .agg(F.sum("w"))
+        .first()[0]
+    )
     print(
         json.dumps(
             {
