@@ -59,12 +59,17 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.6,
-    max_df_ratio: float | None = None,
+    max_df_ratio: float | None = 0.5,
 ) -> DataFrame:
     """Exact word-set Jaccard similarity for all pairs sharing >=1 token.
 
     ``max_df_ratio`` drops tokens present in more than that share of docs
-    (skew guard + noise filter) BEFORE the self-join.
+    (skew guard + noise filter) BEFORE the self-join. ON BY DEFAULT (0.5):
+    a token in >half the corpus makes the token equi-join quadratic in the
+    worst partition — the one shape that cannot survive 100x scale. Pass
+    None explicitly to disable (exact textbook Jaccard over all tokens).
+    Set sizes are computed AFTER the filter, so jaccard stays a true
+    Jaccard over the filtered token sets.
     Returns (id_a, id_b, inter, size_a, size_b, jaccard) with id_a < id_b.
     """
     toks = _doc_tokens(df, id_col, text_col)

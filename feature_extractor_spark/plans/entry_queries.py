@@ -59,6 +59,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _array_probes(col: str, prefix: str) -> list:
+    """Scalar projections of an array<float> column so the driver's
+    canonicalizer (pandas factorize -> hash) can handle the result: lists
+    are unhashable, so contract queries must never return raw arrays.
+    Full-array parity stays in pytest (allclose)."""
+    a = F.col(col)
+    return [
+        F.size(a).alias(f"{prefix}_dim"),
+        F.round(
+            F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double")), 4
+        ).alias(f"{prefix}_checksum"),
+        F.round(F.element_at(a, 1).cast("double"), 5).alias(f"{prefix}_first"),
+        F.round(F.element_at(a, -1).cast("double"), 5).alias(f"{prefix}_last"),
+    ]
+
+
 # ---------------------------------------------------------------------------
 # Relational core (scan/filter/agg/join — Catalyst-planned, SURVEY §2.1/2.4)
 
@@ -436,26 +452,32 @@ def j3_asof_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p4_cyclical_features",
     """
     SELECT event_id,
-           round(sin(2 * pi() * hour(ts) / 24), 6)                        AS sin_hour,
-           round(cos(2 * pi() * hour(ts) / 24), 6)                        AS cos_hour,
-           round(sin(2 * pi() * ((dayofweek(ts) + 6) % 7) / 7), 6)        AS sin_dow,
-           round(cos(2 * pi() * ((dayofweek(ts) + 6) % 7) / 7), 6)        AS cos_dow,
-           round(sin(2 * pi() * day(ts) / 31), 6)                         AS sin_dom,
-           round(cos(2 * pi() * day(ts) / 31), 6)                         AS cos_dom,
-           round(sin(2 * pi() * month(ts) / 12), 6)                       AS sin_month,
-           round(cos(2 * pi() * month(ts) / 12), 6)                       AS cos_month,
-           round(sin(2 * pi() * dayofyear(ts) / 366), 6)                  AS sin_doy,
-           round(cos(2 * pi() * dayofyear(ts) / 366), 6)                  AS cos_doy
+           sin(2 * pi() * hour(ts) / 24)                        AS sin_hour,
+           cos(2 * pi() * hour(ts) / 24)                        AS cos_hour,
+           sin(2 * pi() * ((dayofweek(ts) + 6) % 7) / 7)        AS sin_dow,
+           cos(2 * pi() * ((dayofweek(ts) + 6) % 7) / 7)        AS cos_dow,
+           sin(2 * pi() * day(ts) / 31)                         AS sin_dom,
+           cos(2 * pi() * day(ts) / 31)                         AS cos_dom,
+           sin(2 * pi() * month(ts) / 12)                       AS sin_month,
+           cos(2 * pi() * month(ts) / 12)                       AS cos_month,
+           sin(2 * pi() * dayofyear(ts) / 366)                  AS sin_doy,
+           cos(2 * pi() * dayofyear(ts) / 366)                  AS cos_doy
     FROM events
     """,
 )
 def p4_cyclical_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4: the reference's 10 cyclical datetime conditioning features
-    (app/data_processor.py:41-65), weekday in pandas convention."""
+    (app/data_processor.py:41-65), weekday in pandas convention.
+
+    NO rounding on either side: sin/cos of identical integer inputs match
+    bit-for-bit across engines, while round() itself diverges on values
+    whose shortest decimal repr ends in 5 at the target digit (Spark rounds
+    the shortest repr, DuckDB rounds numerically) — same treatment as
+    atr_14 in w7_rolling_indicators."""
     ev = _t(spark, sf_dir, "events").select("event_id", "ts")
     out = cyclical_datetime_features(ev)
     cols = [c for c in out.columns if c.startswith(("sin_", "cos_"))]
-    return out.select("event_id", *[F.round(F.col(c), 6).alias(c) for c in cols])
+    return out.select("event_id", *cols)
 
 
 @_q(
@@ -536,10 +558,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS token
       FROM documents
     ), toks2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
-    sizes AS (SELECT doc_id, count(*)::BIGINT AS set_size FROM toks2 GROUP BY doc_id),
+    ndocs AS (SELECT count(*) AS n FROM documents),
+    dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks2 GROUP BY token),
+    kept AS (
+      SELECT t.doc_id, t.token
+      FROM toks2 t JOIN dfreq d USING (token), ndocs
+      WHERE d.df <= 0.5 * ndocs.n
+    ),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS set_size FROM kept GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter
-      FROM toks2 a JOIN toks2 b USING (token)
+      FROM kept a JOIN kept b USING (token)
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
@@ -552,9 +581,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram(1) Jaccard near-dup pairs via token equi-join."""
+    """Exact n-gram(1) Jaccard near-dup pairs via token equi-join, WITH the
+    default document-frequency skew guard active (max_df_ratio=0.5) — the
+    measured path must be the scale-safe path."""
     docs = _t(spark, sf_dir, "documents")
-    out = jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+    out = jaccard_pairs(docs, "doc_id", "text", threshold=0.8, max_df_ratio=0.5)
     return out.withColumn("jaccard", F.round(F.col("jaccard"), 6))
 
 
@@ -775,9 +806,12 @@ def encoder_latents(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_size=8, n_features=1, rnn_hidden_dim=4,
         conditioning_dim=len(cond), latent_dim=8,
     )
-    return encode_stage(
+    z = encode_stage(
         win, weights, cond_cols=cond, keep_cols=["user_id", "ts"]
     )
+    # scalar probes, not the raw array: the driver canonicalizer can't hash
+    # lists; full-vector parity lives in tests/test_encoder.py
+    return z.select("user_id", "ts", *_array_probes("z_mean", "z"))
 
 
 @_q("multimodal_features")  # binary decode stub -> rows-only check
@@ -790,7 +824,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = synth_media(spark, n_rows=256)
-    return decode_features(media, feature_dim=8, fake=True)
+    out = decode_features(media, feature_dim=8, fake=True)
+    return out.select("media_id", *_array_probes("features", "feat"))
 
 
 def flagship_entry(spark: SparkSession) -> DataFrame:
@@ -975,7 +1010,8 @@ def u2_decoder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                          conditioning_dim=0, latent_dim=8)
     z = encode_stage(win, enc_w, cond_cols=[], keep_cols=["user_id", "ts"])
     dec_w = init_decoder_weights(latent_dim=8, n_features=1)
-    return decode_stage(z, dec_w, keep_cols=["user_id", "ts"])
+    rec = decode_stage(z, dec_w, keep_cols=["user_id", "ts"])
+    return rec.select("user_id", "ts", *_array_probes("reconstruction", "rec"))
 
 
 @_q("fused_windowed_encode")  # NN forward -> rows-only; parity in tests/test_fused.py
@@ -992,4 +1028,5 @@ def fused_windowed_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_size=8, n_features=1, rnn_hidden_dim=4,
         conditioning_dim=10, latent_dim=8,
     )
-    return windowed_encode(ev, "doc_id", "ts", ["value"], None, 8, weights)
+    z = windowed_encode(ev, "doc_id", "ts", ["value"], None, 8, weights)
+    return z.select("doc_id", "ts", *_array_probes("z_mean", "z"))

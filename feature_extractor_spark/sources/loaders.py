@@ -56,8 +56,13 @@ def load_csv(
         if c == ts_col:
             continue
         if coerce_numeric:
-            # to_numeric(errors='coerce').fillna(0): failed cast -> null -> 0.0
-            cols.append(F.coalesce(F.col(c).cast("double"), F.lit(0.0)).alias(c))
+            # to_numeric(errors='coerce').fillna(0): failed cast -> null -> 0.0.
+            # try_cast, not cast: Spark 4 runs ANSI mode by default, where
+            # cast('double') THROWS CAST_INVALID_INPUT on non-numeric cells
+            # instead of yielding null.
+            cols.append(
+                F.coalesce(F.col(c).try_cast("double"), F.lit(0.0)).alias(c)
+            )
         else:
             cols.append(F.col(c))
     return df.select(*cols)

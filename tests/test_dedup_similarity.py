@@ -35,7 +35,9 @@ def test_exact_dedup(spark):
 
 
 def test_jaccard_pairs_exact_values(spark):
-    out = jaccard_pairs(_docs(spark), threshold=0.5).collect()
+    # max_df_ratio=None: textbook Jaccard over ALL tokens (this corpus is
+    # tiny, so most tokens exceed any df cap)
+    out = jaccard_pairs(_docs(spark), threshold=0.5, max_df_ratio=None).collect()
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
     # docs 1-2 identical token sets -> jaccard 1.0
     assert pairs[(1, 2)] == 1.0
@@ -44,6 +46,25 @@ def test_jaccard_pairs_exact_values(spark):
     assert abs(pairs[(1, 4)] - 7 / 9) < 1e-12
     # 5 vs 6: doc 6 adds "process" -> 6 shared / 7 union
     assert abs(pairs[(5, 6)] - 6 / 7) < 1e-12
+
+
+def test_jaccard_pairs_df_guard(spark):
+    """Default skew guard: tokens in > max_df_ratio of docs are dropped
+    BEFORE the self-join, and set sizes reflect the filtered sets."""
+    rows = [
+        (1, "common alpha beta"),
+        (2, "common alpha gamma"),
+        (3, "common delta epsilon"),
+        (4, "common zeta eta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # 'common' has df=4/4 > 0.5 -> dropped; 'alpha' df=2/4 <= 0.5 -> kept
+    out = jaccard_pairs(docs, threshold=0.1, max_df_ratio=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in out}
+    assert set(pairs) == {(1, 2)}  # only the alpha-sharing pair survives
+    r = pairs[(1, 2)]
+    assert r["size_a"] == 2 and r["size_b"] == 2  # sizes exclude 'common'
+    assert abs(r["jaccard"] - 1 / 3) < 1e-12
 
 
 def test_minhash_lsh_finds_high_jaccard_pairs(spark):
