@@ -1,0 +1,402 @@
+"""Plugin registry + faithful NumPy forward graphs (SURVEY.md §2.9 U1-U3, U5).
+
+The reference exposes its encoder/decoder architectures as named plugins
+(/root/reference/setup.py:11-32, app/plugin_loader.py:12-48). This module is
+the engine-side registry: the same names map to NumPy inference graphs that
+reproduce each plugin's Keras layer stack exactly (layer math in layers.py).
+TensorFlow isn't in this container, so weights are seeded (deterministic
+PCG64), reproducing the ARCHITECTURE, not a particular trained model — the
+parity target is batch-invariance + allclose against the same graph run
+single-process, the reference's own save/load test standard
+(encoder_plugin_vae_small.py:322).
+
+Registered names and their reference source:
+
+- ``vae_small`` — the CVAE per-step inference network
+  (encoder_plugin_vae_small.py:110-219): RepeatVector(h)+RepeatVector(cond)
+  concat -> concatenated sin/cos positional encoding (:15-28) -> 2-head
+  MultiHeadAttention (key_dim=d//2) + residual + LayerNorm (:141-157) ->
+  4x [Conv1D(k=3, stride=2, 'same') + LeakyReLU(0.2)] with halving filters
+  128->64->32->16 (:162-178) -> BatchNormalization (:181) ->
+  Bidirectional(LSTM(64, return_sequences)) (:183-191) -> TimeDistributed
+  Dense heads z_mean/z_log_var (:201-210). Latents are SEQUENCES shaped
+  (B, W/2^4, latent); inference uses z_mean (app/data_processor.py:662-671).
+- ``ann`` / ``default`` — per-channel branches: Flatten -> 2x Dense(units,
+  tanh) -> Reshape(units, 1), channel concat (encoder_plugin_ann.py:86-117).
+- ``cnn`` — Conv1D(128, k=3, s=2, 'same', linear) -> Conv1D(64, k=3, s=2,
+  'same', tanh) (encoder_plugin_cnn.py:88-117).
+- ``vae`` — same two-conv stack as cnn (encoder_plugin_vae.py:85-110);
+  separate seed stream.
+- ``lstm`` — pos-enc -> 2-head MHA + residual + LayerNorm -> AvgPool1D(3,2,
+  'same') -> BiLSTM(32) -> BiLSTM(32) -> AvgPool1D(3,2,'same')
+  (encoder_plugin_lstm.py:110-160).
+- ``transformer`` — pos-enc -> 2-head MHA + residual + LayerNorm ->
+  Conv1D(128,3,2,'same',tanh) -> Conv1D(64,3,2,'same',tanh)
+  (encoder_plugin_transformer.py:110-165).
+
+``rnn`` and ``cnn_signed`` are declared in the reference's setup.py but the
+plugin modules do not exist in the repo (dangling entry points) — requesting
+them raises KeyError, mirroring what the reference itself would do.
+
+Every forward has the uniform signature ``forward(x, h, cond, weights) ->
+(B, D) float32``; legacy AE plugins (ann/cnn/lstm/transformer/vae) take only
+the window and ignore h/cond, exactly like the reference's legacy
+``Plugin.encode(data)``. Sequence outputs are flattened row-major for Arrow
+transport; ``out_shape(weights)`` gives the logical (T', D') shape back.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from feature_extractor_spark.encoder.layers import (
+    DTYPE,
+    avg_pool1d_same,
+    batch_norm_inference,
+    bilstm,
+    bilstm_weights,
+    conv1d_same,
+    conv1d_transpose_same,
+    dense,
+    glorot,
+    he_normal,
+    layer_norm,
+    leaky_relu,
+    mha,
+    mha_weights,
+    positional_encoding_concat,
+)
+
+
+def _ceil_div(n: int, s: int) -> int:
+    return -(-n // s)
+
+
+# ---------------------------------------------------------------------------
+# vae_small (the reference's production CVAE encoder)
+
+
+def init_vae_small(
+    window_size: int,
+    n_features: int,
+    rnn_hidden_dim: int = 4,
+    conditioning_dim: int = 10,
+    latent_dim: int = 8,
+    initial_conv_filters: int = 128,
+    num_conv_layers: int = 4,
+    min_conv_filters: int = 16,
+    lstm_units: int = 64,
+    seed: int = 1234,
+) -> dict[str, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    d = n_features + rnn_hidden_dim + conditioning_dim
+    w: dict[str, np.ndarray] = {}
+    w.update(mha_weights(rng, d, heads=2, key_dim=max(1, d // 2), prefix="mha_"))
+    w["ln_g"] = np.ones(d, dtype=DTYPE)
+    w["ln_b"] = np.zeros(d, dtype=DTYPE)
+    cin, filters, t = d, initial_conv_filters, window_size
+    for i in range(num_conv_layers):
+        w[f"conv{i}_k"] = he_normal(rng, 3, cin, filters)
+        w[f"conv{i}_b"] = np.zeros(filters, dtype=DTYPE)
+        cin, t = filters, _ceil_div(t, 2)
+        filters = max(min_conv_filters, filters // 2)
+    # BatchNorm at Keras init values (inference uses MOVING stats)
+    w["bn_g"] = np.ones(cin, dtype=DTYPE)
+    w["bn_b"] = np.zeros(cin, dtype=DTYPE)
+    w["bn_mean"] = np.zeros(cin, dtype=DTYPE)
+    w["bn_var"] = np.ones(cin, dtype=DTYPE)
+    w.update(bilstm_weights(rng, cin, lstm_units, prefix="lstm_"))
+    w["zmean_k"] = glorot(rng, 2 * lstm_units, latent_dim)
+    w["zmean_b"] = np.zeros(latent_dim, dtype=DTYPE)
+    w["zlogvar_k"] = glorot(rng, 2 * lstm_units, latent_dim)
+    w["zlogvar_b"] = np.zeros(latent_dim, dtype=DTYPE)
+    w["meta"] = np.array(
+        [window_size, n_features, rnn_hidden_dim, conditioning_dim, latent_dim,
+         num_conv_layers, t],  # t = output temporal dim W/2^N
+        dtype=np.int64,
+    )
+    return w
+
+
+def vae_small_seq(
+    x: np.ndarray, h: np.ndarray, cond: np.ndarray, w: dict[str, np.ndarray]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Full faithful forward: (z_mean_seq, z_log_var_seq), each
+    (B, W/2^N, latent)."""
+    x = x.astype(DTYPE, copy=False)
+    B, W, _ = x.shape
+    n_conv = int(w["meta"][5])
+    h_rep = np.repeat(h.astype(DTYPE)[:, None, :], W, axis=1)
+    c_rep = np.repeat(cond.astype(DTYPE)[:, None, :], W, axis=1)
+    z = np.concatenate([x, h_rep, c_rep], axis=-1)  # (B, W, d)
+
+    z = z + positional_encoding_concat(W, z.shape[-1])[None, :, :]
+    z = layer_norm(z + mha(z, w, prefix="mha_"), w["ln_g"], w["ln_b"])
+    for i in range(n_conv):
+        z = conv1d_same(z, w[f"conv{i}_k"], w[f"conv{i}_b"], stride=2)
+        z = leaky_relu(z, 0.2)
+    z = batch_norm_inference(z, w["bn_g"], w["bn_b"], w["bn_mean"], w["bn_var"])
+    z = bilstm(z, w, prefix="lstm_")  # (B, T', 2u)
+    z_mean = dense(z, w["zmean_k"], w["zmean_b"])
+    z_log_var = dense(z, w["zlogvar_k"], w["zlogvar_b"])
+    return z_mean, z_log_var
+
+
+def vae_small_forward(x, h, cond, w) -> np.ndarray:
+    """Registry-uniform forward: z_mean sequence flattened to (B, T'*L)."""
+    z_mean, _ = vae_small_seq(x, h, cond, w)
+    return np.ascontiguousarray(z_mean).reshape(len(z_mean), -1)
+
+
+def init_vae_small_decoder(
+    window_size: int,
+    latent_dim: int,
+    output_feature_dim: int,
+    rnn_hidden_dim: int = 4,
+    conditioning_dim: int = 10,
+    initial_conv_filters: int = 128,
+    num_conv_layers: int = 4,
+    min_conv_filters: int = 16,
+    seed: int = 4321,
+) -> dict[str, np.ndarray]:
+    """Faithful vae_small decoder weights
+    (decoder_plugin_vae_small.py:81-240): ConvTranspose mirror of the
+    encoder conv stack (filters reversed), late pos-enc + 2-head MHA +
+    LayerNorm, 1x1 Conv projection, last-timestep output."""
+    rng = np.random.default_rng(seed)
+    enc_filters = []
+    f = initial_conv_filters
+    for i in range(num_conv_layers):
+        enc_filters.append(f)
+        if i < num_conv_layers - 1:
+            f = max(min_conv_filters, f // 2)
+    dec_filters = enc_filters[::-1]  # e.g. [16, 32, 64, 128]
+    t_in = window_size
+    for _ in range(num_conv_layers):
+        t_in //= 2
+    w: dict[str, np.ndarray] = {}
+    cin = latent_dim + rnn_hidden_dim + conditioning_dim
+    for i, filters in enumerate(dec_filters):
+        w[f"convt{i}_k"] = he_normal(rng, 3, filters, cin)  # (k, Cout, Cin)
+        w[f"convt{i}_b"] = np.zeros(filters, dtype=DTYPE)
+        cin = filters
+    d = dec_filters[-1]  # enc_initial_filters
+    w.update(mha_weights(rng, d, heads=2, key_dim=max(1, d // 2), prefix="mha_"))
+    w["ln_g"] = np.ones(d, dtype=DTYPE)
+    w["ln_b"] = np.zeros(d, dtype=DTYPE)
+    w["proj_k"] = he_normal(rng, 1, d, output_feature_dim)
+    w["proj_b"] = np.zeros(output_feature_dim, dtype=DTYPE)
+    w["meta"] = np.array(
+        [window_size, output_feature_dim, rnn_hidden_dim, conditioning_dim,
+         latent_dim, num_conv_layers, t_in],
+        dtype=np.int64,
+    )
+    return w
+
+
+def vae_small_decode(
+    z_seq: np.ndarray, h: np.ndarray, cond: np.ndarray, w: dict[str, np.ndarray]
+) -> np.ndarray:
+    """(B, T', L) latent sequence -> (B, F_out) last-step reconstruction."""
+    z_seq = z_seq.astype(DTYPE, copy=False)
+    B, T, _ = z_seq.shape
+    n_conv = int(w["meta"][5])
+    h_rep = np.repeat(h.astype(DTYPE)[:, None, :], T, axis=1)
+    c_rep = np.repeat(cond.astype(DTYPE)[:, None, :], T, axis=1)
+    x = np.concatenate([z_seq, h_rep, c_rep], axis=-1)
+    for i in range(n_conv):
+        x = conv1d_transpose_same(x, w[f"convt{i}_k"], w[f"convt{i}_b"], stride=2)
+        x = leaky_relu(x, 0.2)
+    x = x + positional_encoding_concat(x.shape[1], x.shape[2])[None, :, :]
+    x = layer_norm(x + mha(x, w, prefix="mha_"), w["ln_g"], w["ln_b"])
+    x = conv1d_same(x, w["proj_k"], w["proj_b"], stride=1)  # 1x1, linear
+    return np.ascontiguousarray(x[:, -1, :])
+
+
+# ---------------------------------------------------------------------------
+# Legacy AE encoders (window-only input)
+
+
+def init_ann(
+    window_size: int,
+    n_features: int,
+    initial_layer_size: int = 128,
+    intermediate_layers: int = 2,
+    seed: int = 11,
+    **_,
+) -> dict[str, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    w: dict[str, np.ndarray] = {}
+    for c in range(n_features):
+        d_in = window_size
+        for i in range(intermediate_layers):
+            w[f"br{c}_d{i}_k"] = glorot(rng, d_in, initial_layer_size)
+            w[f"br{c}_d{i}_b"] = np.zeros(initial_layer_size, dtype=DTYPE)
+            d_in = initial_layer_size
+    # output is (B, units, C): T' = units (meta[6]), D' = n_features (meta[4])
+    w["meta"] = np.array(
+        [window_size, n_features, 0, 0, n_features,
+         intermediate_layers, initial_layer_size],
+        dtype=np.int64,
+    )
+    return w
+
+
+def ann_forward(x, h, cond, w) -> np.ndarray:
+    """Per-channel Flatten -> Dense stack -> channel concat
+    (encoder_plugin_ann.py:86-117). Output (B, units, C) flattened."""
+    x = x.astype(DTYPE, copy=False)
+    B, W, C = x.shape
+    n_layers = int(w["meta"][5])
+    branches = []
+    for c in range(C):
+        z = x[:, :, c]  # Flatten of (W, 1) slice
+        for i in range(n_layers):
+            z = dense(z, w[f"br{c}_d{i}_k"], w[f"br{c}_d{i}_b"], act="tanh")
+        branches.append(z[:, :, None])  # Reshape (units, 1)
+    out = np.concatenate(branches, axis=2)  # (B, units, C)
+    return np.ascontiguousarray(out).reshape(B, -1)
+
+
+def _init_two_conv(window_size, n_features, merged_units, branch_units, seed):
+    rng = np.random.default_rng(seed)
+    w = {
+        "conv0_k": glorot(rng, 3, n_features, merged_units),
+        "conv0_b": np.zeros(merged_units, dtype=DTYPE),
+        "conv1_k": glorot(rng, 3, merged_units, branch_units),
+        "conv1_b": np.zeros(branch_units, dtype=DTYPE),
+    }
+    t_out = _ceil_div(_ceil_div(window_size, 2), 2)
+    w["meta"] = np.array(
+        [window_size, n_features, 0, 0, branch_units, 2, t_out], dtype=np.int64
+    )
+    return w
+
+
+def init_cnn(window_size, n_features, initial_layer_size: int = 128,
+             layer_size_divisor: int = 2, seed: int = 22, **_):
+    return _init_two_conv(
+        window_size, n_features, initial_layer_size,
+        initial_layer_size // layer_size_divisor, seed,
+    )
+
+
+def cnn_forward(x, h, cond, w) -> np.ndarray:
+    """Conv1D(128,3,2,'same',linear) -> Conv1D(64,3,2,'same',tanh)
+    (encoder_plugin_cnn.py:88-117). Output (B, ceil(W/4), 64) flattened."""
+    x = x.astype(DTYPE, copy=False)
+    z = conv1d_same(x, w["conv0_k"], w["conv0_b"], stride=2, act="linear")
+    z = conv1d_same(z, w["conv1_k"], w["conv1_b"], stride=2, act="tanh")
+    return np.ascontiguousarray(z).reshape(len(z), -1)
+
+
+def init_vae(window_size, n_features, initial_layer_size: int = 128,
+             layer_size_divisor: int = 2, seed: int = 33, **_):
+    """Same two-conv stack as cnn (encoder_plugin_vae.py:85-110)."""
+    return _init_two_conv(
+        window_size, n_features, initial_layer_size,
+        initial_layer_size // layer_size_divisor, seed,
+    )
+
+
+def _init_attn_front(rng, d):
+    w = mha_weights(rng, d, heads=2, key_dim=max(1, d // 2), prefix="mha_")
+    w["ln_g"] = np.ones(d, dtype=DTYPE)
+    w["ln_b"] = np.zeros(d, dtype=DTYPE)
+    return w
+
+
+def _attn_front(x, w):
+    """pos-enc -> 2-head MHA -> residual -> LayerNorm (shared front of the
+    lstm and transformer plugins)."""
+    z = x + positional_encoding_concat(x.shape[1], x.shape[2])[None, :, :]
+    return layer_norm(z + mha(z, w, prefix="mha_"), w["ln_g"], w["ln_b"])
+
+
+def init_lstm(window_size, n_features, initial_layer_size: int = 128,
+              layer_size_divisor: int = 2, seed: int = 44, **_):
+    rng = np.random.default_rng(seed)
+    lstm_units = initial_layer_size // layer_size_divisor // layer_size_divisor
+    w = _init_attn_front(rng, n_features)
+    w.update(bilstm_weights(rng, n_features, lstm_units, prefix="l1_"))
+    w.update(bilstm_weights(rng, 2 * lstm_units, lstm_units, prefix="l2_"))
+    t = _ceil_div(_ceil_div(window_size, 2), 2)
+    w["meta"] = np.array(
+        [window_size, n_features, 0, 0, 2 * lstm_units, 2, t], dtype=np.int64
+    )
+    return w
+
+
+def lstm_forward(x, h, cond, w) -> np.ndarray:
+    """pos-enc -> MHA+LN -> AvgPool(3,2,'same') -> BiLSTM -> BiLSTM ->
+    AvgPool(3,2,'same') (encoder_plugin_lstm.py:110-160)."""
+    x = x.astype(DTYPE, copy=False)
+    z = _attn_front(x, w)
+    z = avg_pool1d_same(z, pool=3, stride=2)
+    z = bilstm(z, w, prefix="l1_")
+    z = bilstm(z, w, prefix="l2_")
+    z = avg_pool1d_same(z, pool=3, stride=2)
+    return np.ascontiguousarray(z).reshape(len(z), -1)
+
+
+def init_transformer(window_size, n_features, initial_layer_size: int = 128,
+                     layer_size_divisor: int = 2, seed: int = 55, **_):
+    rng = np.random.default_rng(seed)
+    merged = initial_layer_size
+    branch = merged // layer_size_divisor
+    w = _init_attn_front(rng, n_features)
+    w["conv0_k"] = glorot(rng, 3, n_features, merged)
+    w["conv0_b"] = np.zeros(merged, dtype=DTYPE)
+    w["conv1_k"] = glorot(rng, 3, merged, branch)
+    w["conv1_b"] = np.zeros(branch, dtype=DTYPE)
+    t = _ceil_div(_ceil_div(window_size, 2), 2)
+    w["meta"] = np.array(
+        [window_size, n_features, 0, 0, branch, 2, t], dtype=np.int64
+    )
+    return w
+
+
+def transformer_forward(x, h, cond, w) -> np.ndarray:
+    """pos-enc -> MHA+LN -> Conv1D(128,3,2,'same',tanh) ->
+    Conv1D(64,3,2,'same',tanh) (encoder_plugin_transformer.py:110-165)."""
+    x = x.astype(DTYPE, copy=False)
+    z = _attn_front(x, w)
+    z = conv1d_same(z, w["conv0_k"], w["conv0_b"], stride=2, act="tanh")
+    z = conv1d_same(z, w["conv1_k"], w["conv1_b"], stride=2, act="tanh")
+    return np.ascontiguousarray(z).reshape(len(z), -1)
+
+
+# ---------------------------------------------------------------------------
+# Registry (U5) — the reference's entry-point names (setup.py:11-32)
+
+
+ENCODERS: dict[str, tuple] = {
+    # name -> (init_fn, forward_fn)
+    "default": (init_ann, ann_forward),  # setup.py maps default -> ann
+    "ann": (init_ann, ann_forward),
+    "cnn": (init_cnn, cnn_forward),
+    "vae": (init_vae, cnn_forward),
+    "lstm": (init_lstm, lstm_forward),
+    "transformer": (init_transformer, transformer_forward),
+    "vae_small": (init_vae_small, vae_small_forward),
+}
+
+_DANGLING = {"rnn", "cnn_signed"}  # declared in setup.py, module missing
+
+
+def get_encoder(name: str) -> tuple:
+    """Resolve a plugin by its reference entry-point name."""
+    if name in _DANGLING:
+        raise KeyError(
+            f"plugin {name!r} is a dangling entry point in the reference "
+            "(setup.py names it, the module does not exist)"
+        )
+    if name not in ENCODERS:
+        raise KeyError(f"unknown encoder plugin {name!r}; have {sorted(ENCODERS)}")
+    return ENCODERS[name]
+
+
+def out_shape(weights: dict[str, np.ndarray]) -> tuple[int, int]:
+    """Logical (T', D') shape of the flattened forward output."""
+    meta = weights["meta"]
+    return int(meta[6]), int(meta[4])

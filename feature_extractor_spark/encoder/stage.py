@@ -44,14 +44,22 @@ def encode_stage(
     out_col: str = "z_mean",
     keep_cols: list[str] | None = None,
     rebalance: bool = True,
+    plugin: str | None = None,
 ) -> DataFrame:
     """Run the encoder over window rows.
 
     - ``window_col``: array<array<float>> (W × F, oldest first)
-    - ``h_col``: array<float> recurrent context (zeros placeholder, P5)
+    - ``h_col``: array<float> recurrent context (zeros placeholder, P5);
+      optional — legacy AE plugins (ann/cnn/lstm/transformer) take only the
+      window, so a missing h_col feeds a zero-width context
     - ``cond_cols``: scalar double columns forming the conditioning vector
       (the 10 cyclical features, P4)
-    Output: input keep_cols + ``out_col`` array<float> latent vector.
+    - ``plugin``: reference plugin name resolved through the registry
+      (encoder/plugins.py, the setup.py entry-point names); None = the
+      compact default graph (forward.encoder_forward)
+    Output: input keep_cols + ``out_col`` array<float> latent vector
+    (sequence latents arrive flattened row-major; plugins.out_shape gives
+    the logical (T', D') back).
 
     ``rebalance``: window rows are self-contained, so the forward pass is
     embarrassingly parallel — but the upstream window build leaves rows
@@ -60,6 +68,14 @@ def encode_stage(
     costs one balanced shuffle and removes the skew (measured: required for
     local[8]->local[32] scaling on Zipf-skewed entities).
     """
+    if plugin is not None:
+        from feature_extractor_spark.encoder.plugins import get_encoder
+
+        forward_fn = get_encoder(plugin)[1]
+    else:
+        forward_fn = encoder_forward
+    have_h = h_col in df.columns
+
     keep = keep_cols or [c for c in df.columns if c not in (window_col, h_col)]
     if rebalance:
         df = df.repartition(df.sparkSession.sparkContext.defaultParallelism * 2)
@@ -88,16 +104,63 @@ def encode_stage(
             if pdf.empty:
                 continue
             x = _flat_windows_to_3d(pdf[window_col], n_features)
-            h = np.concatenate(pdf[h_col].to_numpy()).astype(
-                np.float32, copy=False
-            ).reshape(len(pdf), -1)
+            if have_h:
+                h = np.concatenate(pdf[h_col].to_numpy()).astype(
+                    np.float32, copy=False
+                ).reshape(len(pdf), -1)
+            else:
+                h = np.zeros((len(pdf), 0), dtype=np.float32)
             if cond_cols:
                 cond = pdf[cond_cols].to_numpy(dtype=np.float32)
             else:
                 cond = np.zeros((len(pdf), 0), dtype=np.float32)
-            z = encoder_forward(x, h, cond, w)
+            z = forward_fn(x, h, cond, w)
             out = pdf[keep].copy()
             out[out_col] = list(z)
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def decode_seq_stage(
+    df: DataFrame,
+    weights: dict[str, np.ndarray],
+    latent_col: str = "z_mean",
+    out_col: str = "reconstruction",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """U2 faithful vae_small decoder stage: flattened SEQUENCE latents
+    (T'*L per row, as emitted by encode_stage(plugin='vae_small')) ->
+    (B, F_out) last-step reconstruction (reference
+    decoder_plugin_vae_small.py:81-240). h/cond default to zeros (P5)."""
+    from feature_extractor_spark.encoder.plugins import vae_small_decode
+
+    keep = keep_cols or [c for c in df.columns if c != latent_col]
+    sc = df.sparkSession.sparkContext
+    bw = sc.broadcast(dict(weights))
+    schema = T.StructType(
+        [df.schema[c] for c in keep]
+        + [T.StructField(out_col, T.ArrayType(T.FloatType()), False)]
+    )
+    t_prime = int(weights["meta"][6])
+    latent = int(weights["meta"][4])
+    h_dim = int(weights["meta"][2])
+    c_dim = int(weights["meta"][3])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = bw.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            flat = np.concatenate(pdf[latent_col].to_numpy()).astype(
+                np.float32, copy=False
+            )
+            z = flat.reshape(len(pdf), t_prime, latent)
+            h = np.zeros((len(pdf), h_dim), dtype=np.float32)
+            cond = np.zeros((len(pdf), c_dim), dtype=np.float32)
+            x = vae_small_decode(z, h, cond, w)
+            out = pdf[keep].copy()
+            out[out_col] = list(x)
             yield out
 
     return df.mapInPandas(run, schema)

@@ -102,10 +102,14 @@ def _asof_auto(
         )
     if not heavy:
         return _asof_union_locf(left, right, on, by, value_cols, tolerance_seconds)
+    # null-keyed rows route to the light branch explicitly: a bare
+    # ~isin(heavy) evaluates to NULL for NULL keys, silently dropping them
+    # from BOTH branches (the plain paths keep them)
+    not_heavy = F.col(by).isNull() | ~F.col(by).isin(heavy)
     l_heavy = left.filter(F.col(by).isin(heavy))
     r_heavy = right.filter(F.col(by).isin(heavy))
-    l_light = left.filter(~F.col(by).isin(heavy))
-    r_light = right.filter(~F.col(by).isin(heavy))
+    l_light = left.filter(not_heavy)
+    r_light = right.filter(not_heavy)
     span = l_heavy.agg(
         epoch_seconds(F.min(on)).alias("lo"), epoch_seconds(F.max(on)).alias("hi")
     ).first()

@@ -118,7 +118,11 @@ def windowed_encode(
     src = df.select(entity_col, ts_col, *feature_cols, *(cond_cols or []))
 
     if heavy_keys is not None:
-        light = src.filter(~F.col(entity_col).isin(heavy_keys)).select(
+        # isNull() branch: ~isin is NULL for NULL entity keys, which would
+        # silently drop them from both branches
+        light = src.filter(
+            F.col(entity_col).isNull() | ~F.col(entity_col).isin(heavy_keys)
+        ).select(
             "*",
             F.lit(0).cast("long").alias("__rn"),
             F.lit(0).cast("long").alias("__chunk"),

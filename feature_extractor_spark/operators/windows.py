@@ -80,15 +80,19 @@ def sliding_windows_map_in_pandas(
     history but are not re-emitted). Avoids the W× row amplification that
     collect_list pushes through the shuffle.
 
-    Implementation note: rather than computing physical partition tails, we
-    key the range partitioning on a deterministic bucket of (entity) and
-    replicate the LAST W-1 rows of each (entity, bucket-chunk). Entities are
-    hash-bucketed whole (no entity straddles partitions), so no overlap rows
-    are needed at all — each partition holds complete entities; mapInPandas
-    slides within each entity independently. For entities too large for one
-    partition, fall back to ``sliding_windows`` (Spark's window operator
-    spills) — covered in tests.
+    Entities are hash-partitioned whole and the partition is sorted on
+    (entity, ts), so Arrow batches arrive entity-contiguous in time order.
+    Each batch is processed with one ``sliding_window_view`` per entity run
+    (zero-copy, no per-row Python); the trailing W-1 rows of the batch's
+    LAST entity are carried into the next batch as context, so an entity
+    spanning multiple Arrow batches (> maxRecordsPerBatch rows) loses no
+    windows. Carried rows contribute history only — a window ending at a
+    carried row needs W rows of context the carry cannot contain, so
+    nothing is ever emitted twice (parity under a tiny batch size is
+    tested). For entities too large for one partition use
+    ``sliding_windows_chunked``.
     """
+    import numpy as np
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -101,31 +105,47 @@ def sliding_windows_map_in_pandas(
         ]
     )
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    W = window_size
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None  # trailing rows of the last entity
         for pdf in batches:
             if pdf.empty:
                 continue
-            pdf = pdf.sort_values([entity_col, ts_col], kind="mergesort")
-            out_ent, out_ts, out_win = [], [], []
+            if carry is not None:
+                # only prepend if the batch continues the carried entity;
+                # otherwise that entity ended exactly at a batch boundary
+                if pdf[entity_col].iloc[0] == carry[entity_col].iloc[0]:
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            out_frames = []
             for _, g in pdf.groupby(entity_col, sort=False):
-                vals = g[value_col].to_list()
-                n = len(vals)
-                if n < window_size:
-                    continue
-                ents = g[entity_col].to_numpy()
-                tss = g[ts_col].to_numpy()
-                for i in range(window_size - 1, n):
-                    out_ent.append(ents[i])
-                    out_ts.append(tss[i])
-                    out_win.append(vals[i - window_size + 1 : i + 1])
-            yield pd.DataFrame(
-                {entity_col: out_ent, ts_col: out_ts, out_col: out_win}
-            )
+                n = len(g)
+                if n >= W:
+                    vals = g[value_col].to_numpy()
+                    wins = np.lib.stride_tricks.sliding_window_view(vals, W)
+                    out_frames.append(
+                        pd.DataFrame(
+                            {
+                                entity_col: g[entity_col].to_numpy()[W - 1 :],
+                                ts_col: g[ts_col].to_numpy()[W - 1 :],
+                                out_col: list(wins),
+                            }
+                        )
+                    )
+            # carry: up to W-1 trailing rows of the batch's last entity —
+            # enough history for every yet-unseen row of that entity (rows
+            # shorter than their full history keep ALL their rows via tail)
+            last_ent = pdf[entity_col].iloc[-1]
+            tail = pdf[pdf[entity_col] == last_ent].tail(W - 1)
+            carry = tail if len(tail) else None
+            if out_frames:
+                yield pd.concat(out_frames, ignore_index=True)
 
     return (
         df.select(entity_col, ts_col, value_col)
         .repartition(n_parts, entity_col)
+        .sortWithinPartitions(entity_col, ts_col)
         .mapInPandas(build, schema)
     )
 
@@ -271,7 +291,9 @@ def sliding_windows_auto(
     if not heavy:
         return sliding_windows(df, entity_col, ts_col, value_cols, window_size, out_col)
     d_heavy = df.filter(F.col(entity_col).isin(heavy))
-    d_light = df.filter(~F.col(entity_col).isin(heavy))
+    # isNull() branch: ~isin is NULL (not False) for NULL keys — without it
+    # null-keyed rows vanish from both branches
+    d_light = df.filter(F.col(entity_col).isNull() | ~F.col(entity_col).isin(heavy))
     ts_chunk = ts_chunk_seconds
     if ts_chunk is None:
         span = d_heavy.agg(

@@ -828,6 +828,86 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", *_array_probes("features", "feat"))
 
 
+@_q("encoder_vae_small_latents")  # NN forward -> rows-only (parity in pytest)
+def encoder_vae_small_latents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 faithful `vae_small` CVAE inference network (reference
+    encoder_plugin_vae_small.py:110-219): RepeatVector+concat -> pos-enc ->
+    2-head MHA + LayerNorm -> 4x strided Conv1D (halving filters) ->
+    BatchNorm -> BiLSTM -> TimeDistributed z_mean head; SEQUENCE latents
+    (B, W/2^4, latent) flattened for Arrow transport."""
+    from feature_extractor_spark.encoder import encode_stage, init_vae_small
+    from feature_extractor_spark.functions.conditions import zero_context
+
+    ev = _t(spark, sf_dir, "events")
+    win = sliding_windows(ev, "user_id", "ts", ["value"], 16)
+    win = cyclical_datetime_features(win)
+    win = zero_context(win, 4)
+    cond = [c for c in win.columns if c.startswith(("sin_", "cos_"))]
+    weights = init_vae_small(
+        window_size=16, n_features=1, rnn_hidden_dim=4,
+        conditioning_dim=len(cond), latent_dim=8,
+        initial_conv_filters=32, lstm_units=8,
+    )
+    z = encode_stage(
+        win, weights, cond_cols=cond, keep_cols=["user_id", "ts"],
+        plugin="vae_small",
+    )
+    return z.select("user_id", "ts", *_array_probes("z_mean", "z"))
+
+
+@_q("encoder_cnn_latents")  # NN forward -> rows-only (parity in pytest)
+def encoder_cnn_latents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 legacy `cnn` AE plugin through the registry (reference
+    encoder_plugin_cnn.py:88-117, setup.py entry-point name): two strided
+    'same' Conv1D layers, window-only input."""
+    from feature_extractor_spark.encoder import encode_stage
+    from feature_extractor_spark.encoder.plugins import get_encoder
+
+    ev = _t(spark, sf_dir, "events")
+    win = sliding_windows(ev, "user_id", "ts", ["value"], 8)
+    init, _ = get_encoder("cnn")
+    weights = init(8, 1, initial_layer_size=16)
+    z = encode_stage(
+        win, weights, cond_cols=[], keep_cols=["user_id", "ts"], plugin="cnn"
+    )
+    return z.select("user_id", "ts", *_array_probes("z_mean", "z"))
+
+
+@_q("vae_small_roundtrip")  # NN forwards -> rows-only (parity in pytest)
+def vae_small_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+U2 faithful round trip: vae_small encoder sequence latents ->
+    faithful vae_small decoder (ConvTranspose mirror + late MHA + 1x1 conv,
+    reference decoder_plugin_vae_small.py:81-240) -> last-step
+    reconstruction."""
+    import numpy as np  # noqa: F401 (stage closures)
+
+    from feature_extractor_spark.encoder import (
+        encode_stage,
+        init_vae_small,
+        init_vae_small_decoder,
+    )
+    from feature_extractor_spark.encoder.stage import decode_seq_stage
+    from feature_extractor_spark.functions.conditions import zero_context
+
+    ev = _t(spark, sf_dir, "events")
+    win = sliding_windows(ev, "user_id", "ts", ["value"], 16)
+    win = zero_context(win, 4)
+    enc_w = init_vae_small(
+        window_size=16, n_features=1, rnn_hidden_dim=4, conditioning_dim=0,
+        latent_dim=8, initial_conv_filters=32, lstm_units=8,
+    )
+    z = encode_stage(
+        win, enc_w, cond_cols=[], keep_cols=["user_id", "ts"],
+        plugin="vae_small",
+    )
+    dec_w = init_vae_small_decoder(
+        window_size=16, latent_dim=8, output_feature_dim=1,
+        rnn_hidden_dim=4, conditioning_dim=0, initial_conv_filters=32,
+    )
+    rec = decode_seq_stage(z, dec_w, keep_cols=["user_id", "ts"])
+    return rec.select("user_id", "ts", *_array_probes("reconstruction", "rec"))
+
+
 def flagship_entry(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: the full encoder pipeline at sf0.001."""
     return encoder_latents(spark, "/root/testdata/sf0.001")

@@ -135,9 +135,16 @@ def run_stage_with_resume(
         out = transform(df_slice)
         if unit_col not in out.columns:
             out = out.withColumn(unit_col, F.lit(unit))
-        n_rows = out.count()
+        # row metric via observe(): piggybacks on the write action, so the
+        # transform executes exactly ONCE per unit (a count() before the
+        # write re-ran the whole plan — 2x the most expensive stage at scale)
+        from pyspark.sql import Observation
+
+        obs = Observation(f"{stage_name}_{unit}_{run_id}")
+        out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
         # output first (idempotent dynamic-partition overwrite)...
         out.write.mode("overwrite").partitionBy(unit_col).parquet(output_dir)
+        n_rows = obs.get["rows"]
         stats = _partition_stats(output_dir, unit_col, [unit])
         # ...manifest second (commit point)
         log.append(

@@ -92,3 +92,21 @@ def test_asof_zero_temporal_leakage(spark):
     pb = b.orderBy("doc_id", "ts").toPandas()
     assert len(pa) == len(pb) > 0
     pd.testing.assert_frame_equal(pa, pb)
+
+
+def test_asof_auto_keeps_null_keys(spark):
+    """Null-keyed rows must survive the heavy/light split (a bare ~isin is
+    NULL for NULL keys, which silently dropped them from both branches)."""
+    t = dt.datetime(2024, 1, 1)
+    rows = [("a", t + dt.timedelta(hours=i), float(i)) for i in range(6)]
+    rows += [(None, t + dt.timedelta(hours=i), 100.0 + i) for i in range(3)]
+    left = spark.createDataFrame(rows, "doc_id string, ts timestamp, lval double")
+    right = spark.createDataFrame(
+        [("a", t + dt.timedelta(hours=2), 7.0)],
+        "doc_id string, ts timestamp, aux double",
+    )
+    got = asof_join(
+        left, right, on="ts", by="doc_id", strategy="auto", heavy_keys=["a"]
+    )
+    assert got.count() == 9  # 6 'a' rows + 3 null-keyed rows
+    assert got.filter("doc_id IS NULL").count() == 3

@@ -56,6 +56,29 @@ def test_kill_and_resume(spark, tmp_path):
     assert len(res2["skipped"]) == 10
 
 
+def test_transform_executes_once_per_unit(spark, tmp_path):
+    """The row metric rides the write action via observe(): a UDF call
+    counter proves each unit's plan ran exactly once (count()-then-write
+    executed everything twice)."""
+    from pyspark.sql import types as T
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf(T.DoubleType())
+    def counted(v):
+        acc.add(1)
+        return v * 2.0
+
+    def transform(df):
+        return df.withColumn("doubled", counted(F.col("value")))
+
+    run_stage_with_resume(
+        spark, "once", _input(spark), "bucket", transform,
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    assert acc.value == 1000  # one UDF call per input row, not 2000
+
+
 def test_lineage_metrics_recorded(spark, tmp_path):
     out_dir = str(tmp_path / "out")
     ckpt_dir = str(tmp_path / "ckpt")

@@ -70,6 +70,29 @@ def test_map_in_pandas_path_matches_collect_list(spark):
         assert list(x) == list(y)
 
 
+def test_map_in_pandas_cross_batch_carry(spark):
+    """An entity spanning multiple Arrow batches must lose no windows: with
+    maxRecordsPerBatch=50 and n=200 rows/entity, the naive per-batch pass
+    dropped W-1 windows per boundary (176 vs 194 at W=7)."""
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, "50")
+    try:
+        n, w = 200, 7
+        df = _series_df(spark, n=n, entities=("a", "b"))
+        got = (
+            sliding_windows_map_in_pandas(df, "doc_id", "ts", "value", w)
+            .orderBy("doc_id", "ts")
+            .toPandas()
+        )
+        assert len(got) == 2 * (n - w + 1)
+        exp = _oracle_windows(n, w)
+        got_a = got[got["doc_id"] == "a"]["window"].tolist()
+        assert [list(x) for x in got_a] == exp
+    finally:
+        spark.conf.set(conf, old)
+
+
 def test_last_step_is_point_in_time(spark):
     """P3 + zero-leakage: the target equals the value AT the window ts."""
     df = _series_df(spark, n=10, entities=("a",))
@@ -109,3 +132,20 @@ def test_lag_lead(spark):
     assert pd.isna(out["value_lag_1"].iloc[0])
     assert pd.isna(out["value_lag_2"].iloc[1])
     assert out["value_lead_1"].tolist()[:-1] == out["value"].tolist()[1:]
+
+
+def test_sliding_windows_auto_keeps_null_keys(spark):
+    """Null-entity rows take the light path instead of vanishing."""
+    import datetime as _dt
+    from feature_extractor_spark.operators.windows import sliding_windows_auto
+
+    t = _dt.datetime(2024, 1, 1)
+    rows = [("a", t + _dt.timedelta(hours=i), float(i)) for i in range(10)]
+    rows += [(None, t + _dt.timedelta(hours=i), 50.0 + i) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id string, ts timestamp, value double")
+    out = sliding_windows_auto(
+        df, "doc_id", "ts", ["value"], 3, heavy_keys=["a"], ts_chunk_seconds=3600
+    )
+    got = out.toPandas()
+    assert len(got[got["doc_id"].isna()]) == 5 - 3 + 1  # null entity windows
+    assert len(got) == (10 - 3 + 1) + 3
