@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "text_quality",
     "ann_cosine_topk",
     "encoder_latents",
+    "encoder_vae_small_latents",
+    "w7_ema_macd",
 ]
 
 

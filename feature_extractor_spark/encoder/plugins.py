@@ -367,6 +367,79 @@ def transformer_forward(x, h, cond, w) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Legacy AE decoders (U3)
+
+
+def init_cnn_decoder(window_size, n_features, initial_layer_size: int = 128,
+                     layer_size_divisor: int = 2, seed: int = 66, **_):
+    """cnn/vae decoder (decoder_plugin_cnn.py:64-112): latent (W/4, branch)
+    -> ConvT(branch, k3, s2, 'same', tanh) -> ConvT(C, k3, s2, 'same',
+    linear) -> crop right to W."""
+    rng = np.random.default_rng(seed)
+    branch = initial_layer_size // layer_size_divisor
+    return {
+        "convt0_k": glorot(rng, 3, branch, branch),  # (k, Cout, Cin)
+        "convt0_b": np.zeros(branch, dtype=DTYPE),
+        "convt1_k": glorot(rng, 3, n_features, branch),
+        "convt1_b": np.zeros(n_features, dtype=DTYPE),
+        "meta": np.array(
+            [window_size, n_features, 0, 0, branch, 2, _ceil_div(window_size, 4)],
+            dtype=np.int64,
+        ),
+    }
+
+
+def cnn_decode(z_seq: np.ndarray, h, cond, w) -> np.ndarray:
+    """(B, W/4, branch) -> (B, W, F) reconstruction."""
+    W_out = int(w["meta"][0])
+    x = conv1d_transpose_same(
+        z_seq.astype(DTYPE, copy=False), w["convt0_k"], w["convt0_b"], stride=2,
+        act="tanh",
+    )
+    x = conv1d_transpose_same(x, w["convt1_k"], w["convt1_b"], stride=2,
+                              act="linear")
+    return x[:, :W_out, :]  # Cropping1D((0, overshoot))
+
+
+def init_ann_decoder(window_size, n_features, initial_layer_size: int = 128,
+                     intermediate_layers: int = 2, seed: int = 77, **_):
+    """ann decoder (decoder_plugin_ann.py:45-158): per-channel branch from
+    the encoder's (units, C) output — Flatten -> Dense(units, tanh) x L ->
+    Dense(W, linear) -> Reshape(W, 1), channel concat."""
+    rng = np.random.default_rng(seed)
+    w: dict[str, np.ndarray] = {}
+    units = initial_layer_size
+    for c in range(n_features):
+        d_in = units
+        for i in range(intermediate_layers):
+            w[f"br{c}_d{i}_k"] = glorot(rng, d_in, units)
+            w[f"br{c}_d{i}_b"] = np.zeros(units, dtype=DTYPE)
+            d_in = units
+        w[f"br{c}_out_k"] = glorot(rng, units, window_size)
+        w[f"br{c}_out_b"] = np.zeros(window_size, dtype=DTYPE)
+    w["meta"] = np.array(
+        [window_size, n_features, 0, 0, n_features, intermediate_layers, units],
+        dtype=np.int64,
+    )
+    return w
+
+
+def ann_decode(z_seq: np.ndarray, h, cond, w) -> np.ndarray:
+    """(B, units, C) encoder output -> (B, W, C) reconstruction."""
+    z_seq = z_seq.astype(DTYPE, copy=False)
+    B, _, C = z_seq.shape
+    n_layers = int(w["meta"][5])
+    branches = []
+    for c in range(C):
+        x = z_seq[:, :, c]
+        for i in range(n_layers):
+            x = dense(x, w[f"br{c}_d{i}_k"], w[f"br{c}_d{i}_b"], act="tanh")
+        x = dense(x, w[f"br{c}_out_k"], w[f"br{c}_out_b"])  # linear
+        branches.append(x[:, :, None])
+    return np.concatenate(branches, axis=2)
+
+
+# ---------------------------------------------------------------------------
 # Registry (U5) — the reference's entry-point names (setup.py:11-32)
 
 
@@ -379,6 +452,15 @@ ENCODERS: dict[str, tuple] = {
     "lstm": (init_lstm, lstm_forward),
     "transformer": (init_transformer, transformer_forward),
     "vae_small": (init_vae_small, vae_small_forward),
+}
+
+DECODERS: dict[str, tuple] = {
+    # name -> (init_fn, decode_fn) ; decode(z_seq, h, cond, weights)
+    "default": (init_ann_decoder, ann_decode),
+    "ann": (init_ann_decoder, ann_decode),
+    "cnn": (init_cnn_decoder, cnn_decode),
+    "vae": (init_cnn_decoder, cnn_decode),
+    "vae_small": (init_vae_small_decoder, vae_small_decode),
 }
 
 _DANGLING = {"rnn", "cnn_signed"}  # declared in setup.py, module missing

@@ -122,6 +122,35 @@ def encode_stage(
     return df.mapInPandas(run, schema)
 
 
+def name_reconstruction_columns(
+    df: DataFrame,
+    target_names: list[str] | None,
+    rec_col: str = "reconstruction",
+) -> DataFrame:
+    """Decoder output naming parity (reference app/data_processor.py:732-738):
+    when the configured ``cvae_target_feature_names`` arity matches the
+    reconstruction width, the array is split into columns under those names;
+    otherwise generic ``reconstructed_feature_i`` names are used. The width
+    is taken from the plan where possible, else from one row."""
+    from pyspark.sql import functions as F
+
+    n = None
+    first = df.select(rec_col).first()
+    if first is not None:
+        n = len(first[rec_col])
+    if n is None:
+        return df
+    if target_names and len(target_names) == n:
+        names = list(target_names)
+    else:
+        names = [f"reconstructed_feature_{i}" for i in range(n)]
+    cols = [c for c in df.columns if c != rec_col]
+    return df.select(
+        *cols,
+        *[F.element_at(F.col(rec_col), i + 1).alias(names[i]) for i in range(n)],
+    )
+
+
 def decode_seq_stage(
     df: DataFrame,
     weights: dict[str, np.ndarray],

@@ -61,13 +61,37 @@ def positional_encoding(
 ) -> DataFrame:
     """Append sin/cos positional-encoding columns computed from the row's
     global (or per-partition) position — row_number over the order column,
-    then the transformer PE formula pos / 10000^(2i/d)."""
-    w = (
-        Window.partitionBy(partition_col).orderBy(order_col)
-        if partition_col
-        else Window.orderBy(order_col)
-    )
-    out = df.withColumn("__pos", F.row_number().over(w).cast("double") - 1)
+    then the transformer PE formula pos / 10000^(2i/d).
+
+    ``partition_col=None`` mirrors the reference's GLOBAL position semantics
+    but does NOT use a global ``Window.orderBy`` (which serializes the whole
+    dataset into one task): positions come from a two-phase scan — range
+    partition on the order column, per-partition row numbers (parallel),
+    plus broadcast prefix-sum offsets of per-partition counts. The upstream
+    plan executes twice (counts + row numbers); persist ``df`` first if it
+    is itself expensive."""
+    if partition_col:
+        w = Window.partitionBy(partition_col).orderBy(order_col)
+        out = df.withColumn("__pos", F.row_number().over(w).cast("double") - 1)
+    else:
+        n = df.sparkSession.sparkContext.defaultParallelism * 4
+        ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+        w_local = Window.partitionBy("__pid").orderBy(order_col)
+        local = ranged.withColumn("__lrn", F.row_number().over(w_local) - 1)
+        w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = (
+            ranged.groupBy("__pid")  # n rows total: the global scan is tiny
+            .count()
+            .withColumn("__off", F.coalesce(F.sum("count").over(w_off), F.lit(0)))
+            .select("__pid", "__off")
+        )
+        out = (
+            local.join(F.broadcast(offsets), "__pid")
+            .withColumn("__pos", (F.col("__lrn") + F.col("__off")).cast("double"))
+            .drop("__pid", "__lrn", "__off")
+        )
     for i in range(d_model // 2):
         denom = float(10000 ** (2 * i / d_model))
         out = out.withColumn(

@@ -48,3 +48,21 @@ def denormalize_minmax(
     for c, (lo, hi) in params.items():
         out = out.withColumn(c, F.col(c) * F.lit(hi - lo) + F.lit(lo))
     return out
+
+
+def load_norm_params_json(path: str) -> dict[str, tuple[float, float]]:
+    """S9 file half: read the reference's normalization JSON
+    ({col: {"min": x, "max": y}}, /root/reference/app/config.py:4 +
+    examples/data/phase_3/phase_3_debug_out.json) into the params dict
+    normalize_minmax/denormalize_minmax consume. Unknown keys without a
+    min/max pair are skipped (the reference's debug JSONs mix metrics into
+    the same file)."""
+    import json
+
+    with open(path) as f:
+        raw = json.load(f)
+    params = {}
+    for col, v in raw.items():
+        if isinstance(v, dict) and "min" in v and "max" in v:
+            params[col] = (float(v["min"]), float(v["max"]))
+    return params

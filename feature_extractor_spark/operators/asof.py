@@ -270,14 +270,30 @@ def _asof_union_locf_chunked(
         ],
     ).filter(F.col("__side") == 1)
 
-    # phase 2: per-chunk summaries of the right side, then cross-chunk scan
+    # phase 2: per-chunk summaries of the right side, then cross-chunk scan.
+    # PER-COLUMN summaries, not row-level: plain union_locf carries each
+    # value column independently with last(ignorenulls), so a later right
+    # row with a NULL in column c must NOT mask an earlier non-null c.
+    # (Row-level max(struct(ts, values)) diverged exactly there.) The ts
+    # carried for the tolerance check stays ROW-level (last right row's ts),
+    # matching union_locf's carried_ts.
     summary = (
         unioned.filter(F.col("__side") == 0)
         .groupBy(by, "__chunk")
         .agg(
-            F.max(
-                F.struct(F.col("__r_ts").alias("ts"), *[F.col(f"__r_{c}").alias(c) for c in value_cols])
-            ).alias("__last")
+            F.max("__r_ts").alias("__last_ts"),
+            *[
+                F.max(
+                    F.when(
+                        F.col(f"__r_{c}").isNotNull(),
+                        F.struct(
+                            F.col("__r_ts").alias("ts"),
+                            F.col(f"__r_{c}").alias("v"),
+                        ),
+                    )
+                ).alias(f"__last_{c}")
+                for c in value_cols
+            ],
         )
     )
     domain = unioned.select(by, "__chunk").distinct()
@@ -288,16 +304,25 @@ def _asof_union_locf_chunked(
     )
     carry = (
         domain.join(summary, [by, "__chunk"], "left")
-        .withColumn("__carry", F.last("__last", ignorenulls=True).over(w_carry))
-        .select(by, "__chunk", "__carry")
+        .select(
+            by,
+            "__chunk",
+            F.last("__last_ts", ignorenulls=True).over(w_carry).alias("__carry_ts"),
+            *[
+                F.last(f"__last_{c}", ignorenulls=True)
+                .over(w_carry)
+                .alias(f"__carry_{c}")
+                for c in value_cols
+            ],
+        )
     )
 
     # phase 3: stitch
     out = local.join(carry, [by, "__chunk"], "left")
-    carried_ts = F.coalesce(F.col("__loc_ts"), F.col("__carry.ts"))
+    carried_ts = F.coalesce(F.col("__loc_ts"), F.col("__carry_ts"))
     vals = []
     for c in value_cols:
-        v = F.coalesce(F.col(f"__loc_{c}"), F.col(f"__carry.{c}"))
+        v = F.coalesce(F.col(f"__loc_{c}"), F.col(f"__carry_{c}.v"))
         if tolerance_seconds is not None:
             fresh = (
                 epoch_seconds(F.col(on)) - epoch_seconds(carried_ts)

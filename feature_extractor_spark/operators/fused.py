@@ -95,6 +95,7 @@ def windowed_encode(
     sub_batch: int = 128,
     out_col: str = "z_mean",
     heavy_keys: list | None = None,
+    plugin: str | None = None,
 ) -> DataFrame:
     """df must carry entity, ts, feature_cols (doubles) and cond_cols
     (doubles, point-in-time conditioning at the window's right edge).
@@ -102,8 +103,10 @@ def windowed_encode(
     features from ts inside the stage (cheaper: nothing extra shuffled).
     Returns (entity, ts, out_col).
 
-    ``sub_batch`` bounds the attention working set (B x W x W floats);
-    128 measured ~1.7x faster than 1024 at W=144 (cache locality).
+    ``sub_batch`` bounds the kernel working set. With the output-pruned
+    attention (scores are (B, 2, W), not (B, W, W)) the set is GEMM-stream
+    friendly and 128 is the measured sweet spot: 618k windows/s at 32
+    procs vs 316k at sub=32 (tiny GEMMs) and flat beyond 128.
 
     ``heavy_keys``: when given, ONLY those entities take the chunked path
     (scan row numbers + context replication + (entity, chunk) shuffle);
@@ -113,21 +116,37 @@ def windowed_encode(
     W = window_size
     if rows_per_chunk < W:
         raise ValueError("rows_per_chunk must be >= window_size")
+    if plugin is not None:
+        from feature_extractor_spark.encoder.plugins import get_encoder
+
+        forward_fn = get_encoder(plugin)[1]
+    else:
+        forward_fn = encoder_forward
 
     in_stage_conds = cond_cols is None
     src = df.select(entity_col, ts_col, *feature_cols, *(cond_cols or []))
 
-    if heavy_keys is not None:
-        # isNull() branch: ~isin is NULL for NULL entity keys, which would
-        # silently drop them from both branches
-        light = src.filter(
-            F.col(entity_col).isNull() | ~F.col(entity_col).isin(heavy_keys)
-        ).select(
+    def _whole_entity(df_):
+        return df_.select(
             "*",
             F.lit(0).cast("long").alias("__rn"),
             F.lit(0).cast("long").alias("__chunk"),
             F.lit(False).alias("__ctx"),
             F.lit(True).alias("__local"),
+        )
+
+    if heavy_keys is not None and not heavy_keys:
+        # detection ran and found nothing: pure whole-entity path — no
+        # union with an empty chunk-assign branch (its row-number windows,
+        # groupBy and join add ~8 empty stages of pure scheduling latency)
+        both = _whole_entity(src)
+    elif heavy_keys is not None:
+        # isNull() branch: ~isin is NULL for NULL entity keys, which would
+        # silently drop them from both branches
+        light = _whole_entity(
+            src.filter(
+                F.col(entity_col).isNull() | ~F.col(entity_col).isin(heavy_keys)
+            )
         )
         heavy_src = src.filter(F.col(entity_col).isin(heavy_keys))
         heavy = _chunk_assign(heavy_src, entity_col, ts_col, W, rows_per_chunk,
@@ -181,7 +200,7 @@ def windowed_encode(
             sel = idx[s : s + sub_batch]
             x = np.ascontiguousarray(wins[sel - (W - 1)])
             h = np.zeros((len(sel), h_dim), dtype=np.float32)
-            outs.append(encoder_forward(x, h, conds[sel], wts))
+            outs.append(forward_fn(x, h, conds[sel], wts))
         z = np.concatenate(outs) if outs else np.zeros((0, 1), np.float32)
         return pd.DataFrame(
             {

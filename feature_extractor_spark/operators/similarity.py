@@ -158,3 +158,182 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    dim: int | None = None,
+    seed: int = 17,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    id_a < id_b and cosine >= threshold.
+
+    ``exact=False`` (scale path): random-hyperplane LSH buckets the corpus
+    — two vectors with cosine >= 0.9 agree on a random hyperplane with
+    p = 1 - acos(0.9)/pi ~ 0.86, so P(same 8-bit signature in >=1 of 6
+    tables) > 0.97 — candidates only from shared buckets, exact cosine
+    verify. The N^2 term never materializes.
+
+    ``exact=True`` (oracle/baseline): full self-join — only for bounded
+    inputs and the DuckDB correctness oracle.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
+    if exact:
+        cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        # bucket ids only (vectors re-attached after dedup) — carrying the
+        # arrays through the exploded bucket join would amplify them
+        import random
+
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        rnd = random.Random(seed)
+        tables = [
+            [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+            for _ in range(n_tables)
+        ]
+
+        def signature(vec, planes):
+            out = F.lit(0)
+            for i, plane in enumerate(planes):
+                bit = F.when(
+                    F.aggregate(
+                        F.zip_with(
+                            vec,
+                            F.array(*[F.lit(p) for p in plane]),
+                            lambda x, y: x.cast("double") * y,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    > 0,
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+                out = out + F.shiftleft(bit.cast("long"), i)
+            return out
+
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    signature(F.col(vec_col), tables[t]).alias("sig"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        banded = df.select(
+            F.col(id_col).alias("id"), F.explode(structs).alias("bkt")
+        ).select("id", F.col("bkt.table").alias("table"), F.col("bkt.sig").alias("sig"))
+        pairs = (
+            banded.alias("x")
+            .join(banded.alias("y"), ["table", "sig"])
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        cand = pairs.join(a, "id_a").join(b, "id_b")
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    centroid_mod: int | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into ``n_lists``
+    centroid cells, search only the ``n_probe`` cells nearest each query.
+
+    Centroids are a deterministic sample of corpus vectors (id % mod == 0,
+    first n_lists by id) — one k-means-free pass that keeps the whole build
+    to two broadcast joins. At 100 TB the cell assignment is a single
+    map-side pass (centroids broadcast), the probe join hits only
+    n_probe/n_lists of the corpus, and the final re-rank is exact cosine.
+    Returns (query_id, neighbor_id, cosine, rank)."""
+    mod = centroid_mod or 7
+    cents = (
+        corpus.filter(F.pmod(F.col(id_col), F.lit(mod)) == 0)
+        .orderBy(id_col)
+        .limit(n_lists)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v"))
+        .collect()
+    )
+    cent_arr = [
+        F.struct(
+            F.lit(i).alias("cell"),
+            F.array(*[F.lit(float(x)) for x in r["cent_v"]]).alias("cv"),
+        )
+        for i, r in enumerate(cents)
+    ]
+    cents_col = F.array(*cent_arr)
+
+    def best_cells(vec, n):
+        """Top-n nearest centroid cells by cosine, as an array<int>."""
+        # query-norm dropped from the ranking: it is constant across cells
+        # (and a HOF lambda re-evaluates its subtree per element)
+        scored = F.transform(
+            cents_col,
+            lambda c: F.struct(
+                (_dot(vec, c["cv"]) / _norm(c["cv"])).alias("s"),
+                c["cell"].alias("cell"),
+            ),
+        )
+        ordered = F.reverse(F.array_sort(scored))
+        return F.transform(F.slice(ordered, 1, n), lambda x: x["cell"])
+
+    c_assign = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.element_at(best_cells(F.col(vec_col), 1), 1).alias("cell"),
+    )
+    q_assign = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(best_cells(F.col(vec_col), n_probe)).alias("cell"),
+    )
+    cand = (
+        c_assign.join(F.broadcast(q_assign), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -768,6 +768,63 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", F.round(F.col("cosine"), 6))
 
 
+@_q("ann_ivf_topk")  # driver-collected centroids: not SQL -> rows-only
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path: broadcast centroid cells, probe n_probe cells per
+    query, exact cosine re-rank; recall vs brute force in pytest."""
+    from feature_extractor_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.pmod(F.col("vec_id"), F.lit(50)) == 0)
+    out = ivf_topk(q, emb, "vec_id", "embedding", k=5, n_lists=16, n_probe=6)
+    return out.withColumn("cosine", F.round(F.col("cosine"), 6))
+
+
+@_q(
+    "emb_near_dup",
+    """
+    WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nn
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) / (a.nn * b.nn), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nn * b.nn) >= 0.45
+    """,
+)
+def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact baseline (the LSH scale
+    path is the same operator with exact=False; its recall vs this baseline
+    is pytest-enforced). Threshold 0.45 here because the driver's synthetic
+    embeddings are near-orthogonal (max pairwise cosine ~0.51): a 0.9 cut
+    correctly returns zero rows, which would make the hash match vacuous."""
+    from feature_extractor_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.45, exact=True
+    )
+    return out.withColumn("cosine", F.round(F.col("cosine"), 6))
+
+
+@_q("emb_near_dup_lsh")  # seeded hyperplanes -> rows-only
+def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-bucketed scale path of embedding near-dup (no N^2)."""
+    from feature_extractor_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.9, dim=64, exact=False
+    )
+    return out.withColumn("cosine", F.round(F.col("cosine"), 6))
+
+
 @_q(
     "s7_json_scalar",
     """
@@ -906,6 +963,25 @@ def vae_small_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rec = decode_seq_stage(z, dec_w, keep_cols=["user_id", "ts"])
     return rec.select("user_id", "ts", *_array_probes("reconstruction", "rec"))
+
+
+@_q("u1_golden_transformer_latents")  # trained-NN forward -> rows-only
+def u1_golden_transformer_latents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's GOLDEN trained transformer encoder
+    (/root/reference/tests/models/encoder_model_transformer_va.h5.keras),
+    loaded via the engine's pure-Python HDF5 reader and executed as a
+    broadcast-weights Arrow stage: 8 per-step features (value + 7 lags)
+    -> (B, 16) latents from the actual trained weights."""
+    from feature_extractor_spark.encoder.golden import golden_encode_stage
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    feat = lag_lead_features(ev, "user_id", "ts", "value", lags=list(range(1, 8)))
+    cols = ["value"] + [f"value_lag_{k}" for k in range(1, 8)]
+    feat = feat.na.drop(subset=cols)
+    z = golden_encode_stage(
+        feat, feature_cols=cols, keep_cols=["user_id", "ts"]
+    )
+    return z.select("user_id", "ts", *_array_probes("z_latent", "z"))
 
 
 def flagship_entry(spark: SparkSession) -> DataFrame:
@@ -1055,20 +1131,44 @@ def o4_ts_range_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("w7_ema_macd")  # order-recursive (applyInPandas) -> rows-only check
+@_q(
+    "w7_ema_macd",
+    """
+    WITH RECURSIVE base AS (
+      SELECT user_id, ts, value AS close,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events
+    ), rec AS (
+      SELECT user_id, ts, rn, close,
+             close AS ema_20, close AS ema_12, close AS ema_26,
+             0.0::DOUBLE AS macd, 0.0::DOUBLE AS macd_signal
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.ts, b.rn, b.close,
+             (1 - 2.0/21) * r.ema_20 + (2.0/21) * b.close,
+             (1 - 2.0/13) * r.ema_12 + (2.0/13) * b.close,
+             (1 - 2.0/27) * r.ema_26 + (2.0/27) * b.close,
+             ((1 - 2.0/13) * r.ema_12 + (2.0/13) * b.close)
+               - ((1 - 2.0/27) * r.ema_26 + (2.0/27) * b.close),
+             (1 - 2.0/10) * r.macd_signal
+               + (2.0/10) * (((1 - 2.0/13) * r.ema_12 + (2.0/13) * b.close)
+                             - ((1 - 2.0/27) * r.ema_26 + (2.0/27) * b.close))
+      FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+    )
+    SELECT user_id, ts, ema_20, macd, macd_signal FROM rec
+    """,
+)
 def w7_ema_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W7 EMA/MACD: order-recursive, runs per-entity in applyInPandas;
-    parity vs pandas ewm is enforced in tests/test_streaming_indicators_decoder.py."""
+    """W7 EMA/MACD: order-recursive, runs per-entity in applyInPandas.
+    Oracle: a recursive CTE reproducing pandas ewm(adjust=False) exactly —
+    y_t = (1-a)*y_{t-1} + a*x_t with a = 2/(span+1), y_0 = x_0 (and
+    signal_0 = macd_0). Unrounded: the arithmetic is the same double
+    expression on both engines, so values match bit-for-bit."""
     from feature_extractor_spark.functions.indicators import ema_macd
 
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", F.col("value").alias("close"))
     out = ema_macd(ev, "user_id", "ts", "close")
-    return out.select(
-        "user_id", "ts",
-        F.round("ema_20", 6).alias("ema_20"),
-        F.round("macd", 6).alias("macd"),
-        F.round("macd_signal", 6).alias("macd_signal"),
-    )
+    return out.select("user_id", "ts", "ema_20", "macd", "macd_signal")
 
 
 @_q("u2_decoder_roundtrip")  # NN forward passes -> rows-only check

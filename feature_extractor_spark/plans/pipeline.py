@@ -70,26 +70,53 @@ def encoder_pipeline(
 
 
 def main(argv: list[str] | None = None) -> None:
+    """CLI with the reference's config precedence (config_merger.py:18-77):
+    plugin params < defaults < --config JSON file < typed CLI flags.
+    Unknown --key value pairs pass through with int/float coercion."""
+    import sys
+
+    from feature_extractor_spark.plans.config import (
+        DEFAULT_VALUES,
+        load_config_file,
+        merge_config,
+        process_unknown_args,
+        typed_flags_from_argv,
+    )
+
     p = argparse.ArgumentParser(description="feature-extractor-spark encoder pipeline")
     p.add_argument("--input", required=True, help="input parquet path")
     p.add_argument("--output", required=True, help="latents parquet path")
-    p.add_argument("--entity-col", default="doc_id")
-    p.add_argument("--ts-col", default="ts")
-    p.add_argument("--feature-cols", nargs="+", required=True)
-    p.add_argument("--window_size", type=int, default=144)
-    p.add_argument("--latent_dim", type=int, default=32)
-    p.add_argument("--rnn_hidden_dim", type=int, default=4)
+    p.add_argument("--config", default=None, help="JSON config file (file layer)")
+    p.add_argument("--entity_col", default=None)
+    p.add_argument("--ts_col", default=None)
+    p.add_argument("--feature-cols", nargs="+", required=True, dest="feature_cols")
+    p.add_argument("--window_size", type=int, default=None)
+    p.add_argument("--latent_dim", type=int, default=None)
+    p.add_argument("--rnn_hidden_dim", type=int, default=None)
     p.add_argument("--cores", type=int, default=None)
-    args = p.parse_args(argv)
+    args, unknown = p.parse_known_args(argv)
+
+    raw_argv = argv if argv is not None else sys.argv[1:]
+    cfg = merge_config(
+        defaults=DEFAULT_VALUES,
+        plugin_params={},
+        file_config=load_config_file(args.config),
+        cli_args={k: v for k, v in vars(args).items() if v is not None},
+        typed_flags=typed_flags_from_argv(raw_argv),
+        unknown_args=process_unknown_args(unknown),
+    )
 
     from feature_extractor_spark.session import get_spark
 
     spark = get_spark("fx-pipeline", cores=args.cores)
     df = spark.read.parquet(args.input)
     z = encoder_pipeline(
-        spark, df, args.entity_col, args.ts_col, args.feature_cols,
-        window_size=args.window_size, latent_dim=args.latent_dim,
-        rnn_hidden_dim=args.rnn_hidden_dim,
+        spark, df,
+        cfg.get("entity_col", "doc_id"), cfg.get("ts_col", "ts"),
+        args.feature_cols,
+        window_size=int(cfg["window_size"]),
+        latent_dim=int(cfg["latent_dim"]),
+        rnn_hidden_dim=int(cfg["rnn_hidden_dim"]),
     )
     z.write.mode("overwrite").parquet(args.output)
 

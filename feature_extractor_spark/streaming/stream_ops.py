@@ -70,3 +70,69 @@ def stream_windowed_stats(
             "win_avg",
         )
     )
+
+
+def stream_ema(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    span: int = 20,
+    timeout_minutes: int = 60,
+) -> DataFrame:
+    """Custom stateful streaming operator: per-entity EMA carried across
+    micro-batches via ``applyInPandasWithState`` — the streaming twin of
+    functions/indicators.ema_macd (same recursion y_t = (1-a) y_{t-1} +
+    a x_t, a = 2/(span+1); parity vs pandas ewm(adjust=False) in tests).
+
+    State per entity: (last_ema, last_ts). Rows inside a micro-batch are
+    processed in ts order; state times out (and is dropped) after
+    ``timeout_minutes`` of event-time inactivity."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    alpha = 2.0 / (span + 1)
+    out_schema = T.StructType(
+        [
+            T.StructField(entity_col, T.StringType()),
+            T.StructField(ts_col, T.TimestampType()),
+            T.StructField(value_col, T.DoubleType()),
+            T.StructField(f"ema_{span}", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("ema", T.DoubleType())])
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ema = state.get[0] if state.exists else None
+        frames = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            x = pdf[value_col].astype(float)
+            # vectorized carry-in: prepending the carried EMA as a synthetic
+            # first sample makes pandas ewm(adjust=False) reproduce the
+            # recursion exactly (y_0 = carry); drop the synthetic row after
+            if ema is not None:
+                x = pd.concat([pd.Series([ema]), x], ignore_index=True)
+            y = x.ewm(span=span, adjust=False).mean()
+            emas = y.iloc[1:] if ema is not None else y
+            ema = float(y.iloc[-1]) if len(y) else ema
+            pdf = pdf[[entity_col, ts_col, value_col]].copy()
+            pdf[f"ema_{span}"] = emas.to_numpy()
+            frames.append(pdf)
+        if ema is not None:
+            state.update((float(ema),))
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield from frames
+
+    return events.groupBy(entity_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -110,3 +110,70 @@ def test_asof_auto_keeps_null_keys(spark):
     )
     assert got.count() == 9  # 6 'a' rows + 3 null-keyed rows
     assert got.filter("doc_id IS NULL").count() == 3
+
+
+def test_asof_chunked_nulls_in_values_match_plain(spark):
+    """Per-column LOCF semantics: a later right row with NULL in one value
+    column must not mask an earlier non-null value (chunked == plain even
+    with nulls scattered across chunks)."""
+    t = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("a", t + dt.timedelta(hours=i)) for i in range(0, 48, 2)],
+        "doc_id string, ts timestamp",
+    )
+    # aux1 goes null after hour 5; aux2 null before hour 9 — the last right
+    # ROW is never the last non-null for both columns at once
+    right_rows = []
+    for i in range(0, 40, 3):
+        right_rows.append(
+            (
+                "a",
+                t + dt.timedelta(hours=i, minutes=30),
+                float(i) if i < 6 else None,
+                None if i < 9 else 100.0 + i,
+            )
+        )
+    right = spark.createDataFrame(
+        right_rows, "doc_id string, ts timestamp, aux1 double, aux2 double"
+    )
+    plain = asof_join(left, right, on="ts", by="doc_id", strategy="union_locf")
+    chunked = asof_join(
+        left, right, on="ts", by="doc_id", strategy="union_locf_chunked",
+        chunk_seconds=4 * 3600,
+    )
+    pa = plain.orderBy("ts").toPandas()
+    pb = chunked.orderBy("ts").toPandas()
+    pd.testing.assert_frame_equal(pa, pb)
+    # the early aux1 value survives past later null-aux1 right rows
+    assert pa["aux1"].iloc[-1] == 3.0
+    assert pa["aux2"].iloc[-1] == 139.0
+
+
+def test_asof_chunked_nulls_with_tolerance_match_plain(spark):
+    """Tolerance freshness uses the last right ROW's ts (row-level), even
+    when the value itself was carried from an earlier row — chunked must
+    reproduce union_locf's exact behavior."""
+    t = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("a", t + dt.timedelta(hours=i)) for i in range(0, 30)],
+        "doc_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", t + dt.timedelta(hours=1), 1.0),
+            ("a", t + dt.timedelta(hours=10), None),
+        ],
+        "doc_id string, ts timestamp, aux double",
+    )
+    for tol in (5 * 3600, 100 * 3600):
+        plain = asof_join(
+            left, right, on="ts", by="doc_id", strategy="union_locf",
+            tolerance_seconds=tol,
+        )
+        chunked = asof_join(
+            left, right, on="ts", by="doc_id", strategy="union_locf_chunked",
+            chunk_seconds=6 * 3600, tolerance_seconds=tol,
+        )
+        pd.testing.assert_frame_equal(
+            plain.orderBy("ts").toPandas(), chunked.orderBy("ts").toPandas()
+        )

@@ -91,3 +91,21 @@ def test_tokens_source_skew_and_monotonic_ts(spark):
     assert (pdf["n_tok"] == pdf["tokens"].str.len()).all()
     assert set(pdf["source"]) <= {"web", "books", "code", "news"}
     assert (np.concatenate(pdf["tokens"].to_numpy()) < 50257).all()
+
+
+def test_positional_encoding_global_scan_matches_window(spark):
+    """The scan-based global position (partition_col=None) must equal a
+    naive global row_number ordering."""
+    import datetime as _dt
+    from pyspark.sql import functions as F
+    from feature_extractor_spark.functions.conditions import positional_encoding
+
+    t = _dt.datetime(2024, 1, 1)
+    rows = [(i, t + _dt.timedelta(minutes=7 * i)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp").repartition(8)
+    got = positional_encoding(df, "ts", d_model=4).orderBy("id").toPandas()
+    import numpy as np
+
+    pos = np.arange(500, dtype=np.float64)  # id order == ts order
+    np.testing.assert_allclose(got["pe_sin_0"], np.sin(pos), rtol=1e-12)
+    np.testing.assert_allclose(got["pe_cos_1"], np.cos(pos / 100.0), rtol=1e-12)

@@ -1,0 +1,108 @@
+"""Config precedence (reference config_merger.py parity), normalization
+JSON source (S9 file half), decoder output naming (data_processor.py:732)."""
+
+import json
+
+import pytest
+
+from feature_extractor_spark.plans.config import (
+    DEFAULT_VALUES,
+    convert_type,
+    load_config_file,
+    merge_config,
+    process_unknown_args,
+    typed_flags_from_argv,
+)
+
+
+def test_precedence_plugin_lt_defaults_lt_file_lt_cli():
+    merged = merge_config(
+        defaults={"a": "default", "b": "default", "c": "default", "d": "default"},
+        plugin_params={"a": "plugin", "b": "plugin", "c": "plugin", "d": "plugin", "p": 1},
+        file_config={"a": "file", "b": "file"},
+        cli_args={"a": "cli", "z": "cli-only"},
+        typed_flags={"a", "z"},
+    )
+    assert merged["a"] == "cli"      # CLI beats everything
+    assert merged["b"] == "file"     # file beats defaults
+    assert merged["c"] == "default"  # defaults beat plugin params
+    assert merged["p"] == 1          # plugin key survives when unshadowed
+    assert merged["z"] == "cli-only"
+
+
+def test_untyped_cli_defaults_do_not_shadow_file():
+    """argparse defaults (not typed by the user) must NOT override the file
+    layer — the reference checks sys.argv (config_merger.py:63-71)."""
+    merged = merge_config(
+        defaults={"window_size": 144},
+        file_config={"window_size": 288},
+        cli_args={"window_size": 144},  # argparse default, not typed
+        typed_flags=set(),
+    )
+    assert merged["window_size"] == 288
+
+
+def test_unknown_args_coerced():
+    assert process_unknown_args(["--lr", "0.01", "--epochs", "5"]) == {
+        "lr": "0.01", "epochs": "5",
+    }
+    assert convert_type("5") == 5
+    assert convert_type("0.01") == 0.01
+    assert convert_type("adam") == "adam"
+    merged = merge_config(
+        defaults={}, cli_args={}, typed_flags={"epochs"},
+        unknown_args={"epochs": "7"},
+    )
+    assert merged["epochs"] == 7
+
+
+def test_typed_flags_from_argv():
+    assert typed_flags_from_argv(
+        ["--window_size", "8", "--entity-col=doc", "pos", "-x"]
+    ) == {"window_size", "entity_col"}
+
+
+def test_load_config_file(tmp_path):
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps({"latent_dim": 16}))
+    assert load_config_file(str(p)) == {"latent_dim": 16}
+    assert load_config_file(None) == {}
+    assert "window_size" in DEFAULT_VALUES
+
+
+def test_norm_params_json_roundtrip(tmp_path, spark):
+    from feature_extractor_spark.functions.normalize import (
+        load_norm_params_json,
+        normalize_minmax,
+    )
+
+    p = tmp_path / "norm.json"
+    p.write_text(json.dumps({
+        "OPEN": {"min": 1.0, "max": 3.0},
+        "metric_noise": 0.42,  # reference debug JSONs mix metrics in
+        "CLOSE": {"min": 0.0, "max": 10.0},
+    }))
+    params = load_norm_params_json(str(p))
+    assert params == {"OPEN": (1.0, 3.0), "CLOSE": (0.0, 10.0)}
+    df = spark.createDataFrame([(2.0, 5.0)], "OPEN double, CLOSE double")
+    row = normalize_minmax(df, params).first()
+    assert row["OPEN"] == 0.5 and row["CLOSE"] == 0.5
+
+
+def test_decoder_column_naming(spark):
+    from feature_extractor_spark.encoder.stage import name_reconstruction_columns
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3])], "id long, reconstruction array<double>"
+    )
+    named = name_reconstruction_columns(df, ["OPEN", "LOW", "HIGH"])
+    assert named.columns == ["id", "OPEN", "LOW", "HIGH"]
+    assert abs(named.first()["LOW"] - 0.2) < 1e-12
+    # arity mismatch -> generic names (reference data_processor.py:735-738)
+    generic = name_reconstruction_columns(df, ["ONLY_TWO", "NAMES"])
+    assert generic.columns == [
+        "id", "reconstructed_feature_0", "reconstructed_feature_1",
+        "reconstructed_feature_2",
+    ]
+    no_names = name_reconstruction_columns(df, None)
+    assert "reconstructed_feature_0" in no_names.columns

@@ -139,3 +139,45 @@ def test_lsh_topk_subset_quality(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_cos:
             assert abs(r["cosine"] - exact_cos[key]) < 1e-9
+
+
+def test_embedding_near_dup_lsh_recall(spark):
+    """LSH near-dup pairs must recover (almost) every exact pair at
+    cosine >= 0.9, and report the exact cosine for each pair found."""
+    from feature_extractor_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _emb(spark, n=60, d=8)
+    exact = embedding_near_dup_pairs(emb, threshold=0.9, exact=True).collect()
+    approx = embedding_near_dup_pairs(
+        emb, threshold=0.9, dim=8, n_planes=6, n_tables=8, exact=False
+    ).collect()
+    exact_pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in exact}
+    approx_pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in approx}
+    assert len(exact_pairs) > 10
+    recall = len(set(approx_pairs) & set(exact_pairs)) / len(exact_pairs)
+    assert recall >= 0.9, f"near-dup LSH recall too low: {recall}"
+    for key, cos in approx_pairs.items():
+        if key in exact_pairs:
+            assert abs(cos - exact_pairs[key]) < 1e-9  # verify is exact
+    # no false positives below threshold
+    assert all(c >= 0.9 for c in approx_pairs.values())
+
+
+def test_ivf_topk_recall_and_exact_rerank(spark):
+    from feature_extractor_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, n=80, d=8)
+    q = emb.filter(F.col("vec_id") < 6)
+    exact = cosine_topk(q, emb, k=3).collect()
+    approx = ivf_topk(q, emb, k=3, n_lists=8, n_probe=4).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+    exact_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert abs(r["cosine"] - exact_cos[key]) < 1e-9

@@ -83,3 +83,25 @@ def test_encoder_deterministic_weights():
     w2 = init_weights(8, 1, latent_dim=6, seed=99)
     for k in w1:
         assert np.array_equal(w1[k], w2[k])
+
+
+def test_pruned_forward_equals_full_graph():
+    """encoder_forward prunes attention/LN/conv to the two positions the
+    head reads; outputs must match the unpruned graph."""
+    import numpy as np
+    from feature_extractor_spark.encoder.forward import (
+        encoder_forward,
+        encoder_forward_full,
+        init_weights,
+    )
+
+    rng = np.random.default_rng(123)
+    for W, F, H, C in [(8, 1, 4, 10), (48, 3, 4, 10), (9, 2, 0, 0), (16, 2, 4, 0)]:
+        w = init_weights(W, F, rnn_hidden_dim=H, conditioning_dim=C,
+                         latent_dim=8, d_model=16)
+        x = rng.standard_normal((7, W, F)).astype(np.float32)
+        h = rng.standard_normal((7, H)).astype(np.float32)
+        c = rng.standard_normal((7, C)).astype(np.float32)
+        a = encoder_forward(x, h, c, w)
+        b = encoder_forward_full(x, h, c, w)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

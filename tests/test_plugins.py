@@ -255,3 +255,32 @@ def test_encode_stage_vae_small_distributed(spark, sf_small):
     )
     first = out.first()
     assert len(first["z_mean"]) == 8  # T'(=1) * latent(=8)
+
+
+def test_cnn_decoder_roundtrip_shapes():
+    W, F, B = 12, 3, 4
+    e_init, e_fwd = P.get_encoder("cnn")
+    ew = e_init(W, F, initial_layer_size=16)
+    x = RNG.standard_normal((B, W, F)).astype(np.float32)
+    zeros = np.zeros((B, 0), np.float32)
+    flat = e_fwd(x, zeros, zeros, ew)
+    t, d = P.out_shape(ew)
+    z = flat.reshape(B, t, d)
+    d_init, d_fwd = P.DECODERS["cnn"]
+    dw = d_init(W, F, initial_layer_size=16)
+    rec = d_fwd(z, zeros, zeros, dw)
+    assert rec.shape == (B, W, F)  # crop back to W (decoder_plugin_cnn.py:99-101)
+
+
+def test_ann_decoder_roundtrip_shapes():
+    W, F, B = 10, 2, 4
+    e_init, e_fwd = P.get_encoder("ann")
+    ew = e_init(W, F, initial_layer_size=8)
+    x = RNG.standard_normal((B, W, F)).astype(np.float32)
+    zeros = np.zeros((B, 0), np.float32)
+    flat = e_fwd(x, zeros, zeros, ew)
+    z = flat.reshape(B, 8, F)  # (units, C) channel layout
+    d_init, d_fwd = P.DECODERS["ann"]
+    dw = d_init(W, F, initial_layer_size=8)
+    rec = d_fwd(z, zeros, zeros, dw)
+    assert rec.shape == (B, W, F)

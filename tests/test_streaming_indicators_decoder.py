@@ -138,3 +138,56 @@ def test_decode_stage_matches_oracle(spark):
     got_x = np.asarray([np.asarray(v) for v in got["reconstruction"]])
     assert got_x.shape == (30, 4)
     assert np.allclose(got_x, exp, rtol=1e-5, atol=1e-7)
+
+
+def test_stream_ema_matches_batch_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState EMA: state carries across micro-batches, so a
+    source split into multiple files/batches must equal the single-pass
+    pandas ewm on the full series."""
+    from feature_extractor_spark.streaming import stream_ema
+
+    import os
+    import time as _time
+
+    df = _events(spark, n_users=2, n=30)
+    src = str(tmp_path / "ema_src")
+    # time-ordered files + maxFilesPerTrigger=1 => in-order micro-batches
+    # (streaming EMA, like any order-recursive op, assumes in-order arrival
+    # per entity; the file source picks files by modification time)
+    os.makedirs(src)
+    pdf_all = df.toPandas().sort_values(["ts"], kind="mergesort")
+    halves = [pdf_all.iloc[: len(pdf_all) // 2], pdf_all.iloc[len(pdf_all) // 2 :]]
+    for i, half in enumerate(halves):
+        spark.createDataFrame(half).coalesce(1).write.parquet(f"{src}/part{i}")
+        _time.sleep(1.1)  # distinct mtimes -> deterministic source order
+    import glob as _glob
+    files = sorted(_glob.glob(f"{src}/part*/part-*.parquet"))
+    flat = [f"{src}/f{i}.parquet" for i in range(len(files))]
+    for a, b in zip(files, flat):
+        os.rename(a, b)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*.parquet")
+    )
+    out = stream_ema(stream, "doc_id", "ts", "value", span=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ema_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("ema_out").orderBy("doc_id", "ts").toPandas()
+    exp = (
+        df.toPandas()
+        .sort_values(["doc_id", "ts"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    exp["ema_5"] = exp.groupby("doc_id")["value"].transform(
+        lambda s: s.ewm(span=5, adjust=False).mean()
+    )
+    assert len(got) == len(exp)
+    np.testing.assert_allclose(got["ema_5"], exp["ema_5"], rtol=1e-9)

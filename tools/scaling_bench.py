@@ -37,7 +37,55 @@ def ensure_data(spark) -> None:
     df.write.mode("overwrite").parquet(DATA_DIR)
 
 
+STAGE = os.environ.get("SCALE_STAGE", "full")  # full | asof_window
+
+
+def _asof_window_features(spark, heavy):
+    """The north rule's scaling target, verbatim: range-partitioned as-of
+    merge (LOCF backfill) + windowed feature builder — lag/lead features
+    via Window.partitionBy(doc_id).orderBy(ts).rowsBetween plus frame
+    aggregates. Pure JVM (whole-stage codegen), no Python stage."""
+    from pyspark.sql import Window
+
+    from feature_extractor_spark.operators.asof import asof_join
+    from feature_extractor_spark.operators.windows import lag_lead_features
+
+    toks = spark.read.parquet(DATA_DIR)
+    left = toks.select(
+        "doc_id",
+        "ts",
+        (F.col("n_tok").cast("double") / 64.0).alias("f_len"),
+        (
+            F.aggregate(
+                F.col("tokens"), F.lit(0.0), lambda acc, t: acc + t.cast("double")
+            )
+            / F.col("n_tok")
+            / 50257.0
+        ).alias("f_mean_tok"),
+    )
+    right = left.filter(F.pmod(F.xxhash64("doc_id", "ts"), F.lit(20)) == 0).select(
+        "doc_id", "ts", F.col("f_mean_tok").alias("aux")
+    )
+    joined = asof_join(
+        left, right, on="ts", by="doc_id", strategy="auto", heavy_keys=heavy
+    ).na.fill({"aux": 0.0})
+    feat = lag_lead_features(joined, "doc_id", "ts", "f_mean_tok",
+                             lags=[1, 3, 8], leads=[1])
+    w = Window.partitionBy("doc_id").orderBy("ts").rowsBetween(-(W - 1), 0)
+    return feat.select(
+        "doc_id",
+        "ts",
+        *[c for c in feat.columns if c.startswith("f_mean_tok_")],
+        F.sum("f_len").over(w).alias("win_sum"),
+        F.min("f_mean_tok").over(w).alias("win_min"),
+        F.max("f_mean_tok").over(w).alias("win_max"),
+        F.avg("aux").over(w).alias("win_aux_avg"),
+    )
+
+
 def pipeline(spark, heavy=None):
+    if STAGE == "asof_window":
+        return _asof_window_features(spark, heavy)
     from feature_extractor_spark.encoder import init_weights
     from feature_extractor_spark.operators.asof import asof_join
     from feature_extractor_spark.operators.fused import windowed_encode
@@ -111,15 +159,19 @@ def main() -> None:
         walls.append(time.time() - t0)
     wall = min(walls)
     # analytic sequence count (windows per doc = max(n_i - W + 1, 0)):
-    # counting via the pipeline would re-run the whole encoder stage
-    n_seq = (
-        spark.read.parquet(DATA_DIR)
-        .groupBy("doc_id")
-        .count()
-        .select(F.greatest(F.col("count") - (W - 1), F.lit(0)).alias("w"))
-        .agg(F.sum("w"))
-        .first()[0]
-    )
+    # counting via the pipeline would re-run the whole encoder stage.
+    # asof_window mode emits one feature row per input row.
+    if STAGE == "asof_window":
+        n_seq = N_ROWS
+    else:
+        n_seq = (
+            spark.read.parquet(DATA_DIR)
+            .groupBy("doc_id")
+            .count()
+            .select(F.greatest(F.col("count") - (W - 1), F.lit(0)).alias("w"))
+            .agg(F.sum("w"))
+            .first()[0]
+        )
     print(
         json.dumps(
             {

@@ -27,6 +27,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{log_dir}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     import tools.scaling_bench as sb
@@ -45,8 +47,16 @@ def main() -> None:
     app_id = spark.sparkContext.applicationId
     spark.stop()
 
-    # parse the event log
-    path = os.path.join(log_dir, app_id)
+    # parse the event log (Spark 4 writes a rolling dir per app:
+    # eventlog_v2_<appId>/events_*)
+    import glob
+
+    candidates = (
+        [os.path.join(log_dir, app_id)]
+        + glob.glob(os.path.join(log_dir, f"eventlog_v2_{app_id}", "events_*"))
+        + glob.glob(os.path.join(log_dir, "**", "events_*"), recursive=True)
+    )
+    path = next(p for p in candidates if os.path.isfile(p))
     stages = {}
     with open(path) as f:
         for line in f:
