@@ -191,3 +191,40 @@ def test_stream_ema_matches_batch_across_microbatches(spark, tmp_path):
     )
     assert len(got) == len(exp)
     np.testing.assert_allclose(got["ema_5"], exp["ema_5"], rtol=1e-9)
+
+
+def test_ema_macd_cross_batch_carry(spark):
+    """The mapInPandas EMA path must be exact when one entity spans many
+    Arrow batches (tiny maxRecordsPerBatch forces boundaries)."""
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, "37")
+    try:
+        df = _events(spark, n_users=3, n=100)
+        got = (
+            ema_macd(df, "doc_id", "ts", "value")
+            .orderBy("doc_id", "ts")
+            .toPandas()
+        )
+        exp = (
+            df.toPandas()
+            .sort_values(["doc_id", "ts"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        g = exp.groupby("doc_id")["value"]
+        for s in (20, 50, 12, 26):
+            exp[f"__e{s}"] = g.transform(
+                lambda x, sp=s: x.ewm(span=sp, adjust=False).mean()
+            )
+        exp["macd"] = exp["__e12"] - exp["__e26"]
+        exp["macd_signal"] = exp.groupby("doc_id")["macd"].transform(
+            lambda x: x.ewm(span=9, adjust=False).mean()
+        )
+        np.testing.assert_allclose(got["ema_20"], exp["__e20"], rtol=1e-12)
+        np.testing.assert_allclose(got["ema_50"], exp["__e50"], rtol=1e-12)
+        np.testing.assert_allclose(got["macd"], exp["macd"], rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(
+            got["macd_signal"], exp["macd_signal"], rtol=1e-9, atol=1e-12
+        )
+    finally:
+        spark.conf.set(conf, old)
