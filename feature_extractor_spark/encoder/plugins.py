@@ -454,12 +454,95 @@ ENCODERS: dict[str, tuple] = {
     "vae_small": (init_vae_small, vae_small_forward),
 }
 
+def init_transformer_decoder(window_size, n_features, initial_layer_size: int = 128,
+                             layer_size_divisor: int = 2, seed: int = 88, **_):
+    """transformer decoder (decoder_plugin_transformer.py:146-240):
+    ConvT(merged,3,2,'same',tanh) -> ConvT(C,3,2,'same',tanh) -> +pos-enc ->
+    2-head MHA + residual + LayerNorm -> center-crop to W."""
+    rng = np.random.default_rng(seed)
+    merged = initial_layer_size
+    branch = merged // layer_size_divisor
+    w: dict[str, np.ndarray] = {
+        "convt0_k": glorot(rng, 3, merged, branch),  # (k, Cout, Cin)
+        "convt0_b": np.zeros(merged, dtype=DTYPE),
+        "convt1_k": glorot(rng, 3, n_features, merged),
+        "convt1_b": np.zeros(n_features, dtype=DTYPE),
+    }
+    w.update(mha_weights(rng, n_features, heads=2,
+                         key_dim=max(1, n_features // 2), prefix="mha_"))
+    w["ln_g"] = np.ones(n_features, dtype=DTYPE)
+    w["ln_b"] = np.zeros(n_features, dtype=DTYPE)
+    w["meta"] = np.array(
+        [window_size, n_features, 0, 0, branch, 2,
+         _ceil_div(_ceil_div(window_size, 2), 2)], dtype=np.int64
+    )
+    return w
+
+
+def transformer_decode(z_seq: np.ndarray, h, cond, w) -> np.ndarray:
+    W_out = int(w["meta"][0])
+    x = conv1d_transpose_same(z_seq.astype(DTYPE, copy=False),
+                              w["convt0_k"], w["convt0_b"], stride=2, act="tanh")
+    x = conv1d_transpose_same(x, w["convt1_k"], w["convt1_b"], stride=2,
+                              act="tanh")
+    x = x + positional_encoding_concat(x.shape[1], x.shape[2])[None, :, :]
+    x = layer_norm(x + mha(x, w, prefix="mha_"), w["ln_g"], w["ln_b"])
+    crop = x.shape[1] - W_out
+    if crop > 0:  # center crop (Cropping1D((crop//2, rest)))
+        lo = crop // 2
+        x = x[:, lo : lo + W_out, :]
+    return x
+
+
+def init_lstm_decoder(window_size, n_features, initial_layer_size: int = 128,
+                      layer_size_divisor: int = 2, seed: int = 99, **_):
+    """lstm decoder (decoder_plugin_lstm.py:130-234): UpSample(2) ->
+    BiLSTM -> BiLSTM -> UpSample(2) -> +pos-enc -> 2-head MHA + residual +
+    LN -> BiLSTM -> Conv1D(C, k=1, linear) -> center-crop."""
+    rng = np.random.default_rng(seed)
+    u = initial_layer_size // layer_size_divisor // layer_size_divisor
+    w: dict[str, np.ndarray] = {}
+    w.update(bilstm_weights(rng, 2 * u, u, prefix="l1_"))  # input = enc 2u
+    w.update(bilstm_weights(rng, 2 * u, u, prefix="l2_"))
+    d = 2 * u
+    w.update(mha_weights(rng, d, heads=2, key_dim=max(1, d // 2), prefix="mha_"))
+    w["ln_g"] = np.ones(d, dtype=DTYPE)
+    w["ln_b"] = np.zeros(d, dtype=DTYPE)
+    w.update(bilstm_weights(rng, d, u, prefix="l3_"))
+    w["proj_k"] = glorot(rng, 1, 2 * u, n_features)
+    w["proj_b"] = np.zeros(n_features, dtype=DTYPE)
+    w["meta"] = np.array(
+        [window_size, n_features, 0, 0, 2 * u, 3,
+         _ceil_div(_ceil_div(window_size, 2), 2)], dtype=np.int64
+    )
+    return w
+
+
+def lstm_decode(z_seq: np.ndarray, h, cond, w) -> np.ndarray:
+    W_out = int(w["meta"][0])
+    x = np.repeat(z_seq.astype(DTYPE, copy=False), 2, axis=1)  # UpSampling1D
+    x = bilstm(x, w, prefix="l1_")
+    x = bilstm(x, w, prefix="l2_")
+    x = np.repeat(x, 2, axis=1)
+    x = x + positional_encoding_concat(x.shape[1], x.shape[2])[None, :, :]
+    x = layer_norm(x + mha(x, w, prefix="mha_"), w["ln_g"], w["ln_b"])
+    x = bilstm(x, w, prefix="l3_")
+    x = conv1d_same(x, w["proj_k"], w["proj_b"], stride=1)  # 1x1, linear
+    crop = x.shape[1] - W_out
+    if crop > 0:
+        lo = crop // 2
+        x = x[:, lo : lo + W_out, :]
+    return x
+
+
 DECODERS: dict[str, tuple] = {
     # name -> (init_fn, decode_fn) ; decode(z_seq, h, cond, weights)
     "default": (init_ann_decoder, ann_decode),
     "ann": (init_ann_decoder, ann_decode),
     "cnn": (init_cnn_decoder, cnn_decode),
     "vae": (init_cnn_decoder, cnn_decode),
+    "lstm": (init_lstm_decoder, lstm_decode),
+    "transformer": (init_transformer_decoder, transformer_decode),
     "vae_small": (init_vae_small_decoder, vae_small_decode),
 }
 

@@ -106,3 +106,35 @@ def test_decoder_column_naming(spark):
     ]
     no_names = name_reconstruction_columns(df, None)
     assert "reconstructed_feature_0" in no_names.columns
+
+
+def test_preprocessor_extension_point(spark, sf_small):
+    """U4: registry resolution + an applyInPandas preprocessor runs and
+    detrends (rolling-mean removal -> near-zero mean residual)."""
+    import pytest as _pytest
+
+    from feature_extractor_spark.plans.preprocessor import (
+        PREPROCESSORS,
+        register_preprocessor,
+        run_preprocessing,
+    )
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    out = run_preprocessing(
+        "detrend_rolling_mean", ev,
+        {"entity_col": "user_id", "ts_col": "ts", "value_col": "value"},
+    )
+    pdf = out.toPandas()
+    assert "value_detrended" in pdf.columns
+    assert abs(pdf["value_detrended"].mean()) < abs(pdf["value"].mean())
+
+    with _pytest.raises(KeyError, match="unknown preprocessor"):
+        run_preprocessing("stl_preprocessor", ev)
+
+    @register_preprocessor("t_double")
+    def _d(df, config):
+        from pyspark.sql import functions as F
+        return df.withColumn("v2", F.col("value") * 2)
+
+    assert "t_double" in PREPROCESSORS
+    assert run_preprocessing("t_double", ev).first()["v2"] == ev.first()["value"] * 2

@@ -284,3 +284,23 @@ def test_ann_decoder_roundtrip_shapes():
     dw = d_init(W, F, initial_layer_size=8)
     rec = d_fwd(z, zeros, zeros, dw)
     assert rec.shape == (B, W, F)
+
+
+@pytest.mark.parametrize("name,W,F", [("transformer", 12, 3), ("transformer", 10, 2),
+                                       ("lstm", 12, 3), ("lstm", 10, 2)])
+def test_seq_decoders_roundtrip_shapes(name, W, F):
+    """lstm/transformer decoders invert their encoders' output shape back
+    to (B, W, F) with center-crop on the overshoot."""
+    B = 4
+    e_init, e_fwd = P.get_encoder(name)
+    ew = e_init(W, F, initial_layer_size=16)
+    x = RNG.standard_normal((B, W, F)).astype(np.float32)
+    zeros = np.zeros((B, 0), np.float32)
+    flat = e_fwd(x, zeros, zeros, ew)
+    t, d = P.out_shape(ew)
+    z = flat.reshape(B, t, d)
+    d_init, d_fwd = P.DECODERS[name]
+    dw = d_init(W, F, initial_layer_size=16)
+    rec = d_fwd(z, zeros, zeros, dw)
+    assert rec.shape == (B, W, F)
+    assert np.isfinite(rec).all()
