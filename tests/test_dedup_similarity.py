@@ -181,3 +181,20 @@ def test_ivf_topk_recall_and_exact_rerank(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_cos:
             assert abs(r["cosine"] - exact_cos[key]) < 1e-9
+
+
+def test_hashed_shingle_jaccard_matches_string_shingles(spark):
+    """minhash's hashed-shingle jaccard must equal exact string-shingle
+    jaccard (no collisions on this corpus)."""
+    docs = _docs(spark)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.05, num_hashes=32, bands=32).collect()
+    }
+    # string-shingle oracle in pandas
+    pdf = with_shingles(docs, "text", 3).toPandas()
+    sets = {r["doc_id"]: set(r["sh"]) for _, r in pdf.iterrows()}
+    for (a, b), j in got.items():
+        sa, sb = sets[a], sets[b]
+        exact = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+        assert abs(j - exact) < 1e-12, (a, b, j, exact)
