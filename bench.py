@@ -79,9 +79,15 @@ def headline_pipeline(spark, sf_dir: str):
         joined, "doc_id", "ts", ["value", "last_purchase_value"], None, W,
         weights, heavy_keys=heavy,
     )
+    # sequence count via observe() on the forced write — a follow-up
+    # count() would execute the whole asof+window+encode pipeline twice
+    from pyspark.sql import Observation
+
+    obs = Observation("n_sequences")
+    z = z.observe(obs, F.count(F.lit(1)).alias("n"))
     _force(z)
     dt = time.time() - t0
-    n = z.count()
+    n = int(obs.get["n"])
     return n, dt
 
 

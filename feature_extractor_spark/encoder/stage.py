@@ -126,18 +126,28 @@ def name_reconstruction_columns(
     df: DataFrame,
     target_names: list[str] | None,
     rec_col: str = "reconstruction",
+    n_features: int | None = None,
+    weights: dict[str, np.ndarray] | None = None,
 ) -> DataFrame:
     """Decoder output naming parity (reference app/data_processor.py:732-738):
     when the configured ``cvae_target_feature_names`` arity matches the
     reconstruction width, the array is split into columns under those names;
-    otherwise generic ``reconstructed_feature_i`` names are used. The width
-    is taken from the plan where possible, else from one row."""
+    otherwise generic ``reconstructed_feature_i`` names are used.
+
+    The width is statically known in every composed pipeline — pass it as
+    ``n_features`` or hand over the decoder ``weights`` (meta[1] = output
+    feature dim). A ``.first()`` probe is kept ONLY as a last resort for
+    frames of unknown provenance: it is a driver-side action that executes
+    the upstream plan once, so it must never sit inside a library pipeline."""
     from pyspark.sql import functions as F
 
-    n = None
-    first = df.select(rec_col).first()
-    if first is not None:
-        n = len(first[rec_col])
+    n = n_features
+    if n is None and weights is not None and "meta" in weights:
+        n = int(weights["meta"][1])
+    if n is None:
+        first = df.select(rec_col).first()
+        if first is not None:
+            n = len(first[rec_col])
     if n is None:
         return df
     if target_names and len(target_names) == n:

@@ -58,6 +58,7 @@ def positional_encoding(
     d_model: int = 4,
     prefix: str = "pe_",
     partition_col: str | None = None,
+    cache_scan: bool = False,
 ) -> DataFrame:
     """Append sin/cos positional-encoding columns computed from the row's
     global (or per-partition) position — row_number over the order column,
@@ -67,9 +68,14 @@ def positional_encoding(
     but does NOT use a global ``Window.orderBy`` (which serializes the whole
     dataset into one task): positions come from a two-phase scan — range
     partition on the order column, per-partition row numbers (parallel),
-    plus broadcast prefix-sum offsets of per-partition counts. The upstream
-    plan executes twice (counts + row numbers); persist ``df`` first if it
-    is itself expensive."""
+    plus broadcast prefix-sum offsets of per-partition counts.
+
+    The ``ranged`` subtree executes twice (row numbers + count offsets), so
+    the INPUT PLAN MUST BE DETERMINISTIC: a nondeterministic upstream (rand,
+    sampling, unstable limits) can make repartitionByRange draw different
+    boundary samples in the two executions and silently corrupt positions.
+    Pass ``cache_scan=True`` (or persist ``df`` yourself) for such inputs —
+    it pins one copy of the ranged scan for the job's lifetime."""
     if partition_col:
         w = Window.partitionBy(partition_col).orderBy(order_col)
         out = df.withColumn("__pos", F.row_number().over(w).cast("double") - 1)
@@ -78,6 +84,8 @@ def positional_encoding(
         ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
             "__pid", F.spark_partition_id()
         )
+        if cache_scan:
+            ranged = ranged.persist()
         w_local = Window.partitionBy("__pid").orderBy(order_col)
         local = ranged.withColumn("__lrn", F.row_number().over(w_local) - 1)
         w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)

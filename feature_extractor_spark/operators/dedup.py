@@ -74,9 +74,15 @@ def jaccard_pairs(
     """
     toks = _doc_tokens(df, id_col, text_col)
     if max_df_ratio is not None:
-        n_docs = df.count()
+        # corpus size folded into the plan (1-row aggregate cross-joined into
+        # the frequency filter) — no separate df.count() driver action per call
+        ndocs = df.agg(F.count(F.lit(1)).alias("__n"))
         dfreq = toks.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
-        keep = dfreq.filter(F.col("df") <= max_df_ratio * n_docs).select("token")
+        keep = (
+            dfreq.crossJoin(F.broadcast(ndocs))
+            .filter(F.col("df") <= max_df_ratio * F.col("__n"))
+            .select("token")
+        )
         toks = toks.join(F.broadcast(keep), "token")
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
 
@@ -196,6 +202,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    eager: bool = True,
 ) -> DataFrame:
     """MinHash/LSH near-dup candidate pairs with exact-Jaccard verification
     on the (hashed) shingle sets of the candidates only.
@@ -205,7 +212,12 @@ def minhash_lsh_pairs(
     never materializes. Shingles exist only as 64-bit hashes end-to-end
     (hashed_shingles): jaccard is computed over hashed-shingle SETS, which
     equals string-shingle jaccard up to hash collisions (~2^-31 per pair;
-    parity vs string-shingle jaccard is tested)."""
+    parity vs string-shingle jaccard is tested).
+
+    ``eager=True`` (default) materializes the verified pairs and releases
+    the shingle cache before returning (localCheckpoint, freed on GC);
+    ``eager=False`` returns the fully lazy plan with the cache left alive
+    (freed only when the plan's RDDs are GC'd)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     ws = F.transform(words(F.col(text_col)), F.lower)
@@ -261,21 +273,56 @@ def minhash_lsh_pairs(
     pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    out = (
         pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if eager:
+        # materialize the (small-by-design) verified pair set while the
+        # shingle cache is alive, then release it: a persist that outlives
+        # its operator pins executor storage memory for the whole app.
+        # localCheckpoint blocks are freed by the ContextCleaner when the
+        # returned frame is dropped — no explicit unpersist debt on callers.
+        out = out.localCheckpoint(eager=True)
+        docs.unpersist()
+    return out
 
 
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash: sum of ±1 per bit over token hashes, sign -> bit.
-    Bit b of xxhash64(token) contributes +1 if set else -1; fingerprint bit
-    b = 1 iff the sum is positive. All built-in expressions."""
+    """SimHash fingerprint: sum of ±1 per bit over token hashes, sign -> bit.
+    Bit b of hash(token) contributes +1 if set else -1; fingerprint bit
+    b = 1 iff the sum is positive. All built-in expressions.
+
+    ``hash_fn``:
+    - "xxhash64" (default, scale path): 64-bit JVM hash, cheapest.
+    - "md5_60": first 15 hex digits of md5 as a 60-bit integer — bitwise
+      reproducible in any engine with md5 (the DuckDB oracle computes the
+      identical fingerprint), at ~2x the hash cost. Pass bits<=60 with it.
+    """
+    if hash_fn == "md5_60":
+        if bits > 60:
+            raise ValueError("md5_60 yields 60 usable bits")
+        hasher = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")  # noqa: E731
+    elif hash_fn == "xxhash64":
+        # single-arg lambda: HOF arity is derived from the Python signature,
+        # and xxhash64's *cols signature defeats that derivation
+        hasher = lambda t: F.xxhash64(t)  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
     toks = F.transform(words(F.col(text_col)), F.lower)
-    hashed = F.transform(toks, lambda t: F.xxhash64(t))
+    # token hashes materialized as a real column: each of the `bits`
+    # aggregates below re-evaluates its collection argument, so an inline
+    # subtree would tokenize+hash the document `bits` times
+    base = df.select(F.col(id_col), F.transform(toks, hasher).alias("__th"))
+    hashed = F.col("__th")
+
     def bit_sum(b):
         return F.aggregate(
             hashed,
@@ -290,4 +337,4 @@ def simhash(
         bit = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         fp = term if fp is None else fp.bitwiseOR(term)
-    return df.select(F.col(id_col), fp.alias("simhash"))
+    return base.select(F.col(id_col), fp.alias("simhash"))

@@ -259,6 +259,58 @@ def embedding_near_dup_pairs(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    sample_size: int = 4096,
+    iters: int = 3,
+    seed: int = 23,
+):
+    """Spherical k-means centroids from a bounded, seeded corpus sample.
+
+    Scale shape: the sample is a TakeOrdered over a deterministic hash of
+    the id (map-side partial top-k, driver merge — never a full collect),
+    Lloyd iterations run driver-side in NumPy on <= sample_size rows, and
+    the refined centroids ship back as broadcast literals. Deterministic:
+    seeded hash order + fixed iteration count, no RNG at assignment time.
+
+    Returns (centroids: list[list[float]] unit-normalized, balance: float
+    max-cell/mean-cell population on the sample)."""
+    import numpy as np
+
+    rows = (
+        corpus.select(vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(_M31)))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    if X.size == 0:
+        return [], 1.0
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n_lists = min(n_lists, len(X))
+    C = X[:n_lists].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_lists):
+            members = X[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                C[j] = m / max(np.linalg.norm(m), 1e-12)
+            # empty cell: keep the previous centroid (deterministic, and the
+            # cell simply stays small — balance check below compensates)
+    assign = np.argmax(X @ C.T, axis=1)
+    counts = np.bincount(assign, minlength=n_lists)
+    balance = float(counts.max() / max(counts.mean(), 1e-12))
+    return [list(map(float, c)) for c in C], balance
+
+
+# fold target reused by kmeans_centroids' sample ordering (31-bit positive)
+_M31 = (1 << 31) - 1
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -267,42 +319,53 @@ def ivf_topk(
     k: int = 5,
     n_lists: int = 16,
     n_probe: int = 4,
-    centroid_mod: int | None = None,
+    sample_size: int = 4096,
+    kmeans_iters: int = 3,
+    seed: int = 23,
+    balance_limit: float = 4.0,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into ``n_lists``
     centroid cells, search only the ``n_probe`` cells nearest each query.
 
-    Centroids are a deterministic sample of corpus vectors (id % mod == 0,
-    first n_lists by id) — one k-means-free pass that keeps the whole build
-    to two broadcast joins. At 100 TB the cell assignment is a single
-    map-side pass (centroids broadcast), the probe join hits only
-    n_probe/n_lists of the corpus, and the final re-rank is exact cosine.
+    Centroids come from ``kmeans_centroids`` — a seeded bounded sample
+    refined with Lloyd iterations driver-side, so cells stay balanced on
+    clustered real embeddings (a raw corpus-row sample makes one cell hold
+    most of the corpus — the skew this operator exists to avoid). If the
+    sample's max-cell population still exceeds ``balance_limit``x the mean,
+    ``n_probe`` widens (doubles, capped at n_lists) to protect recall.
+
+    At 100 TB the cell assignment is a single map-side pass (centroids
+    broadcast as literals), the probe join hits only ~n_probe/n_lists of
+    the corpus, and the final re-rank is exact cosine.
     Returns (query_id, neighbor_id, cosine, rank)."""
-    mod = centroid_mod or 7
-    cents = (
-        corpus.filter(F.pmod(F.col(id_col), F.lit(mod)) == 0)
-        .orderBy(id_col)
-        .limit(n_lists)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_v"))
-        .collect()
+    cents, balance = kmeans_centroids(
+        corpus, id_col, vec_col, n_lists, sample_size, kmeans_iters, seed
     )
+    if not cents:
+        # empty corpus: nothing to search
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    if balance > balance_limit:
+        n_probe = min(len(cents), n_probe * 2)
     cent_arr = [
         F.struct(
             F.lit(i).alias("cell"),
-            F.array(*[F.lit(float(x)) for x in r["cent_v"]]).alias("cv"),
+            F.array(*[F.lit(x) for x in cv]).alias("cv"),
         )
-        for i, r in enumerate(cents)
+        for i, cv in enumerate(cents)
     ]
     cents_col = F.array(*cent_arr)
 
     def best_cells(vec, n):
         """Top-n nearest centroid cells by cosine, as an array<int>."""
-        # query-norm dropped from the ranking: it is constant across cells
-        # (and a HOF lambda re-evaluates its subtree per element)
+        # query-norm dropped from the ranking (constant across cells) and
+        # centroid norms are 1.0 by construction — plain dot ranks cells
+        # (a HOF lambda re-evaluates its subtree per element, so keep it lean)
         scored = F.transform(
             cents_col,
             lambda c: F.struct(
-                (_dot(vec, c["cv"]) / _norm(c["cv"])).alias("s"),
+                _dot(vec, c["cv"]).alias("s"),
                 c["cell"].alias("cell"),
             ),
         )

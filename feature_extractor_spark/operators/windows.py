@@ -107,6 +107,16 @@ def sliding_windows_map_in_pandas(
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     W = window_size
 
+    # null-entity keys must behave exactly like sliding_windows
+    # (Window.partitionBy keeps nulls as one group): pandas groupby defaults
+    # to dropna=True and NaN == NaN is False, so both the grouping and the
+    # carry comparison need isna-aware forms (same helpers as ema_macd)
+    def _same(a, b):
+        return (pd.isna(a) and pd.isna(b)) or a == b
+
+    def _key_mask(col: pd.Series, key):
+        return col.isna() if pd.isna(key) else (col == key)
+
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None  # trailing rows of the last entity
         for pdf in batches:
@@ -115,11 +125,11 @@ def sliding_windows_map_in_pandas(
             if carry is not None:
                 # only prepend if the batch continues the carried entity;
                 # otherwise that entity ended exactly at a batch boundary
-                if pdf[entity_col].iloc[0] == carry[entity_col].iloc[0]:
+                if _same(pdf[entity_col].iloc[0], carry[entity_col].iloc[0]):
                     pdf = pd.concat([carry, pdf], ignore_index=True)
                 carry = None
             out_frames = []
-            for _, g in pdf.groupby(entity_col, sort=False):
+            for _, g in pdf.groupby(entity_col, sort=False, dropna=False):
                 n = len(g)
                 if n >= W:
                     vals = g[value_col].to_numpy()
@@ -137,7 +147,7 @@ def sliding_windows_map_in_pandas(
             # enough history for every yet-unseen row of that entity (rows
             # shorter than their full history keep ALL their rows via tail)
             last_ent = pdf[entity_col].iloc[-1]
-            tail = pdf[pdf[entity_col] == last_ent].tail(W - 1)
+            tail = pdf[_key_mask(pdf[entity_col], last_ent)].tail(W - 1)
             carry = tail if len(tail) else None
             if out_frames:
                 yield pd.concat(out_frames, ignore_index=True)

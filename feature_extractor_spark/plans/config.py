@@ -56,9 +56,11 @@ def convert_type(value: str):
 
 def process_unknown_args(unknown_args: list[str]) -> dict:
     """['--k1', 'v1', '--k2', 'v2'] -> {'k1': 'v1', 'k2': 'v2'}
-    (reference config_merger.py:6)."""
+    (reference config_merger.py:6). '-' normalizes to '_' the same way
+    typed_flags_from_argv does — otherwise '--batch-size 32' matches
+    neither side of the merge and is silently dropped."""
     return {
-        unknown_args[i].lstrip("-"): unknown_args[i + 1]
+        unknown_args[i].lstrip("-").replace("-", "_"): unknown_args[i + 1]
         for i in range(0, len(unknown_args) - 1, 2)
     }
 

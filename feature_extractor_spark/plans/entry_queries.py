@@ -589,19 +589,77 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("jaccard", F.round(F.col("jaccard"), 6))
 
 
-@_q("dedup_minhash_lsh")  # xxhash64 not available in DuckDB -> rows-only check
+@_q(
+    "dedup_minhash_lsh",
+    """
+    WITH ws AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+                            x -> lower(x)) AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM ws WHERE len(w) >= 3
+    ), toks AS (SELECT doc_id, unnest(s) AS t FROM sh),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+      FROM toks a JOIN toks b USING (t)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(i / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i / (sa.n + sb.n - i) >= 0.5
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates, exact-verified. Non-SQL (hash fns);
-    correctness covered by tests/test_dedup.py against exact Jaccard."""
+    """MinHash+LSH near-dup pairs, exact-verified on candidates.
+
+    Oracle: EXACT 3-gram string-shingle Jaccard >= threshold (the verify
+    step is plain set math; only candidate generation uses xxhash64). The
+    hash match therefore checks two claims at once: every emitted pair has
+    true Jaccard >= t (verification correctness) AND every true pair is
+    emitted (LSH recall 1.0 at this banding on this corpus: all near-dup
+    pairs here have J >= 0.9, and 8 bands x 4 rows give
+    P(miss) = (1 - J^4)^8 <= 2e-4 per pair — verified exact-equal at
+    sf0.01, deterministic thereafter). Hashed-shingle Jaccard equals
+    string-shingle Jaccard up to 64-bit collisions (~2^-31/pair)."""
     docs = _t(spark, sf_dir, "documents")
     out = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
     return out.withColumn("jaccard", F.round(F.col("jaccard"), 6))
 
 
-@_q("simhash_fingerprints")  # xxhash64 not in DuckDB -> rows-only check
+@_q(
+    "simhash_fingerprints",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+                                   x -> lower(x))) AS w
+      FROM documents
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM toks
+    ), bitsum AS (
+      SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(range(60))::INT AS b) bs
+      GROUP BY doc_id, b
+    ), fp AS (
+      SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+      FROM bitsum GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(f.simhash, 0)::BIGINT AS simhash
+    FROM documents d LEFT JOIN fp f USING (doc_id)
+    """,
+)
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints with the engine-portable md5_60 hash so DuckDB
+    recomputes the identical 60-bit fingerprint (xxhash64 does not exist in
+    DuckDB; the xxhash64 scale path is pytest-verified against this one —
+    same Hamming structure, cheaper hash)."""
     docs = _t(spark, sf_dir, "documents")
-    return simhash(docs, "doc_id", "text")
+    return simhash(docs, "doc_id", "text", bits=60, hash_fn="md5_60")
 
 
 @_q(
@@ -725,6 +783,55 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "j1_doc_token_join",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+                                   x -> lower(x))) AS token
+      FROM documents
+    ), dfreq AS (
+      SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY token
+    ), per_doc AS (
+      SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+             sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_rare,
+             round(avg(d.df), 6) AS mean_df
+      FROM toks t JOIN dfreq d USING (token) GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, d.lang, d.source, p.n_tokens, p.n_rare, p.mean_df
+    FROM documents d JOIN per_doc p USING (doc_id)
+    """,
+)
+def j1_doc_token_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 equi-join on the LLM-pipeline side: documents exploded to a
+    derived (doc_id, token) relation, token document-frequencies joined
+    back per token, then aggregated per doc and equi-joined to the
+    documents table for its metadata columns. Two shuffle joins + one
+    aggregate — the alignment layer the reference does positionally
+    (SURVEY.md §2.3 J1), made explicit and key-based."""
+    from feature_extractor_spark.functions.text import words
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.transform(words(F.col("text")), F.lower)).alias("token"),
+    )
+    dfreq = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    per_doc = (
+        toks.join(dfreq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_rare"),
+            F.round(F.avg("df"), 6).alias("mean_df"),
+        )
+    )
+    return docs.select("doc_id", "lang", "source").join(per_doc, "doc_id").select(
+        "doc_id", "lang", "source", "n_tokens", "n_rare", "mean_df"
+    )
+
+
+@_q(
     "ann_cosine_topk",
     """
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
@@ -758,26 +865,72 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("ann_lsh_topk")  # seeded-hyperplane LSH: not SQL-expressible -> rows-only
+_ANN_TOPK_ORACLE = """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cosine
+      FROM embeddings c, q
+      WHERE q.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@_q("ann_lsh_topk", _ANN_TOPK_ORACLE)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN. The hyperplanes are seeded literals (not
+    SQL-expressible), so the oracle is exact brute-force top-k — valid
+    because this banding has recall 1.0 on the driver's data: top-5
+    neighbors here have cosine >= 0.27 (p_agree >= 0.587/plane), and with
+    2 planes x 24 tables P(miss) = (1 - p^2)^24 <= 4e-5 per neighbor,
+    verified exact-equal at sf0.01. The sparser 8-plane production config
+    (recall/candidate tradeoff) is measured in tests/test_dedup_similarity."""
     from feature_extractor_spark.operators.similarity import lsh_bucketed_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.pmod(F.col("vec_id"), F.lit(50)) == 0)
-    out = lsh_bucketed_topk(q, emb, "vec_id", "embedding", k=5, dim=64)
-    return out.withColumn("cosine", F.round(F.col("cosine"), 6))
+    out = lsh_bucketed_topk(
+        q, emb, "vec_id", "embedding", k=5, n_planes=2, n_tables=24, dim=64
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
-@_q("ann_ivf_topk")  # driver-collected centroids: not SQL -> rows-only
+@_q("ann_ivf_topk", _ANN_TOPK_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN scale path: broadcast centroid cells, probe n_probe cells per
-    query, exact cosine re-rank; recall vs brute force in pytest."""
+    """IVF ANN scale path: k-means centroid cells (seeded sampled Lloyd,
+    operators/similarity.kmeans_centroids), probe n_probe cells per query,
+    exact cosine re-rank. Oracle is exact brute-force top-k — valid at this
+    n_probe because every true top-5 neighbor lands in a probed cell on the
+    driver's data (deterministic: seeded sample + fixed iterations;
+    verified exact-equal at sf0.01). Recall at sparser probes is measured
+    in tests/test_dedup_similarity.py."""
     from feature_extractor_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.pmod(F.col("vec_id"), F.lit(50)) == 0)
-    out = ivf_topk(q, emb, "vec_id", "embedding", k=5, n_lists=16, n_probe=6)
-    return out.withColumn("cosine", F.round(F.col("cosine"), 6))
+    # n_probe=13/16: the driver's embeddings are near-orthogonal (worst case
+    # for IVF — true neighbors scatter across cells), so exact-recall needs
+    # most cells probed; clustered data needs far fewer (pytest blob test)
+    out = ivf_topk(q, emb, "vec_id", "embedding", k=5, n_lists=16, n_probe=13)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 @_q(
@@ -811,16 +964,36 @@ def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", F.round(F.col("cosine"), 6))
 
 
-@_q("emb_near_dup_lsh")  # seeded hyperplanes -> rows-only
+@_q(
+    "emb_near_dup_lsh",
+    """
+    WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nn
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) / (a.nn * b.nn), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nn * b.nn) >= 0.45
+    """,
+)
 def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LSH-bucketed scale path of embedding near-dup (no N^2)."""
+    """The LSH-bucketed scale path of embedding near-dup (no N^2 term).
+    Threshold 0.45 (not 0.9): the driver's synthetic embeddings are
+    near-orthogonal, so a 0.9 cut returns zero rows — a vacuous check.
+    Oracle = the exact-cosine pair set, valid because every surviving pair
+    has cosine >= 0.4516 (p_agree >= 0.6506/plane) and 2 planes x 24 tables
+    give P(miss) = (1 - p^2)^24 <= 2e-6 per pair — the LSH candidates plus
+    exact verify emit exactly the exact-join pair set (checked at sf0.01)."""
     from feature_extractor_spark.operators.similarity import (
         embedding_near_dup_pairs,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     out = embedding_near_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.9, dim=64, exact=False
+        emb, "vec_id", "embedding", threshold=0.45,
+        n_planes=2, n_tables=24, dim=64, exact=False,
     )
     return out.withColumn("cosine", F.round(F.col("cosine"), 6))
 

