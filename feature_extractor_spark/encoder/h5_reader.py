@@ -260,8 +260,7 @@ def _read_object(data, addr, path, out):
         out["datasets"][path] = arr
 
 
-def read_h5(path: str) -> dict:
-    data = open(path, "rb").read()
+def read_h5_bytes(data: bytes) -> dict:
     if data[:8] != _SIG or data[8] != 0:
         raise ValueError("not a superblock-v0 HDF5 file")
     root_ohdr = _u(data, 64, 8)
@@ -270,19 +269,27 @@ def read_h5(path: str) -> dict:
     return out
 
 
-def keras_weights(path: str) -> dict:
-    """Load a legacy Keras .h5 model file into
-    {layer: {weight_name: ndarray}} plus '__model_config__' (JSON str)."""
-    h5 = read_h5(path)
+def read_h5(path: str) -> dict:
+    return read_h5_bytes(open(path, "rb").read())
+
+
+# prefixes under which different Keras generations park layer weights:
+# legacy full-model h5, Keras-3 zip weights ("_layer_checkpoint_dependencies"
+# or "layers"), weights-only files (root)
+_LAYER_PREFIXES = ("/model_weights", "/_layer_checkpoint_dependencies", "/layers")
+
+
+def _weights_from_h5(h5: dict) -> dict:
     root_attrs = h5["attrs"].get("/", {})
     out: dict = {}
     cfg = root_attrs.get("model_config")
     if cfg:
         out["__model_config__"] = cfg
-    # weights live under /model_weights/<layer>/.../<weight>
-    prefix = "/model_weights"
-    if not any(k.startswith(prefix) for k in h5["datasets"]):
-        prefix = ""  # weights-only files store layers at the root
+    prefix = ""
+    for p in _LAYER_PREFIXES:
+        if any(k.startswith(p) for k in h5["datasets"]):
+            prefix = p
+            break
     for dpath, arr in h5["datasets"].items():
         if not dpath.startswith(prefix):
             continue
@@ -291,6 +298,42 @@ def keras_weights(path: str) -> dict:
         layer, weight = parts[0], "/".join(parts[1:])
         out.setdefault(layer, {})[weight] = arr
     return out
+
+
+def keras_weights(path: str) -> dict:
+    """Load a Keras model file into {layer: {weight_name: ndarray}} plus
+    '__model_config__' (JSON str). Accepts BOTH on-disk formats the
+    reference touches (encoder_plugin_vae_small.py:243 saves with
+    save_format='keras'):
+
+    - legacy single-file HDF5 (.h5 — also what the shipped golden
+      `.h5.keras` files actually are: raw HDF5 despite the extension)
+    - modern `.keras` zip: an archive of config.json + metadata.json +
+      model.weights.h5, unpacked here with zipfile and parsed by the same
+      pure-Python HDF5 reader.
+    """
+    data = open(path, "rb").read()
+    if data[:4] == b"PK\x03\x04":  # zip local-file-header magic
+        import io
+        import zipfile
+
+        out: dict = {}
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            names = zf.namelist()
+            cfg_name = next((n for n in names if n.endswith("config.json")), None)
+            if cfg_name:
+                out["__model_config__"] = zf.read(cfg_name).decode("utf-8")
+            h5_name = next(
+                (n for n in names if n.endswith(".h5") or n.endswith(".weights.h5")),
+                None,
+            )
+            if h5_name is None:
+                raise ValueError(f"no weights .h5 member in keras zip {path}")
+            parsed = _weights_from_h5(read_h5_bytes(zf.read(h5_name)))
+            parsed.pop("__model_config__", None)  # zip config.json wins
+            out.update(parsed)
+        return out
+    return _weights_from_h5(read_h5_bytes(data))
 
 
 def model_config(path: str) -> dict:

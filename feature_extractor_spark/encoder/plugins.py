@@ -148,6 +148,20 @@ def vae_small_forward(x, h, cond, w) -> np.ndarray:
     return np.ascontiguousarray(z_mean).reshape(len(z_mean), -1)
 
 
+def vae_small_forward_full(x, h, cond, w) -> tuple[np.ndarray, np.ndarray]:
+    """The reference encoder contract returns BOTH heads
+    (encoder_plugin_vae_small.py:228-235: encode -> (z_mean, z_log_var)):
+    flattened (B, T'*L) pair for Arrow transport. Inference consumes only
+    z_mean (reference app/data_processor.py:662-671); z_log_var feeds the
+    KL term and uncertainty diagnostics."""
+    z_mean, z_log_var = vae_small_seq(x, h, cond, w)
+    B = len(z_mean)
+    return (
+        np.ascontiguousarray(z_mean).reshape(B, -1),
+        np.ascontiguousarray(z_log_var).reshape(B, -1),
+    )
+
+
 def init_vae_small_decoder(
     window_size: int,
     latent_dim: int,
@@ -440,6 +454,180 @@ def ann_decode(z_seq: np.ndarray, h, cond, w) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# cnn_working pair — the skip-connection architecture
+# (encoder_plugin_cnn_working.py:44-100, decoder_plugin_cnn_working.py:38-103;
+# the reference never wires it into the CVAE manager, so like there the skip
+# tensors flow only through the explicit roundtrip path)
+
+
+def _maxpool2_valid(x: np.ndarray) -> np.ndarray:
+    """Keras MaxPooling1D(pool_size=2) default: stride 2, padding 'valid'
+    -> T_out = floor(T/2), trailing odd step dropped."""
+    B, T, C = x.shape
+    t2 = T // 2
+    return x[:, : t2 * 2, :].reshape(B, t2, 2, C).max(axis=2)
+
+
+def _cnn_working_sizes(initial, intermediate, divisor, interface, floor=1):
+    sizes, cur = [], initial
+    for _ in range(intermediate):
+        sizes.append(cur)
+        cur = max(cur // divisor, floor)
+    return sizes + [interface]
+
+
+def init_cnn_working(
+    window_size,
+    n_features,
+    interface_size: int = 4,
+    initial_layer_size: int = 32,
+    intermediate_layers: int = 3,
+    layer_size_divisor: int = 2,
+    seed: int = 31,
+    **_,
+):
+    """cnn_working encoder (encoder_plugin_cnn_working.py:44-100):
+    Dense(layers[0], tanh) -> [Conv1D(size,3,'same',tanh, HeNormal) ->
+    skip-record -> MaxPool(2)] per intermediate size>1 -> BatchNorm ->
+    Dense(last_size, tanh) -> BatchNorm -> Flatten ->
+    Dense(interface, linear)."""
+    layers = _cnn_working_sizes(
+        initial_layer_size, intermediate_layers, layer_size_divisor, 1
+    )[:-1] + [interface_size]
+    rng = np.random.default_rng(seed)
+    w: dict[str, np.ndarray] = {
+        "d0_k": glorot(rng, n_features, layers[0]),
+        "d0_b": np.zeros(layers[0], dtype=DTYPE),
+    }
+    conv_sizes = [s for s in layers[:-1] if s > 1]
+    in_ch, t = layers[0], window_size
+    for idx, size in enumerate(conv_sizes):
+        w[f"conv{idx}_k"] = he_normal(rng, 3, in_ch, size)
+        w[f"conv{idx}_b"] = np.zeros(size, dtype=DTYPE)
+        in_ch, t = size, t // 2
+    f_enc = conv_sizes[-1] if conv_sizes else layers[0]
+    for bn in ("bn1", "bn2"):
+        dim = f_enc
+        w[f"{bn}_g"] = np.ones(dim, dtype=DTYPE)
+        w[f"{bn}_b"] = np.zeros(dim, dtype=DTYPE)
+        w[f"{bn}_m"] = np.zeros(dim, dtype=DTYPE)
+        w[f"{bn}_v"] = np.ones(dim, dtype=DTYPE)
+    w["df_k"] = glorot(rng, f_enc, f_enc)
+    w["df_b"] = np.zeros(f_enc, dtype=DTYPE)
+    w["out_k"] = glorot(rng, t * f_enc, interface_size)
+    w["out_b"] = np.zeros(interface_size, dtype=DTYPE)
+    w["conv_sizes"] = np.array(conv_sizes, dtype=np.int64)
+    # latent is a single (B, L) vector: logical shape (T'=1, D'=L)
+    w["meta"] = np.array(
+        [window_size, n_features, 0, 0, interface_size, len(conv_sizes), 1],
+        dtype=np.int64,
+    )
+    return w
+
+
+def cnn_working_encode_with_skips(
+    x: np.ndarray, w: dict[str, np.ndarray]
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Forward returning (latent (B, L), skip tensors recorded BEFORE each
+    pooling, encoder order) — the decoder concatenates them back."""
+    z = dense(x.astype(DTYPE, copy=False), w["d0_k"], w["d0_b"], act="tanh")
+    skips = []
+    for idx in range(len(w["conv_sizes"])):
+        z = conv1d_same(z, w[f"conv{idx}_k"], w[f"conv{idx}_b"], stride=1, act="tanh")
+        skips.append(z)
+        z = _maxpool2_valid(z)
+    z = batch_norm_inference(z, w["bn1_g"], w["bn1_b"], w["bn1_m"], w["bn1_v"])
+    z = dense(z, w["df_k"], w["df_b"], act="tanh")
+    z = batch_norm_inference(z, w["bn2_g"], w["bn2_b"], w["bn2_m"], w["bn2_v"])
+    flat = np.ascontiguousarray(z).reshape(len(z), -1)
+    return dense(flat, w["out_k"], w["out_b"]), skips
+
+
+def cnn_working_forward(x, h, cond, w) -> np.ndarray:
+    """Registry-uniform forward (legacy AE interface: window only)."""
+    return cnn_working_encode_with_skips(x, w)[0]
+
+
+def init_cnn_working_decoder(
+    window_size,
+    n_features,
+    interface_size: int = 4,
+    initial_layer_size: int = 32,
+    intermediate_layers: int = 3,
+    layer_size_divisor: int = 2,
+    seed: int = 32,
+    **_,
+):
+    """cnn_working decoder (decoder_plugin_cnn_working.py:38-103):
+    Dense(T*F_enc, tanh) -> reshape -> [UpSample(2) -> concat(skip) ->
+    Conv1D(mirror_filter,3,'same',tanh)] per intermediate layer -> Flatten
+    -> Dense(W*F, linear) -> reshape (W, F). Mirror filters recompute the
+    size ladder with the decoder's own floor quirk
+    (max(cur//div, interface_size), decoder_plugin_cnn_working.py:75-80)."""
+    enc_layers = _cnn_working_sizes(
+        initial_layer_size, intermediate_layers, layer_size_divisor, 1
+    )[:-1] + [interface_size]
+    conv_sizes = [s for s in enc_layers[:-1] if s > 1]
+    f_enc = conv_sizes[-1] if conv_sizes else enc_layers[0]
+    t_enc = window_size // (2 ** len(conv_sizes))
+    dec_ladder = _cnn_working_sizes(
+        initial_layer_size, intermediate_layers, layer_size_divisor, interface_size
+    )
+    mirror = dec_ladder[:-1][::-1]
+    rng = np.random.default_rng(seed)
+    w: dict[str, np.ndarray] = {
+        "din_k": glorot(rng, interface_size, t_enc * f_enc),
+        "din_b": np.zeros(t_enc * f_enc, dtype=DTYPE),
+    }
+    cur = f_enc
+    for idx in range(len(conv_sizes)):
+        skip_ch = conv_sizes[-(idx + 1)]
+        filt = mirror[idx] if idx < len(mirror) else mirror[-1]
+        w[f"mir{idx}_k"] = he_normal(rng, 3, cur + skip_ch, filt)
+        w[f"mir{idx}_b"] = np.zeros(filt, dtype=DTYPE)
+        cur = filt
+    w["dout_k"] = glorot(rng, window_size * cur, window_size * n_features)
+    w["dout_b"] = np.zeros(window_size * n_features, dtype=DTYPE)
+    w["conv_sizes"] = np.array(conv_sizes, dtype=np.int64)
+    w["meta"] = np.array(
+        [window_size, n_features, 0, 0, interface_size, len(conv_sizes), t_enc],
+        dtype=np.int64,
+    )
+    w["f_enc"] = np.array([f_enc], dtype=np.int64)
+    return w
+
+
+def cnn_working_decode(
+    z: np.ndarray, h, cond, w, skips: list[np.ndarray] | None = None
+) -> np.ndarray:
+    """(B, L) latent (+ encoder skip tensors) -> (B, W, F) reconstruction.
+    ``skips=None`` substitutes zero tensors of the encoder's skip shapes —
+    the same placeholder convention as the zero h-context (P5); the real
+    roundtrip passes the recorded skips."""
+    z = np.asarray(z, dtype=DTYPE)
+    if z.ndim == 3:  # registry hands flattened-seq latents as (B, 1, L)
+        z = z.reshape(len(z), -1)
+    W_out = int(w["meta"][0])
+    f_enc = int(w["f_enc"][0])
+    t_enc = int(w["meta"][6])
+    conv_sizes = [int(s) for s in w["conv_sizes"]]
+    x = dense(z, w["din_k"], w["din_b"], act="tanh").reshape(len(z), t_enc, f_enc)
+    for idx in range(len(conv_sizes)):
+        x = np.repeat(x, 2, axis=1)  # UpSampling1D(2)
+        if skips is not None:
+            skip = skips[-(idx + 1)]
+        else:
+            skip = np.zeros(
+                (len(z), x.shape[1], conv_sizes[-(idx + 1)]), dtype=DTYPE
+            )
+        x = np.concatenate([x, skip.astype(DTYPE, copy=False)], axis=-1)
+        x = conv1d_same(x, w[f"mir{idx}_k"], w[f"mir{idx}_b"], stride=1, act="tanh")
+    flat = np.ascontiguousarray(x).reshape(len(z), -1)
+    out = dense(flat, w["dout_k"], w["dout_b"])
+    return out.reshape(len(z), W_out, -1)
+
+
+# ---------------------------------------------------------------------------
 # Registry (U5) — the reference's entry-point names (setup.py:11-32)
 
 
@@ -452,6 +640,7 @@ ENCODERS: dict[str, tuple] = {
     "lstm": (init_lstm, lstm_forward),
     "transformer": (init_transformer, transformer_forward),
     "vae_small": (init_vae_small, vae_small_forward),
+    "cnn_working": (init_cnn_working, cnn_working_forward),
 }
 
 def init_transformer_decoder(window_size, n_features, initial_layer_size: int = 128,
@@ -544,9 +733,21 @@ DECODERS: dict[str, tuple] = {
     "lstm": (init_lstm_decoder, lstm_decode),
     "transformer": (init_transformer_decoder, transformer_decode),
     "vae_small": (init_vae_small_decoder, vae_small_decode),
+    "cnn_working": (init_cnn_working_decoder, cnn_working_decode),
 }
 
 _DANGLING = {"rnn", "cnn_signed"}  # declared in setup.py, module missing
+
+
+def get_encoder_full(name: str):
+    """Dual-head forward (z_mean, z_log_var) for plugins whose reference
+    contract returns both (only the CVAE vae_small family does)."""
+    if name == "vae_small":
+        return vae_small_forward_full
+    raise KeyError(
+        f"plugin {name!r} has no z_log_var head (reference contract returns "
+        "a single latent for legacy AE plugins)"
+    )
 
 
 def get_encoder(name: str) -> tuple:

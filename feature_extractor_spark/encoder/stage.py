@@ -45,6 +45,7 @@ def encode_stage(
     keep_cols: list[str] | None = None,
     rebalance: bool = True,
     plugin: str | None = None,
+    log_var_col: str | None = None,
 ) -> DataFrame:
     """Run the encoder over window rows.
 
@@ -67,7 +68,17 @@ def encode_stage(
     straggler Python worker. A round-robin repartition ahead of the UDF
     costs one balanced shuffle and removes the skew (measured: required for
     local[8]->local[32] scaling on Zipf-skewed entities).
+
+    ``log_var_col``: also emit the encoder's second head as an extra
+    array<float> column — the reference encoder contract is
+    ``encode -> (z_mean, z_log_var)`` (encoder_plugin_vae_small.py:228-235);
+    only plugins with a log-var head support it (vae_small family).
     """
+    full_fn = None
+    if log_var_col is not None:
+        from feature_extractor_spark.encoder.plugins import get_encoder_full
+
+        full_fn = get_encoder_full(plugin)
     if plugin is not None:
         from feature_extractor_spark.encoder.plugins import get_encoder
 
@@ -96,6 +107,10 @@ def encode_stage(
     out_fields = [df.schema[c] for c in keep] + [
         T.StructField(out_col, T.ArrayType(T.FloatType()), False)
     ]
+    if log_var_col is not None:
+        out_fields.append(
+            T.StructField(log_var_col, T.ArrayType(T.FloatType()), False)
+        )
     schema = T.StructType(out_fields)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -114,9 +129,14 @@ def encode_stage(
                 cond = pdf[cond_cols].to_numpy(dtype=np.float32)
             else:
                 cond = np.zeros((len(pdf), 0), dtype=np.float32)
-            z = forward_fn(x, h, cond, w)
             out = pdf[keep].copy()
-            out[out_col] = list(z)
+            if full_fn is not None:
+                z, zlv = full_fn(x, h, cond, w)
+                out[out_col] = list(z)
+                out[log_var_col] = list(zlv)
+            else:
+                z = forward_fn(x, h, cond, w)
+                out[out_col] = list(z)
             yield out
 
     return df.mapInPandas(run, schema)

@@ -1044,17 +1044,26 @@ def encoder_latents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z.select("user_id", "ts", *_array_probes("z_mean", "z"))
 
 
-@_q("multimodal_features")  # binary decode stub -> rows-only check
+@_q("multimodal_features")  # binary decode: no SQL analog -> rows-only check
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload column -> mapInPandas feature
-    extraction (deterministic fake decoder; real codecs stubbed)."""
+    """Multimodal REAL decode: binary P6 PPM images + PCM WAV audio parsed
+    by the pure-NumPy decoders (operators/multimodal.py) inside the
+    mapInPandas stage — per-channel mean/std + histograms from actual
+    pixels/samples. Golden-value parity vs handcrafted payloads lives in
+    tests/test_text_multimodal.py; formats needing codec libs (JPEG/video)
+    remain an explicit NotImplementedError boundary."""
     from feature_extractor_spark.operators.multimodal import (
         decode_features,
         synth_media,
     )
 
-    media = synth_media(spark, n_rows=256)
-    out = decode_features(media, feature_dim=8, fake=True)
+    img = synth_media(spark, n_rows=128, kind="image")
+    aud = synth_media(spark, n_rows=128, kind="audio")
+    out_i = decode_features(img, fake=False).withColumnRenamed("media_id", "mid")
+    out_a = decode_features(aud, fake=False).withColumnRenamed("media_id", "mid")
+    out = out_i.select(F.concat(F.lit("img_"), F.col("mid")).alias("media_id"), "features").unionByName(
+        out_a.select(F.concat(F.lit("aud_"), F.col("mid")).alias("media_id"), "features")
+    )
     return out.select("media_id", *_array_probes("features", "feat"))
 
 
@@ -1083,6 +1092,42 @@ def encoder_vae_small_latents(spark: SparkSession, sf_dir: str) -> DataFrame:
         plugin="vae_small",
     )
     return z.select("user_id", "ts", *_array_probes("z_mean", "z"))
+
+
+@_q("u1_vae_small_kl_on_latents")  # NN forward -> rows-only (parity in pytest)
+def u1_vae_small_kl_on_latents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 full encoder contract + A5 chained: the vae_small stage emits BOTH
+    heads (z_mean, z_log_var) per the reference contract
+    (encoder_plugin_vae_small.py:228-235), and the per-row KL-vs-N(0,1)
+    statistic is computed from them with the same built-in expression A5
+    uses. Parity of both heads vs the single-process graph in
+    tests/test_encoder.py::test_z_log_var_surface."""
+    from feature_extractor_spark.encoder import encode_stage, init_vae_small
+    from feature_extractor_spark.functions.conditions import zero_context
+
+    ev = _t(spark, sf_dir, "events")
+    win = sliding_windows(ev, "user_id", "ts", ["value"], 16)
+    win = cyclical_datetime_features(win)
+    win = zero_context(win, 4)
+    cond = [c for c in win.columns if c.startswith(("sin_", "cos_"))]
+    weights = init_vae_small(
+        window_size=16, n_features=1, rnn_hidden_dim=4,
+        conditioning_dim=len(cond), latent_dim=8,
+        initial_conv_filters=32, lstm_units=8,
+    )
+    z = encode_stage(
+        win, weights, cond_cols=cond, keep_cols=["user_id", "ts"],
+        plugin="vae_small", log_var_col="z_log_var",
+    )
+    mu = F.transform(F.col("z_mean"), lambda v: v.cast("double"))
+    lv = F.transform(F.col("z_log_var"), lambda v: v.cast("double"))
+    return z.select(
+        "user_id",
+        "ts",
+        *_array_probes("z_mean", "zm"),
+        *_array_probes("z_log_var", "zlv"),
+        F.round(kl_divergence(mu, lv), 4).alias("kl"),
+    )
 
 
 @_q("encoder_cnn_latents")  # NN forward -> rows-only (parity in pytest)

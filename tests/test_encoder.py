@@ -78,6 +78,54 @@ def test_encoder_batch_invariance(spark):
     assert np.allclose(za, zb, rtol=1e-5, atol=1e-7)
 
 
+def test_z_log_var_surface(spark):
+    """The full reference encoder contract (z_mean, z_log_var) through the
+    distributed stage: both heads allclose vs the single-process graph,
+    and the stage without log_var_col emits the identical z_mean."""
+    import pytest
+
+    from feature_extractor_spark.encoder.plugins import (
+        get_encoder_full,
+        init_vae_small,
+        vae_small_seq,
+    )
+
+    w_size = 8
+    weights = init_vae_small(
+        window_size=w_size, n_features=1, rnn_hidden_dim=4,
+        conditioning_dim=10, latent_dim=4,
+        initial_conv_filters=16, lstm_units=4, num_conv_layers=2,
+    )
+    win = _pipeline(spark, w=w_size)
+    out = encode_stage(
+        win, weights, cond_cols=COND_COLS, keep_cols=["doc_id", "ts"],
+        plugin="vae_small", log_var_col="z_log_var",
+    ).orderBy("doc_id", "ts").toPandas()
+    assert set(out.columns) >= {"z_mean", "z_log_var"}
+
+    src = win.orderBy("doc_id", "ts").toPandas()
+    x = np.asarray([np.asarray(v, dtype=np.float32) for v in src["window"]])[:, :, None]
+    h = np.asarray([np.asarray(v, dtype=np.float32) for v in src["h_context"]])
+    cond = src[COND_COLS].to_numpy(dtype=np.float32)
+    zm, zlv = vae_small_seq(x, h, cond, weights)
+    B = len(zm)
+    got_zm = np.asarray([np.asarray(v) for v in out["z_mean"]])
+    got_zlv = np.asarray([np.asarray(v) for v in out["z_log_var"]])
+    assert np.allclose(got_zm, zm.reshape(B, -1), rtol=1e-5, atol=1e-6)
+    assert np.allclose(got_zlv, zlv.reshape(B, -1), rtol=1e-5, atol=1e-6)
+
+    single = encode_stage(
+        win, weights, cond_cols=COND_COLS, keep_cols=["doc_id", "ts"],
+        plugin="vae_small",
+    ).orderBy("doc_id", "ts").toPandas()
+    z_single = np.asarray([np.asarray(v) for v in single["z_mean"]])
+    assert np.allclose(got_zm, z_single, rtol=1e-5, atol=1e-7)
+
+    # plugins without a log-var head refuse the surface explicitly
+    with pytest.raises(KeyError):
+        get_encoder_full("cnn")
+
+
 def test_encoder_deterministic_weights():
     w1 = init_weights(8, 1, latent_dim=6, seed=99)
     w2 = init_weights(8, 1, latent_dim=6, seed=99)

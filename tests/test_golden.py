@@ -30,6 +30,31 @@ def test_h5_reader_recovers_all_datasets():
     assert '"class_name": "Functional"' in root["model_config"]
 
 
+def test_keras_zip_format_loads(tmp_path):
+    """Modern .keras zip (config.json + model.weights.h5): keras_weights
+    must return the same layer/weight arrays as the raw-HDF5 path — a
+    reference user's freshly saved save_format='keras' model loads too."""
+    import zipfile
+
+    from feature_extractor_spark.encoder.h5_reader import keras_weights
+
+    legacy = keras_weights(GOLDEN)
+    zpath = tmp_path / "model.keras"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr("config.json", '{"class_name": "Functional"}')
+        zf.writestr("metadata.json", '{"keras_version": "3.0.0"}')
+        zf.write(GOLDEN, "model.weights.h5")
+    ziploaded = keras_weights(str(zpath))
+    assert ziploaded["__model_config__"] == '{"class_name": "Functional"}'
+    legacy_layers = {k for k in legacy if k != "__model_config__"}
+    zip_layers = {k for k in ziploaded if k != "__model_config__"}
+    assert legacy_layers == zip_layers and legacy_layers
+    for layer in legacy_layers:
+        assert set(legacy[layer]) == set(ziploaded[layer])
+        for name, arr in legacy[layer].items():
+            np.testing.assert_array_equal(arr, ziploaded[layer][name])
+
+
 def test_golden_encoder_weight_shapes_match_config():
     from feature_extractor_spark.encoder.golden import (
         EXPECTED_ENCODER_SHAPES,

@@ -173,7 +173,10 @@ def test_vae_small_decoder_roundtrip_shapes():
     assert rec.shape == (6, 2)  # last-step reconstruction (decoder :238-240)
 
 
-@pytest.mark.parametrize("name", ["default", "ann", "cnn", "vae", "lstm", "transformer"])
+@pytest.mark.parametrize(
+    "name",
+    ["default", "ann", "cnn", "vae", "lstm", "transformer", "cnn_working"],
+)
 def test_legacy_plugins_shapes_and_batch_invariance(name):
     W, F, B = 12, 3, 5
     init, fwd = P.get_encoder(name)
@@ -201,8 +204,42 @@ def test_registry_dangling_and_unknown():
     with pytest.raises(KeyError, match="unknown"):
         P.get_encoder("nope")
     assert set(P.ENCODERS) == {
-        "default", "ann", "cnn", "vae", "lstm", "transformer", "vae_small"
+        "default", "ann", "cnn", "vae", "lstm", "transformer", "vae_small",
+        "cnn_working",
     }
+
+
+def test_cnn_working_skip_roundtrip():
+    """cnn_working pair (reference encoder_plugin_cnn_working.py:44-100,
+    decoder_plugin_cnn_working.py:38-103): skip tensors recorded before
+    each pooling feed the mirrored decoder; reconstruction returns the
+    original (B, W, F) shape, and the skips demonstrably flow (zero-skip
+    placeholder decode differs from the skip-fed decode)."""
+    W, F, B, L = 16, 2, 5, 4
+    enc_w = P.init_cnn_working(W, F, interface_size=L, initial_layer_size=16)
+    dec_w = P.init_cnn_working_decoder(W, F, interface_size=L, initial_layer_size=16)
+    x = RNG.standard_normal((B, W, F)).astype(np.float32)
+    z, skips = P.cnn_working_encode_with_skips(x, enc_w)
+    assert z.shape == (B, L)
+    # skips recorded BEFORE pooling: lengths W, W/2, W/4; conv filter widths
+    assert [s.shape[1] for s in skips] == [16, 8, 4]
+    assert [s.shape[2] for s in skips] == [16, 8, 4]
+    rec = P.cnn_working_decode(z, None, None, dec_w, skips=skips)
+    assert rec.shape == (B, W, F)
+    rec0 = P.cnn_working_decode(z, None, None, dec_w, skips=None)
+    assert rec0.shape == (B, W, F)
+    assert not np.allclose(rec, rec0)
+    # batch invariance through the skip path
+    parts = np.concatenate(
+        [
+            P.cnn_working_decode(
+                z[i : i + 1], None, None, dec_w,
+                skips=[s[i : i + 1] for s in skips],
+            )
+            for i in range(B)
+        ]
+    )
+    np.testing.assert_allclose(rec, parts, rtol=1e-4, atol=1e-5)
 
 
 # ---------------------------------------------------------------------------

@@ -76,11 +76,93 @@ def test_fingerprint_normalization_invariance(spark):
     assert out[2]["fp_rolling"] == roll("hello world")
 
 
-def test_multimodal_decode_stub_raises(spark):
-    media = synth_media(spark, 8)
+def test_multimodal_unsupported_formats_raise(spark):
+    """The stub boundary is now per-FORMAT: raw bytes (no P6/P5 magic) and
+    video kinds still raise NotImplementedError naming the problem."""
+    media = synth_media(spark, 4, kind="raw")  # 'PAYLOAD:...' opaque bytes
     with pytest.raises(Exception) as exc:
         decode_features(media, fake=False).collect()
-    assert "NotImplementedError" in str(exc.value) or "media decode" in str(exc.value)
+    assert "NotImplementedError" in str(exc.value) or "magic" in str(exc.value)
+
+
+def test_ppm_decode_golden():
+    """Handcrafted 4x4 P6 vs hand-computed pixel values (incl. a header
+    comment and the exact raster offset)."""
+    import numpy as np
+
+    from feature_extractor_spark.operators.multimodal import (
+        decode_ppm,
+        image_features,
+    )
+
+    raster = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3) * 5
+    payload = b"P6\n# comment\n4 4\n255\n" + raster.tobytes()
+    img = decode_ppm(payload)
+    assert img.shape == (4, 4, 3)
+    assert np.allclose(img, raster.astype(np.float32) / 255.0)
+    feats = image_features(img)
+    assert len(feats) == 10
+    assert abs(feats[0] - float((raster[:, :, 0] / 255.0).mean())) < 1e-6
+    assert abs(sum(feats[6:10]) - 1.0) < 1e-9  # histogram mass
+    # grayscale P5 replicates its channel into the r/g/b slots
+    g = np.arange(16, dtype=np.uint8).reshape(4, 4) * 16
+    gimg = decode_ppm(b"P5\n4 4\n255\n" + g.tobytes())
+    gfeats = image_features(gimg)
+    assert gfeats[0] == gfeats[1] == gfeats[2]
+
+
+def test_wav_decode_golden():
+    """8-sample 16-bit PCM WAV vs hand-computed sample values."""
+    import struct
+
+    import numpy as np
+
+    from feature_extractor_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+    )
+
+    samples = np.array([0, 16384, 32767, 16384, 0, -16384, -32768, -16384], "<i2")
+    data = samples.tobytes()
+    payload = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    x, rate = decode_wav(payload)
+    assert rate == 8000 and x.shape == (8, 1)
+    assert np.allclose(x[:, 0], samples.astype(np.float32) / 32768.0)
+    feats = audio_features(x, rate)
+    assert len(feats) == 10
+    assert abs(feats[8] - 8 / 8000) < 1e-12  # duration
+    exp_rms = float(np.sqrt(np.mean((samples / 32768.0) ** 2)))
+    assert abs(feats[2] - exp_rms) < 1e-6
+
+
+def test_multimodal_real_decode_stage(spark):
+    """The distributed stage decodes REAL payloads (PPM images + PCM WAV)
+    and is partitioning-invariant."""
+    import numpy as np
+
+    from feature_extractor_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+        image_features,
+        decode_ppm,
+        _synth_ppm,
+        _synth_wav,
+    )
+
+    img = synth_media(spark, 16, kind="image")
+    aud = synth_media(spark, 16, kind="audio")
+    out_i = decode_features(img.repartition(4), fake=False).orderBy("media_id").toPandas()
+    out_a = decode_features(aud, fake=False).orderBy("media_id").toPandas()
+    assert len(out_i) == len(out_a) == 16
+    # row 3 vs single-process oracle through the same pure decoders
+    exp_i = image_features(decode_ppm(_synth_ppm(3)))
+    exp_a = audio_features(*decode_wav(_synth_wav(3)))
+    assert np.allclose(out_i["features"][3], exp_i, rtol=1e-6)
+    assert np.allclose(out_a["features"][3], exp_a, rtol=1e-6)
 
 
 def test_multimodal_fake_decode_deterministic(spark):
