@@ -122,13 +122,22 @@ def shingle_hashes(shingles_col):
     return F.transform(shingles_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_M31)))
 
 
-def _minhash_signature(hash_col, k: int, seed: int = 7):
-    """K affine-permutation minhashes over pre-hashed shingles. All
-    built-in: transform + array_min, no UDF."""
+def _minhash_params(k: int, seed: int = 7) -> list[tuple[int, int]]:
     import random
 
     rnd = random.Random(seed)
-    params = [(rnd.randrange(1, _M31), rnd.randrange(0, _M31)) for _ in range(k)]
+    return [(rnd.randrange(1, _M31), rnd.randrange(0, _M31)) for _ in range(k)]
+
+
+def _minhash_signature(hash_col, k: int, seed: int = 7):
+    """K affine-permutation minhashes over a pre-hashed shingle ARRAY.
+    transform + array_min built-ins — correct, but Catalyst interprets HOF
+    lambdas (no codegen): K*|shingles| interpreted evals per document.
+    minhash_lsh_pairs uses the explode+groupBy twin below instead, which
+    runs the same K affine mins as compiled aggregate expressions; this
+    array form is kept for composition into array-level pipelines and as
+    the parity reference in tests."""
+    params = _minhash_params(k, seed)
 
     def perm(a, b):
         # single-arg lambda required: PySpark derives HOF arity from the
@@ -137,6 +146,29 @@ def _minhash_signature(hash_col, k: int, seed: int = 7):
 
     return F.array(
         *[F.array_min(F.transform(hash_col, perm(a, b))) for a, b in params]
+    )
+
+
+def _minhash_signatures_agg(
+    docs: DataFrame, id_col: str, hash_arr_col: str, k: int, seed: int = 7
+) -> DataFrame:
+    """Same K minhashes as ``_minhash_signature`` (bit-identical, tested),
+    computed as explode -> groupBy(id) -> K min() aggregates. Each affine
+    permutation is a compiled (whole-stage-codegen) expression instead of an
+    interpreted HOF lambda — measured ~10x on long documents — and the
+    groupBy's map-side partial aggregation reduces the exploded rows to one
+    K-wide row per (doc, partition) before the shuffle, so the shuffle
+    volume is O(docs * K), independent of shingle count."""
+    params = _minhash_params(k, seed)
+    ex = docs.select(F.col(id_col), F.explode(hash_arr_col).alias("__sh"))
+    aggs = [
+        F.min(F.pmod(F.col("__sh") * F.lit(a) + F.lit(b), F.lit(_M31))).alias(
+            f"__m{i}"
+        )
+        for i, (a, b) in enumerate(params)
+    ]
+    return ex.groupBy(id_col).agg(*aggs).select(
+        F.col(id_col), F.array(*[f"__m{i}" for i in range(k)]).alias("sig")
     )
 
 
@@ -164,12 +196,24 @@ def with_shingles(
     return df.withColumn(out_col, sh).drop("__ws")
 
 
-def hashed_shingles(words_col, n: int = 3):
-    """Shingle hashes WITHOUT building shingle strings: hash each word once
-    (xxhash64), then combine the n word hashes of each shingle with odd
-    multipliers (wrapping long arithmetic), folded into [0, 2^31-1).
-    Replaces concat_ws+xxhash64 over 3x-length strings — string
-    construction dominated the minhash build (measured ~2x)."""
+def word_hashes(words_col):
+    """Per-word 64-bit hash folded into [0, 2^31-1)."""
+    return F.transform(words_col, lambda w: F.pmod(F.xxhash64(w), F.lit(_M31)))
+
+
+def combine_word_hashes(wh_col, n: int = 3):
+    """n-gram shingle hashes from a column of PRE-HASHED words: combine the
+    n word hashes of each shingle with odd multipliers (wrapping long
+    arithmetic), folded into [0, 2^31-1).
+
+    ``wh_col`` MUST be a reference to a materialized column (F.col), never
+    the word-hash subtree inline: every ``element_at`` below re-evaluates
+    its array child, so an inline subtree re-tokenizes + re-hashes the whole
+    document once per element_at — 3 * |shingles| full-document scans
+    (measured: the entire minhash build went 16.4s -> 0.7s at sf0.1 when
+    the word-hash array became a real column). The multi-reference itself
+    is what stops Catalyst's CollapseProject from inlining the alias back.
+    """
     # ANSI mode: long overflow THROWS, so keep everything under 2^63 —
     # word hashes folded to [0, 2^31), odd multipliers < 2^30 (each product
     # < 2^61), and each product reduced mod 2^31-1 BEFORE the sum (so the
@@ -177,21 +221,29 @@ def hashed_shingles(words_col, n: int = 3):
     mults = [536870909, 402653171, 268435399, 134217689, 67108859]
     while len(mults) < n:
         mults.append(mults[len(mults) % 5] ^ (len(mults) * 2654435761 % (1 << 29)))
-    wh = F.transform(words_col, lambda w: F.pmod(F.xxhash64(w), F.lit(_M31)))
-    count = F.size(wh) - (n - 1)
+    count = F.size(wh_col) - (n - 1)
     return F.when(
         count > 0,
         F.transform(
             F.sequence(F.lit(1), count),
             lambda i: F.pmod(
                 sum(
-                    F.pmod(F.element_at(wh, i + j) * F.lit(mults[j]), F.lit(_M31))
+                    F.pmod(F.element_at(wh_col, i + j) * F.lit(mults[j]), F.lit(_M31))
                     for j in range(n)
                 ),
                 F.lit(_M31),
             ),
         ),
     ).otherwise(F.array().cast("array<long>"))
+
+
+def hashed_shingles(words_col, n: int = 3):
+    """Shingle hashes WITHOUT building shingle strings (expression form —
+    words hashed then combined inline). Composable anywhere an expression
+    is needed, but subject to the element_at re-evaluation trap described
+    in combine_word_hashes: inside minhash_lsh_pairs the two steps are
+    split across a materialized column instead."""
+    return combine_word_hashes(word_hashes(words_col), n)
 
 
 def minhash_lsh_pairs(
@@ -221,20 +273,39 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     ws = F.transform(words(F.col(text_col)), F.lower)
-    docs = (
+    # Round-robin rebalance of the raw (id, text) rows BEFORE the heavy
+    # shingle-hash + K-permutation compute: a small parquet input arrives as
+    # one split, which would pin the whole interpreted-HOF minhash build on a
+    # single task (measured 27s -> 1.5s at sf0.1 on local[32]); at scale the
+    # same shuffle evens out skewed file sizes. Cost: one shuffle of the raw
+    # text — cheap relative to the K*shingles expression work it balances.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # The persist sits at the WORD-HASH level, and that placement is load-
+    # bearing twice over: (a) it is the only reliable projection-collapse
+    # barrier — an aliased __wh column in the same plan gets inlined by
+    # CollapseProject into every element_at of the shingle combine, which
+    # re-tokenizes + re-hashes the whole document once per shingle element
+    # (measured: 14.7s -> ~1s for the sf0.1 build; visible as 6 copies of
+    # xxhash64 in the optimized plan); (b) the cache feeds all three
+    # consumers (signatures + both sides of the verification join), which
+    # race to populate it inside one job — the per-consumer recompute from
+    # the cached array (the O(shingles) combine) is the cheap part.
+    # The repartition ahead of it spreads a small single-split input (and,
+    # at scale, skewed file sizes) across the cluster before the hash work.
+    wh_tbl = (
         df.select(id_col, text_col)
-        .withColumn("__h", hashed_shingles(ws, shingle_n))
-        .filter(F.size("__h") > 0)
-        .select(id_col, "__h")
+        .repartition(par)
+        .select(F.col(id_col), word_hashes(ws).alias("__wh"))
+        .persist()
     )
-    # persist: (a) the hashed shingles feed three consumers (signatures +
-    # both sides of the verification join); (b) the cache is a projection-
-    # collapse barrier — without it Catalyst inlines the __h expression into
-    # every one of the k permutation transforms, re-hashing k times
-    docs = docs.persist()
-    sig = docs.withColumn(
-        "sig", _minhash_signature(F.col("__h"), num_hashes)
-    ).select(id_col, "sig")
+    docs = (
+        wh_tbl.select(
+            F.col(id_col),
+            combine_word_hashes(F.col("__wh"), shingle_n).alias("__h"),
+        )
+        .filter(F.size("__h") > 0)
+    )
+    sig = _minhash_signatures_agg(docs, id_col, "__h", num_hashes)
 
     band_structs = F.array(
         *[
@@ -285,7 +356,7 @@ def minhash_lsh_pairs(
         # localCheckpoint blocks are freed by the ContextCleaner when the
         # returned frame is dropped — no explicit unpersist debt on callers.
         out = out.localCheckpoint(eager=True)
-        docs.unpersist()
+        wh_tbl.unpersist()
     return out
 
 
