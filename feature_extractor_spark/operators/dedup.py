@@ -388,24 +388,38 @@ def simhash(
     else:
         raise ValueError(f"unknown hash_fn: {hash_fn}")
     toks = F.transform(words(F.col(text_col)), F.lower)
-    # token hashes materialized as a real column: each of the `bits`
-    # aggregates below re-evaluates its collection argument, so an inline
-    # subtree would tokenize+hash the document `bits` times
-    base = df.select(F.col(id_col), F.transform(toks, hasher).alias("__th"))
-    hashed = F.col("__th")
-
-    def bit_sum(b):
-        return F.aggregate(
-            hashed,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    bit_sums = [bit_sum(b) for b in range(bits)]
+    # explode -> groupBy with `bits` compiled sum() aggregates instead of
+    # `bits` interpreted F.aggregate HOF lambdas over the token array
+    # (Catalyst does not codegen lambda bodies; measured ~4x at sf0.1, and
+    # the groupBy's map-side partial aggregation keeps the shuffle at one
+    # `bits`-wide row per (doc, partition)). explode_outer + a null guard
+    # keeps token-less documents in the output with fingerprint 0 — same
+    # contract as the array form (empty aggregate -> all sums 0 -> bits 0).
+    # The repartition spreads a small single-split input across the
+    # cluster before the hash work (single-task otherwise).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    ex = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(par)
+        .select(F.col(id_col), F.explode_outer(toks).alias("__w"))
+        .select(F.col(id_col), hasher(F.col("__w")).alias("__th"))
+    )
+    h = F.col("__th")
+    bit_sums = [
+        F.sum(
+            F.when(h.isNull(), 0)
+            .when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"__s{b}")
+        for b in range(bits)
+    ]
+    agg = ex.groupBy(id_col).agg(*bit_sums)
     fp = None
-    for b, s in enumerate(bit_sums):
-        bit = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    for b in range(bits):
+        bit = (
+            F.when(F.col(f"__s{b}") > 0, F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
         term = F.shiftleft(bit, b)
         fp = term if fp is None else fp.bitwiseOR(term)
-    return base.select(F.col(id_col), fp.alias("simhash"))
+    return agg.select(F.col(id_col), fp.alias("simhash"))
