@@ -14,9 +14,10 @@ plus its two quirks, kept deliberately:
 - unknown ``--key value`` pairs are accepted and type-coerced int -> float
   -> string (config_merger.py:6-14).
 
-Remote JSON config over HTTP (reference app/config_handler.py) stays out of
-scope (SURVEY §2.1 S6: declared non-goal — no network in this environment);
-local JSON files cover the file layer.
+Remote JSON config over HTTP (S6, reference app/config_handler.py) lives in
+plans/remote_config.py (stdlib urllib, driver-side); pipeline.main wires it
+as the file layer when --remote_load_config is passed, matching
+main.py:48-50.
 """
 
 from __future__ import annotations

@@ -87,6 +87,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--input", required=True, help="input parquet path")
     p.add_argument("--output", required=True, help="latents parquet path")
     p.add_argument("--config", default=None, help="JSON config file (file layer)")
+    p.add_argument(
+        "--remote_load_config", default=None,
+        help="URL of a remote JSON config; replaces the file layer "
+             "(reference main.py:48-50)",
+    )
+    p.add_argument("--username", default=None, help="basic-auth user for remote config")
+    p.add_argument("--password", default=None, help="basic-auth password for remote config")
     p.add_argument("--entity_col", default=None)
     p.add_argument("--ts_col", default=None)
     p.add_argument("--feature-cols", nargs="+", required=True, dest="feature_cols")
@@ -97,14 +104,29 @@ def main(argv: list[str] | None = None) -> None:
     args, unknown = p.parse_known_args(argv)
 
     raw_argv = argv if argv is not None else sys.argv[1:]
+    file_config = load_config_file(args.config)
+    if args.remote_load_config:
+        from feature_extractor_spark.plans.remote_config import remote_load_config
+
+        remote = remote_load_config(
+            args.remote_load_config, args.username, args.password
+        )
+        if remote is not None:  # failed fetch falls back to the file layer
+            file_config = remote
     cfg = merge_config(
         defaults=DEFAULT_VALUES,
         plugin_params={},
-        file_config=load_config_file(args.config),
+        file_config=file_config,
         cli_args={k: v for k, v in vars(args).items() if v is not None},
         typed_flags=typed_flags_from_argv(raw_argv),
         unknown_args=process_unknown_args(unknown),
     )
+    if cfg.get("remote_save_config"):  # reference main.py:124-127
+        from feature_extractor_spark.plans.remote_config import remote_save_config
+
+        remote_save_config(
+            cfg, cfg["remote_save_config"], cfg.get("username"), cfg.get("password")
+        )
 
     from feature_extractor_spark.session import get_spark
 
