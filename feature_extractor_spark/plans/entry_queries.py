@@ -1183,6 +1183,34 @@ def vae_small_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rec.select("user_id", "ts", *_array_probes("reconstruction", "rec"))
 
 
+@_q("a8_best_latent_search")  # NN forwards in the loop -> rows-only check
+def a8_best_latent_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 incremental latent-dim search (reference
+    data_processor.py:228-395): per-candidate DISTRIBUTED validation MAE
+    (encode -> decode -> built-in zip_with/aggregate row MAE -> avg) over
+    the O4 validation ts-range split, argmin selection with the
+    reference's early-stop/step/cap control flow. Deterministic: seeded
+    candidate weights, fixed split. One row per evaluated candidate."""
+    from feature_extractor_spark.plans.model_search import incremental_latent_search
+
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-13")
+    )
+    win = sliding_windows(ev, "user_id", "ts", ["value"], 16)
+    res = incremental_latent_search(
+        win, window_size=16, n_features=1,
+        initial_latent_dim=4, step_size_latent=4, max_latent_dim=12,
+        threshold_error=0.0, lstm_units=8, initial_conv_filters=32,
+    )
+    rows = [
+        (int(d), round(float(m), 4), d == res["best_latent_dim"])
+        for d, m in res["candidates"]
+    ]
+    return spark.createDataFrame(
+        rows, "latent_dim int, val_mae double, selected boolean"
+    )
+
+
 @_q("u1_golden_transformer_latents")  # trained-NN forward -> rows-only
 def u1_golden_transformer_latents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's GOLDEN trained transformer encoder
