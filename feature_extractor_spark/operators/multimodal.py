@@ -25,7 +25,6 @@ NumPy-vectorized (frombuffer views, no per-pixel Python).
 from __future__ import annotations
 
 import hashlib
-import math
 import struct
 from typing import Iterator
 
@@ -64,7 +63,7 @@ N_FEATURES = 10  # fixed feature width shared by both modalities
 
 
 def decode_ppm(payload: bytes) -> np.ndarray:
-    """Binary PPM (P6) / PGM (P5) -> float32 (H, W, C) in [0, 1].
+    """Binary PPM (P6) / PGM (P5) -> float64 (H, W, C) in [0, 1].
 
     Netpbm header: magic, width, height, maxval as whitespace-separated
     ASCII tokens ('#' comments run to end of line), one whitespace byte,
@@ -105,13 +104,16 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         raster = np.frombuffer(buf, dtype=np.uint8, count=n, offset=pos)
     else:
         raster = np.frombuffer(buf, dtype=">u2", count=n, offset=pos)
-    img = raster.reshape(height, width, channels).astype(np.float32)
-    return img / np.float32(maxval)
+    # float64 end-to-end: the feature statistics must be reproducible by
+    # an external float64 engine (the DuckDB oracle) — float32 accumulation
+    # would diverge at the probe-rounding precision
+    img = raster.reshape(height, width, channels).astype(np.float64)
+    return img / float(maxval)
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """RIFF WAVE (PCM 8-bit unsigned or 16-bit signed) ->
-    (float32 samples (n, channels) in [-1, 1], sample_rate).
+    (float64 samples (n, channels) in [-1, 1], sample_rate).
 
     Chunk walk: 'RIFF'<size>'WAVE', then <id><size><body> chunks; 'fmt '
     carries (format, channels, rate, ..., bits), 'data' the samples."""
@@ -140,10 +142,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     off, size = data
     if bits == 16:
         raw = np.frombuffer(payload, dtype="<i2", count=size // 2, offset=off)
-        x = raw.astype(np.float32) / np.float32(32768.0)
+        x = raw.astype(np.float64) / 32768.0
     elif bits == 8:
         raw = np.frombuffer(payload, dtype=np.uint8, count=size, offset=off)
-        x = (raw.astype(np.float32) - 128.0) / np.float32(128.0)
+        x = (raw.astype(np.float64) - 128.0) / 128.0
     else:
         raise NotImplementedError(f"WAV bit depth {bits}: only 8/16-bit PCM")
     if n_channels > 1:
@@ -172,7 +174,7 @@ def image_features(img: np.ndarray) -> list[float]:
 
 
 def audio_features(x: np.ndarray, sample_rate: int) -> list[float]:
-    """(n, channels) float32 in [-1,1] -> [mean, std, rms, zcr, hist0..3,
+    """(n, channels) float64 in [-1,1] -> [mean, std, rms, zcr, hist0..3,
     duration_sec, sample_rate/48000] over the channel-mean signal."""
     mono = x.mean(axis=1)
     n = len(mono)
@@ -222,9 +224,12 @@ def _synth_ppm(i: int, width: int = 8, height: int = 8) -> bytes:
 
 
 def _synth_wav(i: int, n: int = 64, rate: int = 8000) -> bytes:
-    """Deterministic 16-bit mono PCM WAV: one sine period per (id+1)."""
-    t = np.arange(n, dtype=np.float64)
-    samples = (30000 * np.sin(2 * math.pi * (i % 7 + 1) * t / n)).astype("<i2")
+    """Deterministic 16-bit mono PCM WAV. Samples follow an exact integer
+    formula (affine congruential sweep over the full int16 range) rather
+    than a sine so any engine — including the DuckDB oracle — reproduces
+    the byte-identical signal without depending on a libm sin()."""
+    t = np.arange(n, dtype=np.int64)
+    samples = ((i * 7919 + t * 2903 + 12345) % 65536 - 32768).astype("<i2")
     data = samples.tobytes()
     hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
     hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)

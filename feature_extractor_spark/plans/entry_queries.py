@@ -1044,14 +1044,82 @@ def encoder_latents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z.select("user_id", "ts", *_array_probes("z_mean", "z"))
 
 
-@_q("multimodal_features")  # binary decode: no SQL analog -> rows-only check
+@_q(
+    "multimodal_features",
+    """
+    WITH img_px AS (
+      SELECT m, y, x, c, (((m*31 + y*16 + x*4 + c*7) % 256) / 255.0) AS v
+      FROM range(128) t1(m), range(8) t2(y), range(8) t3(x), range(3) t4(c)
+    ), img_ch AS (
+      SELECT m, c, avg(v) AS mu, sqrt(var_pop(v)) AS sd
+      FROM img_px GROUP BY m, c
+    ), img_lum AS (
+      SELECT m, y, x,
+             0.299*max(CASE WHEN c=0 THEN v END)
+             + 0.587*max(CASE WHEN c=1 THEN v END)
+             + 0.114*max(CASE WHEN c=2 THEN v END) AS lum
+      FROM img_px GROUP BY m, y, x
+    ), img_hist AS (
+      SELECT m,
+        sum(CASE WHEN lum < 0.25 THEN 1 ELSE 0 END)/64.0 AS h0,
+        sum(CASE WHEN lum >= 0.25 AND lum < 0.5 THEN 1 ELSE 0 END)/64.0 AS h1,
+        sum(CASE WHEN lum >= 0.5 AND lum < 0.75 THEN 1 ELSE 0 END)/64.0 AS h2,
+        sum(CASE WHEN lum >= 0.75 AND lum <= 1.0 THEN 1 ELSE 0 END)/64.0 AS h3
+      FROM img_lum GROUP BY m
+    ), img_feat AS (
+      SELECT ch.m,
+        max(CASE WHEN c=0 THEN mu END)::FLOAT::DOUBLE AS f0,
+        max(CASE WHEN c=1 THEN mu END)::FLOAT::DOUBLE AS f1,
+        max(CASE WHEN c=2 THEN mu END)::FLOAT::DOUBLE AS f2,
+        max(CASE WHEN c=0 THEN sd END)::FLOAT::DOUBLE AS f3,
+        max(CASE WHEN c=1 THEN sd END)::FLOAT::DOUBLE AS f4,
+        max(CASE WHEN c=2 THEN sd END)::FLOAT::DOUBLE AS f5,
+        any_value(h0)::FLOAT::DOUBLE AS f6, any_value(h1)::FLOAT::DOUBLE AS f7,
+        any_value(h2)::FLOAT::DOUBLE AS f8, any_value(h3)::FLOAT::DOUBLE AS f9
+      FROM img_ch ch JOIN img_hist h USING (m) GROUP BY ch.m
+    ), aud_s AS (
+      SELECT m, k, (((m*7919 + k*2903 + 12345) % 65536) - 32768) / 32768.0 AS x
+      FROM range(128) t1(m), range(64) t2(k)
+    ), aud_zc AS (
+      SELECT m, k, x, lag(x) OVER (PARTITION BY m ORDER BY k) AS px FROM aud_s
+    ), aud_feat AS (
+      SELECT m,
+        avg(x)::FLOAT::DOUBLE AS f0,
+        sqrt(var_pop(x))::FLOAT::DOUBLE AS f1,
+        sqrt(avg(x*x))::FLOAT::DOUBLE AS f2,
+        (sum(CASE WHEN px IS NOT NULL AND ((x < 0) != (px < 0))
+                  THEN 1 ELSE 0 END) / 63.0)::FLOAT::DOUBLE AS f3,
+        (sum(CASE WHEN abs(x) < 0.25 THEN 1 ELSE 0 END)/64.0)::FLOAT::DOUBLE AS f4,
+        (sum(CASE WHEN abs(x) >= 0.25 AND abs(x) < 0.5 THEN 1 ELSE 0 END)/64.0)::FLOAT::DOUBLE AS f5,
+        (sum(CASE WHEN abs(x) >= 0.5 AND abs(x) < 0.75 THEN 1 ELSE 0 END)/64.0)::FLOAT::DOUBLE AS f6,
+        (sum(CASE WHEN abs(x) >= 0.75 AND abs(x) <= 1.0 THEN 1 ELSE 0 END)/64.0)::FLOAT::DOUBLE AS f7,
+        (64/8000.0)::FLOAT::DOUBLE AS f8,
+        (8000/48000.0)::FLOAT::DOUBLE AS f9
+      FROM aud_zc GROUP BY m
+    ), both_feat AS (
+      SELECT 'img_m_' || lpad(m::VARCHAR, 6, '0') AS media_id,
+             f0, f1, f2, f3, f4, f5, f6, f7, f8, f9 FROM img_feat
+      UNION ALL
+      SELECT 'aud_m_' || lpad(m::VARCHAR, 6, '0') AS media_id,
+             f0, f1, f2, f3, f4, f5, f6, f7, f8, f9 FROM aud_feat
+    )
+    SELECT media_id, 10 AS feat_dim,
+           round(f0+f1+f2+f3+f4+f5+f6+f7+f8+f9, 4) AS feat_checksum,
+           round(f0, 5) AS feat_first, round(f9, 5) AS feat_last
+    FROM both_feat
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal REAL decode: binary P6 PPM images + PCM WAV audio parsed
     by the pure-NumPy decoders (operators/multimodal.py) inside the
     mapInPandas stage — per-channel mean/std + histograms from actual
-    pixels/samples. Golden-value parity vs handcrafted payloads lives in
-    tests/test_text_multimodal.py; formats needing codec libs (JPEG/video)
-    remain an explicit NotImplementedError boundary."""
+    pixels/samples. The DuckDB oracle re-derives every feature value from
+    the synthetic generators' exact integer formulas (pixel = affine
+    pattern mod 256; sample = affine sweep over the int16 range), so the
+    hash match verifies the decoders bit-for-bit through the probe
+    rounding; golden-value parity vs handcrafted payloads additionally
+    lives in tests/test_text_multimodal.py. Formats needing codec libs
+    (JPEG/video) remain an explicit NotImplementedError boundary."""
     from feature_extractor_spark.operators.multimodal import (
         decode_features,
         synth_media,
