@@ -171,7 +171,9 @@ def test_stream_ema_matches_batch_across_microbatches(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(src + "/f*.parquet")
     )
-    out = stream_ema(stream, "doc_id", "ts", "value", span=5)
+    # timeout_minutes=None: availableNow never terminates under
+    # ProcessingTimeTimeout (endless timeout-evaluation batches)
+    out = stream_ema(stream, "doc_id", "ts", "value", span=5, timeout_minutes=None)
     q = (
         out.writeStream.format("memory")
         .queryName("ema_out")
@@ -228,3 +230,76 @@ def test_ema_macd_cross_batch_carry(spark):
         )
     finally:
         spark.conf.set(conf, old)
+
+
+def test_stream_windowed_encode_matches_batch(spark, tmp_path):
+    """Stateful streaming windowed-encode: trailing (W-1)-row state carried
+    across micro-batches must reproduce the batch sliding-window + encoder
+    latents exactly (allclose — float32 GEMM)."""
+    import glob as _glob
+    import os
+    import time as _time
+
+    from feature_extractor_spark.encoder import encode_stage, init_weights
+    from feature_extractor_spark.operators.windows import sliding_windows
+    from feature_extractor_spark.streaming import stream_windowed_encode
+
+    W = 8
+    df = _events(spark, n_users=2, n=30)
+    weights = init_weights(
+        window_size=W, n_features=1, rnn_hidden_dim=0,
+        conditioning_dim=0, latent_dim=6,
+    )
+
+    src = str(tmp_path / "we_src")
+    os.makedirs(src)
+    pdf_all = df.toPandas().sort_values(["ts"], kind="mergesort")
+    thirds = [
+        pdf_all.iloc[: len(pdf_all) // 3],
+        pdf_all.iloc[len(pdf_all) // 3 : 2 * len(pdf_all) // 3],
+        pdf_all.iloc[2 * len(pdf_all) // 3 :],
+    ]
+    for i, part in enumerate(thirds):
+        spark.createDataFrame(part).coalesce(1).write.parquet(f"{src}/part{i}")
+        _time.sleep(1.1)
+    files = sorted(_glob.glob(f"{src}/part*/part-*.parquet"))
+    for i, a in enumerate(files):
+        os.rename(a, f"{src}/f{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*.parquet")
+    )
+    out = stream_windowed_encode(
+        stream, "doc_id", "ts", ["value"], W, weights, timeout_minutes=None
+    )
+    # state-store tasks = shuffle partitions; 32 x 3 micro-batches is pure
+    # overhead for a 2-entity stream — drop to 4 for this query
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("we_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    got = spark.table("we_out").orderBy("doc_id", "ts").toPandas()
+
+    win = sliding_windows(df, "doc_id", "ts", ["value"], W)
+    batch = (
+        encode_stage(win, weights, keep_cols=["doc_id", "ts"])
+        .orderBy("doc_id", "ts")
+        .toPandas()
+    )
+    assert len(got) == len(batch) > 0
+    assert got["doc_id"].tolist() == batch["doc_id"].tolist()
+    assert got["ts"].tolist() == batch["ts"].tolist()
+    z_stream = np.asarray([np.asarray(v) for v in got["z_mean"]])
+    z_batch = np.asarray([np.asarray(v) for v in batch["z_mean"]])
+    np.testing.assert_allclose(z_stream, z_batch, rtol=1e-5, atol=1e-6)
