@@ -1251,6 +1251,84 @@ def vae_small_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rec.select("user_id", "ts", *_array_probes("reconstruction", "rec"))
 
 
+@_q(
+    "tokens_asof_window_features",
+    """
+    WITH base AS (
+      SELECT i::BIGINT AS id,
+        CASE WHEN i % 5 = 0 THEN 0
+             ELSE ((i::BIGINT*2654435761 + 40503) % 2147483647) % 49 + 1
+        END AS doc_idx,
+        (((i::BIGINT*2654435761 + 2*40503) % 2147483647) % 57 + 8) AS n_tok,
+        (['web','books','code','news'])[
+          ((((i::BIGINT*2654435761 + 3*40503) % 2147483647) % 4) + 1)::INT
+        ] AS source,
+        (1704067200 + i::BIGINT*60 + (i // 50)*3600)::BIGINT AS unix_ts
+      FROM range(4000) t(i)
+    ), rows_ AS (
+      SELECT 'doc_' || lpad(doc_idx::VARCHAR, 6, '0') AS doc_id,
+        unix_ts, n_tok::INT AS n_tok, source,
+        ((id*2654435761) % 50257)::INT AS first_token,
+        ((id*2654435761 + (n_tok-1)*40503) % 50257)::INT AS last_token,
+        list_sum(list_transform(range(n_tok),
+                                i -> (id*2654435761 + i*40503) % 50257)
+                )::BIGINT AS token_sum
+      FROM base
+    )
+    SELECT doc_id, unix_ts, n_tok, source, first_token, last_token, token_sum,
+      row_number() OVER w AS pos,
+      lag(n_tok) OVER w AS lag1_n_tok,
+      round(avg(n_tok) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+        AS roll4_avg_n_tok,
+      last_value(CASE WHEN source = 'code' THEN unix_ts END IGNORE NULLS)
+        OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS locf_code_ts
+    FROM rows_
+    WINDOW w AS (PARTITION BY doc_id ORDER BY unix_ts)
+    """,
+)
+def tokens_asof_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule headline shape over the canonical input-hint table
+    ``(doc_id, tokens: array<int32>, n_tok, source, ts)``: per-row
+    token-array equality probes (first/last token + token checksum computed
+    from the ACTUAL array the engine materialized — the oracle re-derives
+    them from the generator's integer formula, so a hash match IS the
+    token-array-equality invariant), plus the windowed-feature stage —
+    positional index, lag, 4-row rolling mean, and LOCF of the last
+    'code'-source timestamp (backward-only: zero temporal leakage by
+    construction of the frame bounds). Fully Catalyst-planned: one shuffle
+    on doc_id serves every window; probes are built-in aggregate/element_at
+    expressions."""
+    from feature_extractor_spark.sources.tokens import synth_tokens
+
+    tok = synth_tokens(spark, n_rows=4000, n_docs=50, heavy_share=5)
+    unix = F.unix_timestamp("ts").alias("unix_ts")
+    w = Window.partitionBy("doc_id").orderBy("unix_ts")
+    return (
+        tok.select(
+            "doc_id", unix, "n_tok", "source",
+            F.element_at("tokens", 1).alias("first_token"),
+            F.element_at("tokens", -1).alias("last_token"),
+            F.aggregate(
+                "tokens", F.lit(0).cast("long"), lambda acc, t: acc + t
+            ).alias("token_sum"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("lag1_n_tok", F.lag("n_tok").over(w))
+        .withColumn(
+            "roll4_avg_n_tok",
+            F.round(F.avg("n_tok").over(w.rowsBetween(-3, 0)), 4),
+        )
+        .withColumn(
+            "locf_code_ts",
+            F.last(
+                F.when(F.col("source") == "code", F.col("unix_ts")),
+                ignorenulls=True,
+            ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+
+
 @_q("a8_best_latent_search")  # NN forwards in the loop -> rows-only check
 def a8_best_latent_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 incremental latent-dim search (reference
