@@ -246,6 +246,43 @@ def hashed_shingles(words_col, n: int = 3):
     return combine_word_hashes(word_hashes(words_col), n)
 
 
+def _hashed_shingle_table(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> tuple[DataFrame, DataFrame]:
+    """(persisted word-hash table, shingle-hash frame derived from it).
+
+    The persist sits at the WORD-HASH level, and that placement is load-
+    bearing twice over: (a) it is the only reliable projection-collapse
+    barrier — an aliased __wh column in the same plan gets inlined by
+    CollapseProject into every element_at of the shingle combine, which
+    re-tokenizes + re-hashes the whole document once per shingle element
+    (measured: 14.7s -> ~1s for the sf0.1 build; visible as 6 copies of
+    xxhash64 in the optimized plan — tests/test_plan_quality.py pins the
+    count at exactly 1); (b) the cache feeds all three consumers
+    (signatures + both sides of the verification join), which race to
+    populate it inside one job — the per-consumer recompute from the
+    cached array (the O(shingles) combine) is the cheap part.
+    The repartition ahead of it spreads a small single-split input (and,
+    at scale, skewed file sizes) across the cluster before the hash work.
+    Caller owns unpersisting the returned wh_tbl."""
+    ws = F.transform(words(F.col(text_col)), F.lower)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    wh_tbl = (
+        df.select(id_col, text_col)
+        .repartition(par)
+        .select(F.col(id_col), word_hashes(ws).alias("__wh"))
+        .persist()
+    )
+    docs = (
+        wh_tbl.select(
+            F.col(id_col),
+            combine_word_hashes(F.col("__wh"), shingle_n).alias("__h"),
+        )
+        .filter(F.size("__h") > 0)
+    )
+    return wh_tbl, docs
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -272,39 +309,7 @@ def minhash_lsh_pairs(
     (freed only when the plan's RDDs are GC'd)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    ws = F.transform(words(F.col(text_col)), F.lower)
-    # Round-robin rebalance of the raw (id, text) rows BEFORE the heavy
-    # shingle-hash + K-permutation compute: a small parquet input arrives as
-    # one split, which would pin the whole interpreted-HOF minhash build on a
-    # single task (measured 27s -> 1.5s at sf0.1 on local[32]); at scale the
-    # same shuffle evens out skewed file sizes. Cost: one shuffle of the raw
-    # text — cheap relative to the K*shingles expression work it balances.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    # The persist sits at the WORD-HASH level, and that placement is load-
-    # bearing twice over: (a) it is the only reliable projection-collapse
-    # barrier — an aliased __wh column in the same plan gets inlined by
-    # CollapseProject into every element_at of the shingle combine, which
-    # re-tokenizes + re-hashes the whole document once per shingle element
-    # (measured: 14.7s -> ~1s for the sf0.1 build; visible as 6 copies of
-    # xxhash64 in the optimized plan); (b) the cache feeds all three
-    # consumers (signatures + both sides of the verification join), which
-    # race to populate it inside one job — the per-consumer recompute from
-    # the cached array (the O(shingles) combine) is the cheap part.
-    # The repartition ahead of it spreads a small single-split input (and,
-    # at scale, skewed file sizes) across the cluster before the hash work.
-    wh_tbl = (
-        df.select(id_col, text_col)
-        .repartition(par)
-        .select(F.col(id_col), word_hashes(ws).alias("__wh"))
-        .persist()
-    )
-    docs = (
-        wh_tbl.select(
-            F.col(id_col),
-            combine_word_hashes(F.col("__wh"), shingle_n).alias("__h"),
-        )
-        .filter(F.size("__h") > 0)
-    )
+    wh_tbl, docs = _hashed_shingle_table(df, id_col, text_col, shingle_n)
     sig = _minhash_signatures_agg(docs, id_col, "__h", num_hashes)
 
     band_structs = F.array(
