@@ -34,34 +34,7 @@ def _norm(a):
     )
 
 
-def cosine_topk(
-    queries: DataFrame,
-    corpus: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 5,
-    include_self: bool = False,
-) -> DataFrame:
-    """Brute-force cosine top-k. Returns (query_id, neighbor_id, cosine,
-    rank). Ties broken by neighbor_id (deterministic)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        _norm(F.col(vec_col)).alias("qn"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        _norm(F.col(vec_col)).alias("cn"),
-    )
-    joined = c.crossJoin(F.broadcast(q))
-    if not include_self:
-        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = joined.select(
-        "query_id",
-        "neighbor_id",
-        (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
-    )
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -70,6 +43,112 @@ def cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    include_self: bool = False,
+    method: str = "gemm",
+) -> DataFrame:
+    """Brute-force cosine top-k. Returns (query_id, neighbor_id, cosine,
+    rank). Ties broken by neighbor_id (deterministic).
+
+    ``method``:
+    - "gemm" (default): one float64 GEMM per Arrow corpus batch against the
+      broadcast query matrix, then a map-side PARTIAL top-k per (query,
+      batch) — only partitions*|Q|*k candidate rows reach the final
+      ranking shuffle, vs |corpus|*|Q| scored rows for the expression
+      path. Partial selection orders by (-cosine, neighbor_id), the same
+      total order as the final rank, so the merge is exact including ties.
+      ~10x over the interpreted zip_with/aggregate dot product (Catalyst
+      does not codegen lambda bodies).
+    - "expr": the all-built-in broadcast-nested-loop form — keeps the
+      whole plan in Column expressions for composition/oracle symmetry.
+    """
+    if method == "expr":
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("qn"),
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            _norm(F.col(vec_col)).alias("cn"),
+        )
+        joined = c.crossJoin(F.broadcast(q))
+        if not include_self:
+            joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+        scored = joined.select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+                "cosine"
+            ),
+        )
+        return _rank_topk(scored, k)
+    if method != "gemm":
+        raise ValueError(f"unknown method: {method}")
+
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    # query side is bounded by contract (it was broadcast in the expr path
+    # too); float64 throughout so cosines match a float64 oracle at
+    # rounding precision
+    qrows = queries.select(id_col, vec_col).collect()
+    id_type = corpus.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    spark = corpus.sparkSession
+    if not qrows:
+        return _rank_topk(spark.createDataFrame([], out_schema), k)
+    q_ids = np.asarray([r[0] for r in qrows])
+    Qm = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    qn = np.maximum(np.linalg.norm(Qm, axis=1), 1e-300)
+    bq = spark.sparkContext.broadcast((q_ids, Qm, qn))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, Q, qnorm = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            cn = np.maximum(np.linalg.norm(C, axis=1), 1e-300)
+            S = (C @ Q.T) / cn[:, None] / qnorm[None, :]  # (B, Q)
+            n_ids = pdf[id_col].to_numpy()
+            if not include_self:
+                S = np.where(n_ids[:, None] == ids_q[None, :], -np.inf, S)
+            kk = min(k, len(pdf))
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(ids_q)):
+                # exact partial: same (-cosine, neighbor_id) order as the
+                # final rank, so ties at the k-boundary survive the merge
+                idx = np.lexsort((n_ids, -S[:, j]))[:kk]
+                idx = idx[np.isfinite(S[idx, j])]
+                out_q.extend([ids_q[j]] * len(idx))
+                out_n.extend(n_ids[idx])
+                out_c.extend(S[idx, j])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    return _rank_topk(partial, k)
 
 
 def lsh_bucketed_topk(
