@@ -428,3 +428,75 @@ def simhash(
         term = F.shiftleft(bit, b)
         fp = term if fp is None else fp.bitwiseOR(term)
     return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    Pigeonhole banding makes this EXACT, not approximate: the fingerprint
+    is split into ``bands`` contiguous chunks (default max_hamming + 1);
+    any pair within Hamming distance d < bands differs in at most d chunks,
+    so at least one chunk is identical — candidate generation joins on
+    (band_index, chunk) and NEVER misses a qualifying pair. Verification
+    is one xor + bit_count per candidate (built-in, codegen).
+
+    Scale shape: the join key is (band, chunk) — |bands| rows per doc, one
+    shuffle; candidate count is driven by chunk collisions, not N^2. A
+    pathological corpus (everything near-identical) degrades to the true
+    pair count, which is the output size anyway.
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if bands is None:
+        bands = max_hamming + 1
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) for the "
+            "pigeonhole guarantee"
+        )
+    fp = simhash(df, id_col, text_col, bits=bits, hash_fn=hash_fn)
+    base = bits // bands  # chunk widths: base or base+1 (remainder spread)
+    rem = bits % bands
+    offs, off = [], 0
+    for i in range(bands):
+        width = base + (1 if i < rem else 0)
+        offs.append((off, width))
+        off += width
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("simhash"), o)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("chunk"),
+            )
+            for i, (o, w) in enumerate(offs)
+        ]
+    )
+    banded = fp.select(id_col, "simhash", F.explode(chunks).alias("bc")).select(
+        F.col(id_col),
+        "simhash",
+        F.col("bc.band").alias("band"),
+        F.col("bc.chunk").alias("chunk"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "band", "chunk"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "band", "chunk"
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -663,6 +663,46 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "simhash_near_dup",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+                                   x -> lower(x))) AS w
+      FROM documents
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM toks
+    ), bitsum AS (
+      SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(range(60))::INT AS b) bs
+      GROUP BY doc_id, b
+    ), fp AS (
+      SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+      FROM bitsum GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming near-dup pairs. The engine's banded path is EXACT by
+    pigeonhole (bands=4 > max_hamming=3: a qualifying pair must share one
+    identical band chunk), so the oracle can be the brute-force all-pairs
+    Hamming filter — the hash match proves both verification correctness
+    AND recall 1.0 of the banding. Engine-portable md5_60 fingerprints
+    (xxhash64 scale path is pytest parity-tested)."""
+    from feature_extractor_spark.operators.dedup import simhash_near_dup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = simhash_near_dup(
+        docs, "doc_id", "text", bits=60, max_hamming=3, hash_fn="md5_60"
+    )
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+@_q(
     "text_quality",
     """
     WITH base AS (

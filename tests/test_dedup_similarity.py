@@ -265,3 +265,30 @@ def test_hashed_shingle_jaccard_matches_string_shingles(spark):
         sa, sb = sets[a], sets[b]
         exact = len(sa & sb) / len(sa | sb) if sa | sb else 0.0
         assert abs(j - exact) < 1e-12, (a, b, j, exact)
+
+
+def test_simhash_near_dup_exact_by_pigeonhole(spark):
+    """Banded candidate generation must find EXACTLY the brute-force
+    Hamming<=k pair set (pigeonhole: bands > k), and reject bands<=k."""
+    import pytest
+
+    from feature_extractor_spark.operators.dedup import simhash, simhash_near_dup
+
+    docs_df = _docs(spark)
+    got = (
+        simhash_near_dup(docs_df, "doc_id", "text", bits=60, max_hamming=8, bands=9)
+        .orderBy("id_a", "id_b")
+        .collect()
+    )
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(docs_df, "doc_id", "text", bits=60).collect()}
+    ids = sorted(fps)
+    exp = sorted(
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= 8
+    )
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == exp
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup(docs_df, max_hamming=4, bands=4)
