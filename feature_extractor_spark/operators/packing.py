@@ -1,0 +1,108 @@
+"""Sequence packing for LLM training pipelines (tokens-table operator).
+
+GPT-style contiguous packing: documents are concatenated in a deterministic
+global order and cut into fixed ``context_len`` training examples. Each
+input row (one tokenized sequence) gets:
+
+- ``tok_start``  — exclusive global running sum of ``n_tok`` (its first
+  token's position in the concatenated stream)
+- ``bin_id``     — which training example its first token lands in
+  (tok_start // context_len)
+- ``bin_pos``    — offset inside that example (tok_start % context_len)
+- ``spans_boundary`` — whether the sequence crosses an example boundary
+  (bin_pos + n_tok > context_len): the downstream materializer either
+  splits it or masks the attention across the cut, both of which need
+  exactly this flag.
+
+The hard distributed part is the GLOBAL prefix sum. A bare
+``Window.orderBy(order_col)`` serializes the whole table through one task
+— the classic global-window trap — so this uses the same two-phase scan as
+functions/conditions.positional_encoding: range-partition on the order
+column, per-partition running sums (parallel), plus broadcast prefix
+offsets of per-partition token totals (one tiny row per partition). Two
+executions of the ranged subtree ⇒ the input plan must be deterministic
+(or pass ``cache_scan=True``), same contract as positional_encoding.
+
+At 10^12 rows: the offsets aggregate is |partitions| rows, the join is a
+broadcast, and everything else is per-partition window work over the
+range-partitioned shuffle — one shuffle total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_col: str,
+    n_tok_col: str = "n_tok",
+    context_len: int = 2048,
+    partition_col: str | None = None,
+    cache_scan: bool = False,
+) -> DataFrame:
+    """Assign packing coordinates to every sequence row. ``order_col`` must
+    be a total order (ties make tok_start nondeterministic — add a
+    tiebreaker column upstream if needed). ``partition_col`` packs within
+    groups instead of globally (per-source packing)."""
+    L = F.lit(context_len)
+    if partition_col:
+        w = (
+            Window.partitionBy(partition_col)
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        out = df.withColumn(
+            "tok_start", F.coalesce(F.sum(n_tok_col).over(w), F.lit(0)).cast("long")
+        )
+    else:
+        n = df.sparkSession.sparkContext.defaultParallelism * 4
+        ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+        if cache_scan:
+            ranged = ranged.persist()
+        w_local = (
+            Window.partitionBy("__pid")
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        local = ranged.withColumn(
+            "__lsum", F.coalesce(F.sum(n_tok_col).over(w_local), F.lit(0))
+        )
+        w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = (
+            ranged.groupBy("__pid")  # |partitions| rows: the global scan is tiny
+            .agg(F.sum(n_tok_col).alias("__ptoks"))
+            .withColumn("__off", F.coalesce(F.sum("__ptoks").over(w_off), F.lit(0)))
+            .select("__pid", "__off")
+        )
+        out = (
+            local.join(F.broadcast(offsets), "__pid")
+            .withColumn("tok_start", (F.col("__lsum") + F.col("__off")).cast("long"))
+            .drop("__pid", "__lsum")
+        )
+    return (
+        out.withColumn("bin_id", (F.col("tok_start") / L).cast("long"))
+        .withColumn("bin_pos", F.pmod(F.col("tok_start"), L).cast("long"))
+        .withColumn(
+            "spans_boundary",
+            (F.col("bin_pos") + F.col(n_tok_col)) > L,
+        )
+    )
+
+
+def packing_stats(packed: DataFrame, n_tok_col: str = "n_tok") -> DataFrame:
+    """Per-bin summary: sequence count, token count, boundary crossings.
+    (Interior bins of contiguous packing are exactly full by construction;
+    the aggregate is the sanity check that makes that visible.)"""
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum(n_tok_col).alias("n_tokens_started"),
+            F.sum(F.col("spans_boundary").cast("int")).alias("n_spanning"),
+        )
+        .orderBy("bin_id")
+    )

@@ -1369,6 +1369,52 @@ def tokens_asof_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "tokens_pack_sequences",
+    """
+    WITH base AS (
+      SELECT i::BIGINT AS id,
+        CASE WHEN i % 5 = 0 THEN 0
+             ELSE ((i::BIGINT*2654435761 + 40503) % 2147483647) % 49 + 1
+        END AS doc_idx,
+        (((i::BIGINT*2654435761 + 2*40503) % 2147483647) % 57 + 8) AS n_tok,
+        (1704067200 + i::BIGINT*60 + (i // 50)*3600)::BIGINT AS unix_ts
+      FROM range(4000) t(i)
+    ), packed AS (
+      SELECT 'doc_' || lpad(doc_idx::VARCHAR, 6, '0') AS doc_id,
+             unix_ts, n_tok::INT AS n_tok,
+             coalesce(sum(n_tok) OVER (ORDER BY unix_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS tok_start
+      FROM base
+    )
+    SELECT doc_id, unix_ts, n_tok, tok_start,
+           (tok_start // 2048)::BIGINT AS bin_id,
+           (tok_start % 2048)::BIGINT AS bin_pos,
+           (tok_start % 2048 + n_tok) > 2048 AS spans_boundary
+    FROM packed
+    """,
+)
+def tokens_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing over the canonical tokens table: global
+    exclusive token prefix sum (two-phase scan, no single-task global
+    window) -> bin/offset coordinates for 2048-token training examples +
+    boundary-crossing flags. Oracle: plain window cumsum over the
+    generator's integer formula."""
+    from feature_extractor_spark.operators.packing import pack_sequences
+    from feature_extractor_spark.sources.tokens import synth_tokens
+
+    tok = synth_tokens(spark, n_rows=4000, n_docs=50, heavy_share=5)
+    tok = tok.select(
+        "doc_id", F.unix_timestamp("ts").alias("unix_ts"), "n_tok"
+    )
+    out = pack_sequences(tok, "unix_ts", "n_tok", context_len=2048)
+    return out.select(
+        "doc_id", "unix_ts", "n_tok", "tok_start", "bin_id", "bin_pos",
+        "spans_boundary",
+    )
+
+
 @_q("a8_best_latent_search")  # NN forwards in the loop -> rows-only check
 def a8_best_latent_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 incremental latent-dim search (reference
