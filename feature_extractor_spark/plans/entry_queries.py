@@ -1370,6 +1370,48 @@ def tokens_asof_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doc_stratified_sample",
+    """
+    WITH u AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(doc_id::VARCHAR || '#7'), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS uh
+      FROM documents
+    )
+    SELECT doc_id, source, round(uh, 6) AS u
+    FROM u
+    WHERE uh < CASE WHEN source = 'src0' THEN 1.0
+                    WHEN source = 'src1' THEN 0.5
+                    WHEN source = 'src2' THEN 0.25
+                    ELSE 0.1 END
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: membership is a pure function of
+    (doc_id, seed) via a portable md5-derived uniform — independent of
+    partitioning, cluster size, and engine (the DuckDB oracle recomputes
+    the identical decision bit-for-bit). Per-source keep fractions fold
+    into one map-side CASE filter: no join, no shuffle, composes with scan
+    pushdown. The xxhash64 variant (scale path, same semantics, cheaper
+    hash) is pytest-verified for partitioning invariance."""
+    from feature_extractor_spark.operators.sampling import (
+        hash_uniform,
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "doc_id", "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_fraction=0.1, seed=7, hash_fn="md5",
+    )
+    return out.select(
+        "doc_id", "source",
+        F.round(hash_uniform("doc_id", 7, "md5"), 6).alias("u"),
+    )
+
+
+@_q(
     "tokens_pack_sequences",
     """
     WITH base AS (

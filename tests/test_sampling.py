@@ -1,0 +1,63 @@
+"""Deterministic sampling/shuffle: partitioning invariance (the property
+df.sample() lacks), stratum rates, hash portability, shuffle-key stability."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from feature_extractor_spark.operators.sampling import (
+    deterministic_sample,
+    deterministic_shuffle,
+    hash_uniform,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"s{i % 4}") for i in range(4000)]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_sample_is_partitioning_invariant(spark, docs):
+    a = {
+        r["doc_id"]
+        for r in deterministic_sample(docs.repartition(1), "doc_id", 0.3, seed=5).collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in deterministic_sample(docs.repartition(17), "doc_id", 0.3, seed=5).collect()
+    }
+    assert a == b and 0.25 < len(a) / 4000 < 0.35
+
+
+def test_sample_seed_changes_membership(spark, docs):
+    a = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.3, seed=1).collect()}
+    b = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.3, seed=2).collect()}
+    assert a != b
+    assert len(a & b) / len(a | b) < 0.5  # near-independent draws
+
+
+def test_stratified_rates(spark, docs):
+    out = stratified_sample(
+        docs, "doc_id", "source", {"s0": 1.0, "s1": 0.5}, default_fraction=0.0
+    )
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["s0"] == 1000  # fraction 1.0 keeps everything
+    assert 400 < counts.get("s1", 0) < 600
+    assert "s2" not in counts and "s3" not in counts
+
+
+def test_md5_and_xxhash_variants_both_uniform(spark, docs):
+    for fn in ("md5", "xxhash64"):
+        u = docs.select(hash_uniform("doc_id", 3, fn).alias("u")).toPandas()["u"]
+        assert 0.0 <= u.min() and u.max() < 1.0
+        assert abs(u.mean() - 0.5) < 0.03
+
+
+def test_shuffle_key_stable_and_distinct_by_seed(spark, docs):
+    k1 = deterministic_shuffle(docs, "doc_id", seed=9).orderBy("doc_id").toPandas()
+    k2 = deterministic_shuffle(docs.repartition(7), "doc_id", seed=9).orderBy("doc_id").toPandas()
+    np.testing.assert_array_equal(k1["shuffle_key"], k2["shuffle_key"])
+    order1 = k1.sort_values("shuffle_key")["doc_id"].tolist()
+    assert order1 != sorted(order1)  # actually shuffled
