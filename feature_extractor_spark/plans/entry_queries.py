@@ -133,16 +133,21 @@ def q3_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the small dims (customer, nation) — J1 + J4 join layer."""
     li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
     c, n = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
+    # pre-aggregate lineitem below the join: one revenue row per order
+    # (map-side partial combine) shrinks the fact-fact join input ~4x AND
+    # turns the per-nation countDistinct(o_orderkey) into a plain count —
+    # no distinct-expand, one less wide shuffle
+    li_per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li_per_order.join(o, li_per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum("__rev"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
     )
 
