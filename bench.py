@@ -39,6 +39,12 @@ BENCH_QUERIES = [
     "encoder_latents",
     "encoder_vae_small_latents",
     "w7_ema_macd",
+    # round-3 additions
+    "simhash_near_dup",
+    "tokens_asof_window_features",
+    "tokens_pack_sequences",
+    "doc_stratified_sample",
+    "multimodal_features",
 ]
 
 

@@ -410,19 +410,21 @@ def simhash(
         .select(F.col(id_col), hasher(F.col("__w")).alias("__th"))
     )
     h = F.col("__th")
+    # ±1 bit sums re-expressed as plain popcounts: s_b = 2*ones_b - n, so
+    # bit b = 1 iff s_b > 0 iff 2*ones_b > n — each aggregate is a bare
+    # sum of a masked bit (no 3-branch CASE per bit per token), and nulls
+    # (token-less docs via explode_outer) drop out of both sum and count,
+    # yielding fingerprint 0 as before
     bit_sums = [
-        F.sum(
-            F.when(h.isNull(), 0)
-            .when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"__s{b}")
+        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"__o{b}")
         for b in range(bits)
-    ]
+    ] + [F.count(h).alias("__n")]
     agg = ex.groupBy(id_col).agg(*bit_sums)
+    n = F.col("__n")
     fp = None
     for b in range(bits):
         bit = (
-            F.when(F.col(f"__s{b}") > 0, F.lit(1).cast("long"))
+            F.when(F.coalesce(F.col(f"__o{b}"), F.lit(0)) * 2 > n, F.lit(1).cast("long"))
             .otherwise(F.lit(0).cast("long"))
         )
         term = F.shiftleft(bit, b)

@@ -303,3 +303,62 @@ def test_stream_windowed_encode_matches_batch(spark, tmp_path):
     z_stream = np.asarray([np.asarray(v) for v in got["z_mean"]])
     z_batch = np.asarray([np.asarray(v) for v in batch["z_mean"]])
     np.testing.assert_allclose(z_stream, z_batch, rtol=1e-5, atol=1e-6)
+
+
+def test_stream_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Kill/restart resumability for the stateful streaming path: a second
+    run with the SAME checkpointLocation must resume from committed offsets
+    and state — no reprocessing, no duplicates, EMA carry intact across the
+    restart boundary (the streaming analog of the lineage-manifest resume)."""
+    import glob as _glob
+    import os
+
+    from feature_extractor_spark.streaming import stream_ema
+
+    df = _events(spark, n_users=2, n=20)
+    src = str(tmp_path / "ck_src")
+    ckpt = str(tmp_path / "ck_state")
+    sink = str(tmp_path / "ck_sink")
+    os.makedirs(src)
+    pdf_all = df.toPandas().sort_values("ts", kind="mergesort")
+
+    def run_once():
+        stream = spark.readStream.schema(df.schema).parquet(src + "/f*.parquet")
+        out = stream_ema(stream, "doc_id", "ts", "value", span=5, timeout_minutes=None)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # first half -> run -> "crash" (query terminated) -> second half -> rerun
+    spark.createDataFrame(pdf_all.iloc[:20]).coalesce(1).write.parquet(f"{src}/p0")
+    os.rename(
+        _glob.glob(f"{src}/p0/part-*.parquet")[0], f"{src}/f0.parquet"
+    )
+    run_once()
+    n_first = spark.read.parquet(sink).count()
+    assert n_first == 20
+    spark.createDataFrame(pdf_all.iloc[20:]).coalesce(1).write.parquet(f"{src}/p1")
+    os.rename(
+        _glob.glob(f"{src}/p1/part-*.parquet")[0], f"{src}/f1.parquet"
+    )
+    run_once()
+
+    got = spark.read.parquet(sink).orderBy("doc_id", "ts").toPandas()
+    assert len(got) == len(pdf_all)  # no duplicates, nothing dropped
+    exp = (
+        df.toPandas()
+        .sort_values(["doc_id", "ts"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    exp["ema_5"] = exp.groupby("doc_id")["value"].transform(
+        lambda s: s.ewm(span=5, adjust=False).mean()
+    )
+    # state survived the restart: rows AFTER the boundary continue the
+    # recursion from the first run's carry, matching the single-pass oracle
+    np.testing.assert_allclose(got["ema_5"].to_numpy(), exp["ema_5"].to_numpy(), rtol=1e-9)
