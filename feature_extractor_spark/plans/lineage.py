@@ -163,3 +163,47 @@ def run_stage_with_resume(
         )
         processed.append(unit)
     return {"processed": processed, "skipped": sorted(done)}
+
+
+# ---------------------------------------------------------------------------
+# Snapshot surface (the Iceberg-snapshot analog made explicit)
+
+
+def _snapshot_id(log: CheckpointLog) -> str | None:
+    """Monotonic snapshot id = the latest commit timestamp in the manifest
+    (append-only, so "as of commit <= T" is a consistent view)."""
+    row = log.read().agg(F.max("committed_at").alias("t")).first()
+    return None if row["t"] is None else row["t"].isoformat()
+
+
+class Snapshot:
+    """A consistent view of the lineage manifest at a point in time.
+
+    ``CheckpointLog`` is append-only, so every committed manifest row has a
+    stable ``committed_at``; a snapshot is simply "all commits at or before
+    T". ``diff`` between two snapshots lists the units committed in
+    between — exactly what a resuming (or incrementally consuming)
+    downstream job should process, without recomputing or re-reading
+    anything already consumed. This mirrors Iceberg's snapshot/
+    incremental-read model on plain parquet (no Iceberg jars in this
+    environment); swapping the backend changes the storage of the
+    manifest, not this logic.
+    """
+
+    def __init__(self, log: CheckpointLog, as_of: str | None = None):
+        self.log = log
+        self.as_of = as_of if as_of is not None else _snapshot_id(log)
+
+    def units(self, stage: str) -> set[str]:
+        df = self.log.read().filter(F.col("stage") == stage)
+        if self.as_of is not None:
+            df = df.filter(F.col("committed_at") <= F.lit(self.as_of).cast("timestamp"))
+        return {r["unit"] for r in df.select("unit").distinct().collect()}
+
+    def diff(self, other: "Snapshot", stage: str) -> set[str]:
+        """Units committed after ``other`` up to this snapshot."""
+        return self.units(stage) - other.units(stage)
+
+
+def current_snapshot(spark: SparkSession, checkpoint_dir: str) -> Snapshot:
+    return Snapshot(CheckpointLog(spark, checkpoint_dir))

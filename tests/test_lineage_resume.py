@@ -92,3 +92,43 @@ def test_lineage_metrics_recorded(spark, tmp_path):
     assert (m["n_files"] >= 1).all()
     assert (m["wall_sec"] > 0).all()
     assert m["stage"].eq("double").all()
+
+
+def test_snapshot_diff_lists_incremental_units(spark, tmp_path):
+    """Snapshot-diff semantics: a snapshot taken mid-run and one taken after
+    completion differ by exactly the units committed in between — the
+    incremental-consumption contract (Iceberg snapshot analog)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from feature_extractor_spark.plans.lineage import (
+        current_snapshot,
+        run_stage_with_resume,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") % 4).cast("string").alias("grp"), F.col("id").alias("v")
+    )
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    # first run crashes after 2 of 4 units
+    try:
+        run_stage_with_resume(
+            spark, "s", df, "grp", lambda d: d.withColumn("v2", F.col("v") * 2),
+            out_dir, ck, fail_after_units=2,
+        )
+    except RuntimeError:
+        pass
+    snap_mid = current_snapshot(spark, ck)
+    assert len(snap_mid.units("s")) == 2
+    _time.sleep(0.01)  # commit timestamps strictly after the mid snapshot
+
+    res = run_stage_with_resume(
+        spark, "s", df, "grp", lambda d: d.withColumn("v2", F.col("v") * 2),
+        out_dir, ck,
+    )
+    assert len(res["processed"]) == 2 and len(res["skipped"]) == 2
+    snap_end = current_snapshot(spark, ck)
+    assert snap_end.units("s") == {"0", "1", "2", "3"}
+    assert snap_end.diff(snap_mid, "s") == set(res["processed"])
