@@ -502,3 +502,69 @@ def simhash_near_dup(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> canonical assignment.
+
+    Pair emitters (jaccard/minhash/simhash/embedding) produce EDGES; actual
+    deduplication needs the transitive closure: if A~B and B~C, one
+    canonical survivor for {A, B, C}. Iterative min-label propagation:
+    every node starts as its own label; each round takes the min label over
+    itself and its neighbors; fixpoint = components labeled by their min
+    member (deterministic survivor, same convention as exact_dedup).
+
+    Scale shape: each round is one shuffle join (labels x symmetric edges)
+    + one min-aggregate, both keyed on the node id; rounds needed = graph
+    diameter (near-dup components are shallow — dozens of rounds would mean
+    a pathological chain). The driver loop carries only a changed-count
+    scalar per round; labels persist between rounds and the superseded
+    cache is released each round.
+
+    ``nodes``: the full universe (isolated docs keep themselves as
+    canonical). Returns (id_col, canonical_id).
+    """
+    sym = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(id_col).alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    labels = labels.persist()
+    labels.count()
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .union(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(F.col("node").alias(id_col), F.col("label").alias("canonical_id"))
+    # detach the result from the persisted iteration frame before release
+    out = out.localCheckpoint(eager=True)
+    labels.unpersist()
+    return out

@@ -637,6 +637,62 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_minhash_clusters",
+    """
+    WITH ws AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+                            x -> lower(x)) AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM ws WHERE len(w) >= 3
+    ), toks AS (SELECT doc_id, unnest(s) AS t FROM sh),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+      FROM toks a JOIN toks b USING (t)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i / (sa.n + sb.n - i) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      WITH RECURSIVE r(node, other) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.node, e.dst FROM r JOIN edges e ON r.other = e.src
+      ) SELECT * FROM r
+    )
+    SELECT d.doc_id,
+           least(d.doc_id, coalesce(min(r.other), d.doc_id)) AS canonical_id
+    FROM documents d LEFT JOIN reach r ON r.node = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup: MinHash+LSH near-dup PAIRS -> connected components
+    -> one canonical survivor (min id) per component, isolated docs keeping
+    themselves. Engine side: iterative min-label propagation (one join +
+    min-aggregate per round, rounds = component diameter); oracle:
+    recursive-CTE transitive closure over the same exact-Jaccard pair set.
+    A hash match proves the closure, not just the edges."""
+    from feature_extractor_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    return near_dup_clusters(pairs, docs, "doc_id")
+
+
+@_q(
     "simhash_fingerprints",
     """
     WITH toks AS (

@@ -292,3 +292,35 @@ def test_simhash_near_dup_exact_by_pigeonhole(spark):
 
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_near_dup(docs_df, max_hamming=4, bands=4)
+
+
+def test_near_dup_clusters_union_find_parity(spark):
+    """Label propagation == plain-Python union-find on a multi-component
+    graph incl. a chain (transitivity) and isolated nodes."""
+    from feature_extractor_spark.operators.dedup import near_dup_clusters
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (5, 20)]
+    nodes = spark.createDataFrame([(i,) for i in range(1, 31)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in near_dup_clusters(pairs, nodes, "doc_id").collect()
+    }
+
+    parent = {i: i for i in range(1, 31)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comp = {}
+    for i in parent:
+        comp.setdefault(find(i), []).append(i)
+    exp = {i: min(comp[find(i)]) for i in parent}
+    assert got == exp
+    # chain 1-2-3-4 collapsed transitively; 5-20-21-22 merged across edges
+    assert got[4] == 1 and got[22] == 5 and got[30] == 30
