@@ -504,6 +504,55 @@ def simhash_near_dup(
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SOCC'14 — public algorithm): for each node u,
+    connect every STRICTLY LARGER neighbor to the minimum of u's closed
+    neighborhood. Input/output: undirected edge set as (src, dst) rows
+    (orientation irrelevant; self-loops dropped)."""
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).filter(F.col("src") != F.col("dst"))
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(
+            F.col("dst").alias("src"),
+            F.least(F.col("src"), F.col("mn")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge (big -> small); for each
+    node u connect all of u's smaller neighbors AND u itself to the
+    minimum of {u} ∪ smaller-neighbors."""
+    directed = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    # all dst < src, so min(N⁻(u) ∪ {u}) = min(dst)
+    mins = directed.groupBy("src").agg(F.min("dst").alias("mn"))
+    rewired = (
+        directed.join(mins, "src")
+        .filter(F.col("dst") != F.col("mn"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+    )
+    selfs = mins.select("src", F.col("mn").alias("dst"))
+    return (
+        rewired.union(selfs)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 def near_dup_clusters(
     pairs: DataFrame,
     nodes: DataFrame,
@@ -511,60 +560,85 @@ def near_dup_clusters(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs -> canonical assignment.
 
     Pair emitters (jaccard/minhash/simhash/embedding) produce EDGES; actual
     deduplication needs the transitive closure: if A~B and B~C, one
-    canonical survivor for {A, B, C}. Iterative min-label propagation:
-    every node starts as its own label; each round takes the min label over
-    itself and its neighbors; fixpoint = components labeled by their min
-    member (deterministic survivor, same convention as exact_dedup).
+    canonical survivor for {A, B, C}, labeled by its minimum member
+    (deterministic survivor, same convention as exact_dedup).
 
-    Scale shape: each round is one shuffle join (labels x symmetric edges)
-    + one min-aggregate, both keyed on the node id; rounds needed = graph
-    diameter (near-dup components are shallow — dozens of rounds would mean
-    a pathological chain). The driver loop carries only a changed-count
-    scalar per round; labels persist between rounds and the superseded
-    cache is released each round.
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    SOCC'14) — each round is two grouped-min shuffles over the current
+    edge set, and the round count is O(log n) on real graphs (vs graph
+    DIAMETER for plain min-label propagation, which a 10^12-row corpus's
+    template-duplicate chains can push past any fixed cap). The fixpoint
+    of both operations is a union of stars centered at component minima.
+
+    Convergence is verified, not assumed: the loop stops when a
+    large-star + small-star round leaves the edge set unchanged, and
+    RAISES RuntimeError if ``max_iter`` rounds pass without a fixpoint —
+    silently returning non-canonical labels would split a component
+    across multiple survivors with no signal to the caller.
 
     ``nodes``: the full universe (isolated docs keep themselves as
-    canonical). Returns (id_col, canonical_id).
+    canonical). Returns (id_col, canonical_id). ``stats``, if given, gets
+    ``{"rounds": <n>}`` filled in (one round = large-star + small-star).
     """
-    sym = (
+    # localCheckpoint (not persist) each round: iterative self-referencing
+    # plans double in size per round (sym embeds the edge plan twice), so
+    # without lineage TRUNCATION Catalyst re-analysis cost grows
+    # exponentially with round count — caching alone does not stop that
+    edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    labels = nodes.select(F.col(id_col).alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
-    labels = labels.persist()
-    labels.count()
+    converged = False
+    rounds = 0
     for _ in range(max_iter):
-        neigh = (
-            sym.join(labels, sym.dst == labels.node)
-            .select(F.col("src").alias("node"), "label")
-        )
-        new_labels = (
-            labels.select("node", "label")
-            .union(neigh)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .persist()
+        rounds += 1
+        after_large = _large_star(edges)
+        after_small = _small_star(after_large).localCheckpoint(eager=True)
+        # fixpoint check on the canonical (big->small) orientation: both
+        # sides are distinct, so two symmetric subtracts decide equality
+        old_directed = (
+            edges.select(
+                F.greatest("src", "dst").alias("src"),
+                F.least("src", "dst").alias("dst"),
+            )
+            .distinct()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+            after_small.exceptAll(old_directed).limit(1).count()
+            + old_directed.exceptAll(after_small).limit(1).count()
         )
-        labels.unpersist()
-        labels = new_labels
+        edges = after_small
         if changed == 0:
+            converged = True
             break
-    out = labels.select(F.col("node").alias(id_col), F.col("label").alias("canonical_id"))
-    # detach the result from the persisted iteration frame before release
-    out = out.localCheckpoint(eager=True)
-    labels.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+    if not converged:
+        raise RuntimeError(
+            f"near_dup_clusters: large-star/small-star did not converge in "
+            f"{max_iter} rounds — component structure is pathological or "
+            f"max_iter is too low (rounds needed ~ O(log n))"
+        )
+    # fixpoint edges form stars (child -> component min); roots and
+    # isolated nodes are their own canonical
+    assign = edges.select(
+        F.col("src").alias("node"), F.col("dst").alias("canonical")
+    )
+    out = (
+        nodes.select(F.col(id_col).alias("node"))
+        .distinct()
+        .join(assign, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("canonical"), F.col("node")).alias("canonical_id"),
+        )
+    )
     return out

@@ -324,3 +324,62 @@ def test_near_dup_clusters_union_find_parity(spark):
     assert got == exp
     # chain 1-2-3-4 collapsed transitively; 5-20-21-22 merged across edges
     assert got[4] == 1 and got[22] == 5 and got[30] == 30
+
+
+def test_near_dup_clusters_long_chain_converges_in_log_rounds(spark):
+    """A 60-node path graph (diameter 59) must fully collapse to ONE
+    canonical id — plain min-label propagation needs diameter rounds and a
+    25-round cap would silently split it; the large-star/small-star scheme
+    must converge in O(log n) rounds. Also covers a long chain entered in
+    reversed-edge orientation (worst case for naive propagation)."""
+    import math
+
+    from feature_extractor_spark.operators.dedup import near_dup_clusters
+
+    n = 60
+    edges = [(i + 1, i) for i in range(1, n)]  # reversed orientation
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    stats: dict = {}
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in near_dup_clusters(pairs, nodes, "doc_id", stats=stats).collect()
+    }
+    assert got == {i: 1 for i in range(1, n + 1)}
+    # star-contraction round bound (each round = large-star + small-star)
+    assert stats["rounds"] <= 2 * math.ceil(math.log2(n)) + 1, stats
+
+
+def test_near_dup_clusters_raises_on_iteration_exhaustion(spark):
+    """max_iter exhaustion must RAISE, never silently return non-canonical
+    labels (a >max_iter component split across survivors is data loss)."""
+    import pytest
+
+    from feature_extractor_spark.operators.dedup import near_dup_clusters
+
+    edges = [(i + 1, i) for i in range(1, 40)]
+    nodes = spark.createDataFrame([(i,) for i in range(1, 41)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(pairs, nodes, "doc_id", max_iter=1)
+
+
+def test_near_dup_clusters_string_ids(spark):
+    """String doc_ids (the documents-table reality) order lexicographically;
+    canonical must be the lexicographic component min."""
+    from feature_extractor_spark.operators.dedup import near_dup_clusters
+
+    edges = [("doc_b", "doc_c"), ("doc_c", "doc_a"), ("doc_x", "doc_y")]
+    nodes = spark.createDataFrame(
+        [("doc_a",), ("doc_b",), ("doc_c",), ("doc_x",), ("doc_y",), ("doc_z",)],
+        "doc_id string",
+    )
+    pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in near_dup_clusters(pairs, nodes, "doc_id").collect()
+    }
+    assert got == {
+        "doc_a": "doc_a", "doc_b": "doc_a", "doc_c": "doc_a",
+        "doc_x": "doc_x", "doc_y": "doc_x", "doc_z": "doc_z",
+    }
