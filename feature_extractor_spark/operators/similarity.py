@@ -53,6 +53,7 @@ def cosine_topk(
     k: int = 5,
     include_self: bool = False,
     method: str = "gemm",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Brute-force cosine top-k. Returns (query_id, neighbor_id, cosine,
     rank). Ties broken by neighbor_id (deterministic).
@@ -102,8 +103,18 @@ def cosine_topk(
 
     # query side is bounded by contract (it was broadcast in the expr path
     # too); float64 throughout so cosines match a float64 oracle at
-    # rounding precision
-    qrows = queries.select(id_col, vec_col).collect()
+    # rounding precision. The limit(max_queries+1) makes the bound a hard
+    # guard instead of a driver OOM: an oversized query frame fails loudly
+    # with a pointer to method='expr' (which at least dies at the broadcast
+    # threshold) before any rows ship to the driver.
+    qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"cosine_topk(method='gemm'): query side exceeds max_queries="
+            f"{max_queries} rows — the gemm path collects + broadcasts the "
+            f"full query matrix. Pass a bounded query set, raise "
+            f"max_queries deliberately, or use method='expr'."
+        )
     id_type = corpus.schema[id_col].dataType
     out_schema = T.StructType(
         [
@@ -161,11 +172,15 @@ def lsh_bucketed_topk(
     n_tables: int = 4,
     dim: int | None = None,
     seed: int = 11,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Random-hyperplane LSH ANN: ``n_tables`` independent signatures of
     ``n_planes`` bits each; candidates = same (table, signature) bucket;
-    exact cosine re-rank of candidates. Hyperplanes are seeded literals
-    folded into the plan — identical on driver and executors."""
+    exact cosine re-rank of candidates via the float64 GEMM kernel (same
+    operation order as ``cosine_topk``'s gemm path). Hyperplanes are
+    seeded literals folded into the plan — identical on driver and
+    executors. Query side is bounded by contract (``max_queries`` guard,
+    same rationale as cosine_topk)."""
     import random
 
     if dim is None:
@@ -217,26 +232,68 @@ def lsh_bucketed_topk(
     qb = banded(queries, "query")
     cb = banded(corpus, "neighbor")
     cand = (
-        cb.join(F.broadcast(qb), ["table", "sig"])
+        cb.join(F.broadcast(qb.drop("query_v")), ["table", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", "neighbor_v")
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        (
-            _dot(F.col("query_v"), F.col("neighbor_v"))
-            / (_norm(F.col("query_v")) * _norm(F.col("neighbor_v")))
-        ).alias("cosine"),
+    # exact re-rank via the same float64 GEMM kernel as cosine_topk: one
+    # matrix product per Arrow batch against the broadcast query matrix
+    # (Catalyst does not codegen HOF lambda bodies, so the interpreted
+    # zip_with/aggregate dot is ~10x slower per candidate). Scoring is
+    # restricted to (query, candidate) pairs the banded join produced.
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    from pyspark.sql import types as T
+
+    qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"lsh_bucketed_topk: query side exceeds max_queries="
+            f"{max_queries} rows — the re-rank collects + broadcasts the "
+            f"query matrix. Pass a bounded query set or raise max_queries."
+        )
+    id_type = corpus.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    spark = corpus.sparkSession
+    if not qrows:
+        return _rank_topk(spark.createDataFrame([], out_schema), k)
+    q_index = {r[0]: i for i, r in enumerate(qrows)}
+    Qm = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    qn = np.maximum(np.linalg.norm(Qm, axis=1), 1e-300)
+    bq = spark.sparkContext.broadcast((q_index, Qm, qn))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx, Q, qnorm = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["neighbor_v"]]
+            )
+            cn = np.maximum(np.linalg.norm(C, axis=1), 1e-300)
+            qi = pdf["query_id"].map(idx).to_numpy()
+            # same float64 operation order as cosine_topk's gemm kernel —
+            # keeps the two paths bit-identical on shared pairs
+            cos = np.einsum("ij,ij->i", C, Q[qi]) / cn / qnorm[qi]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cosine": cos,
+                }
+            )
+
+    scored = cand.mapInPandas(score, out_schema)
+    return _rank_topk(scored, k)
 
 
 def embedding_near_dup_pairs(
@@ -421,10 +478,20 @@ def ivf_topk(
         corpus, id_col, vec_col, n_lists, sample_size, kmeans_iters, seed
     )
     if not cents:
-        # empty corpus: nothing to search
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double, rank int"
+        # empty corpus: nothing to search — id type follows the corpus
+        # schema (a hardcoded long would break unions for string-id corpora)
+        from pyspark.sql import types as T
+
+        id_type = corpus.schema[id_col].dataType
+        empty_schema = T.StructType(
+            [
+                T.StructField("query_id", id_type),
+                T.StructField("neighbor_id", id_type),
+                T.StructField("cosine", T.DoubleType()),
+                T.StructField("rank", T.IntegerType()),
+            ]
         )
+        return corpus.sparkSession.createDataFrame([], empty_schema)
     if balance > balance_limit:
         n_probe = min(len(cents), n_probe * 2)
     cent_arr = [
