@@ -71,14 +71,28 @@ def _post_form(
     return True
 
 
+# credential keys never serialized into a POSTed body (the reference posts
+# them verbatim — a leak into server logs we deliberately do NOT reproduce)
+_CREDENTIAL_KEYS = ("password", "username")
+
+
+def _strip_credentials(config: dict) -> dict:
+    return {k: v for k, v in config.items() if k not in _CREDENTIAL_KEYS}
+
+
 def remote_save_config(
     config: dict, url: str, username: str | None = None, password: str | None = None
 ) -> bool:
     """POST the config as form field ``json_config`` (reference
-    config_handler.py:114-127). True on 2xx, else False + stderr."""
+    config_handler.py:114-127). True on 2xx, else False + stderr.
+    Credentials (username/password keys merged from CLI args) are stripped
+    from the posted body — auth goes in the Authorization header only."""
     try:
         return _post_form(
-            url, {"json_config": json.dumps(config)}, username, password
+            url,
+            {"json_config": json.dumps(_strip_credentials(config))},
+            username,
+            password,
         )
     except Exception as e:  # noqa: BLE001
         print(f"Failed to save remote configuration: {e}", file=sys.stderr)
@@ -98,7 +112,7 @@ def remote_log(
         return _post_form(
             url,
             {
-                "json_config": json.dumps(config),
+                "json_config": json.dumps(_strip_credentials(config)),
                 "json_result": json.dumps(debug_info),
             },
             username,

@@ -123,3 +123,22 @@ def test_pipeline_remote_layer_precedence(server):
     )
     assert cfg["window_size"] == 32  # remote layer beat the default (144)
     assert cfg["latent_dim"] == 99  # typed CLI beat the remote layer
+
+
+def test_remote_save_strips_credentials_from_body(server):
+    """username/password merged from CLI args must never appear in the
+    POSTed json_config (auth belongs in the Authorization header; the
+    posted body lands in server-side logs)."""
+    _Handler.posts.clear()
+    leaky = dict(CONFIG, username=USER, password=PASSWORD)
+    assert remote_save_config(leaky, f"{server}/save", USER, PASSWORD) is True
+    _, fields = _Handler.posts[-1]
+    posted = json.loads(fields["json_config"])
+    assert "password" not in posted and "username" not in posted
+    assert posted == CONFIG
+
+    _Handler.posts.clear()
+    assert remote_log(leaky, {"ok": 1}, f"{server}/log", USER, PASSWORD) is True
+    _, fields = _Handler.posts[-1]
+    posted = json.loads(fields["json_config"])
+    assert "password" not in posted and "username" not in posted
