@@ -105,17 +105,39 @@ def run_stage_with_resume(
     output_dir: str,
     checkpoint_dir: str,
     fail_after_units: int | None = None,
+    units_per_job: int = 16,
 ) -> dict:
     """Run ``transform(df_slice)`` for every pending unit and commit output +
     lineage. Units already in the manifest are skipped (resume = anti-join).
 
-    ``unit_col`` partitions both the work and the output directory layout;
-    pick it like an Iceberg partition spec (date bucket, entity bucket).
-    ``fail_after_units`` injects a crash for the kill-and-resume test.
+    Granularity contract: ``unit_col`` is COARSE by design — pick it like an
+    Iceberg partition spec (date bucket, entity bucket; tens-to-thousands of
+    units, not millions). The distinct unit list is collected to the driver,
+    and each unit's slice must fit a dynamic partition.
+
+    Job shape: pending units are grouped into batches of ``units_per_job``;
+    each batch is ONE Spark job — the per-unit transformed slices are
+    unioned and committed with a single dynamic-partition overwrite, so job
+    count is ceil(pending/units_per_job) instead of |pending| (job-launch
+    latency stops multiplying with unit count). ``transform`` still sees
+    exactly one unit's slice per call, so per-unit aggregation semantics
+    are unchanged, and each branch's filter pushes down to the scan.
+    Per-unit row metrics come from per-branch ``observe()`` nodes riding
+    the one write action — the transform executes exactly ONCE per unit
+    (a count() before the write would re-run the whole plan).
+
+    Crash contract: outputs commit first (idempotent overwrite), manifest
+    rows append second, per BATCH — a crash mid-batch re-runs that whole
+    batch on resume (at-least-once compute, effectively-once output).
+    ``fail_after_units`` injects a crash for the kill-and-resume test
+    (the injected boundary is also a batch boundary, so exactly that many
+    units commit).
 
     Returns {"processed": [...], "skipped": [...]}.
     """
     import datetime as dt
+
+    from pyspark.sql import Observation
 
     log = CheckpointLog(spark, checkpoint_dir)
     done = log.completed_units(stage_name)
@@ -125,43 +147,51 @@ def run_stage_with_resume(
     pending = [u for u in all_units if u not in done]
     run_id = uuid.uuid4().hex[:12]
 
+    fail_at = fail_after_units if fail_after_units is not None else len(pending)
+    runnable = pending[:fail_at]
+    batches = [
+        runnable[i : i + units_per_job]
+        for i in range(0, len(runnable), units_per_job)
+    ]
+
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     processed = []
-    for i, unit in enumerate(pending):
-        if fail_after_units is not None and i >= fail_after_units:
-            raise RuntimeError(f"injected failure after {fail_after_units} units")
+    for batch in batches:
         t0 = time.time()
-        df_slice = input_df.filter(F.col(unit_col).cast("string") == unit)
-        out = transform(df_slice)
-        if unit_col not in out.columns:
-            out = out.withColumn(unit_col, F.lit(unit))
-        # row metric via observe(): piggybacks on the write action, so the
-        # transform executes exactly ONCE per unit (a count() before the
-        # write re-ran the whole plan — 2x the most expensive stage at scale)
-        from pyspark.sql import Observation
-
-        obs = Observation(f"{stage_name}_{unit}_{run_id}")
-        out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
-        # output first (idempotent dynamic-partition overwrite)...
+        observations: dict[str, Observation] = {}
+        out = None
+        for unit in batch:
+            df_slice = input_df.filter(F.col(unit_col).cast("string") == unit)
+            branch = transform(df_slice)
+            if unit_col not in branch.columns:
+                branch = branch.withColumn(unit_col, F.lit(unit))
+            obs = Observation(f"{stage_name}_{unit}_{run_id}")
+            observations[unit] = obs
+            branch = branch.observe(obs, F.count(F.lit(1)).alias("rows"))
+            out = branch if out is None else out.unionByName(branch)
+        # output first (idempotent dynamic-partition overwrite, one job)...
         out.write.mode("overwrite").partitionBy(unit_col).parquet(output_dir)
-        n_rows = obs.get["rows"]
-        stats = _partition_stats(output_dir, unit_col, [unit])
-        # ...manifest second (commit point)
+        batch_wall = max(time.time() - t0, 1e-6)
+        stats = _partition_stats(output_dir, unit_col, batch)
+        # ...manifest second (commit point), one row per unit
         log.append(
             [
                 {
                     "stage": stage_name,
                     "unit": unit,
-                    "rows": n_rows,
+                    "rows": observations[unit].get["rows"],
                     "bytes": stats[unit][0],
                     "n_files": stats[unit][1],
-                    "wall_sec": time.time() - t0,
+                    "wall_sec": batch_wall / len(batch),
                     "committed_at": dt.datetime.utcnow(),
                     "run_id": run_id,
                 }
+                for unit in batch
             ]
         )
-        processed.append(unit)
+        processed.extend(batch)
+    if fail_after_units is not None and len(pending) > fail_after_units:
+        raise RuntimeError(f"injected failure after {fail_after_units} units")
     return {"processed": processed, "skipped": sorted(done)}
 
 

@@ -132,3 +132,24 @@ def test_snapshot_diff_lists_incremental_units(spark, tmp_path):
     snap_end = current_snapshot(spark, ck)
     assert snap_end.units("s") == {"0", "1", "2", "3"}
     assert snap_end.diff(snap_mid, "s") == set(res["processed"])
+
+
+def test_batched_commit_runs_few_jobs(spark, tmp_path):
+    """10 units must commit in ceil(10/units_per_job)=1 batched write job,
+    not 10 — total Spark job count for the stage stays far below the
+    one-job-per-unit regime (~22 jobs before batching)."""
+    n_before = len(
+        spark.sparkContext._jsc.sc().statusTracker().getJobIdsForGroup(None)
+    )
+    run_stage_with_resume(
+        spark, "batched", _input(spark), "bucket", _transform,
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    jobs_after = spark.sparkContext._jsc.sc().statusTracker().getJobIdsForGroup(None)
+    n_jobs = len(jobs_after) - n_before
+    # unit-list collect + manifest read + 1 batched write + 1 manifest append
+    # (+ small slack for scheduler-internal jobs) — one-job-per-unit was 20+
+    assert n_jobs <= 8, f"stage ran {n_jobs} jobs for 10 units"
+    # per-unit manifest rows survive batching
+    m = CheckpointLog(spark, str(tmp_path / "ckpt")).read().toPandas()
+    assert len(m) == 10 and (m["rows"] == 100).all()
