@@ -66,12 +66,17 @@ def sliding_windows_map_in_pandas(
     df: DataFrame,
     entity_col: str,
     ts_col: str,
-    value_col: str,
+    value_cols: list[str] | str,
     window_size: int,
     out_col: str = "window",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """W1, overlap-partition path (scale strategy for large W).
+
+    ``value_cols`` accepts a single name (window = array<scalar>, built as
+    a zero-copy ``sliding_window_view``) or a list (window = array<struct>,
+    same element shape as the other three W1 paths — multi-feature callers
+    no longer have to fall back to the W×-amplifying collect_list path).
 
     Plan: range-repartition on (entity, ts) -> duplicate each row's
     (partition_id+1) copy iff it is within W-1 rows of its partition's tail
@@ -95,13 +100,18 @@ def sliding_windows_map_in_pandas(
     import numpy as np
     from pyspark.sql import types as T
 
+    cols = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    multi = len(cols) > 1
+    elem_type = (
+        T.StructType([df.schema[c] for c in cols])
+        if multi
+        else df.schema[cols[0]].dataType
+    )
     schema = T.StructType(
         [
             df.schema[entity_col],
             df.schema[ts_col],
-            T.StructField(
-                out_col, T.ArrayType(df.schema[value_col].dataType), False
-            ),
+            T.StructField(out_col, T.ArrayType(elem_type), False),
         ]
     )
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -132,14 +142,23 @@ def sliding_windows_map_in_pandas(
             for _, g in pdf.groupby(entity_col, sort=False, dropna=False):
                 n = len(g)
                 if n >= W:
-                    vals = g[value_col].to_numpy()
-                    wins = np.lib.stride_tricks.sliding_window_view(vals, W)
+                    if multi:
+                        # one dict per ROW (shared across the W windows that
+                        # contain it), windows as O(1)-ish slices — no W×
+                        # duplication of the feature values in Python
+                        recs = g[cols].to_dict("records")
+                        wins = [recs[i : i + W] for i in range(n - W + 1)]
+                    else:
+                        vals = g[cols[0]].to_numpy()
+                        wins = list(
+                            np.lib.stride_tricks.sliding_window_view(vals, W)
+                        )
                     out_frames.append(
                         pd.DataFrame(
                             {
                                 entity_col: g[entity_col].to_numpy()[W - 1 :],
                                 ts_col: g[ts_col].to_numpy()[W - 1 :],
-                                out_col: list(wins),
+                                out_col: wins,
                             }
                         )
                     )
@@ -153,7 +172,7 @@ def sliding_windows_map_in_pandas(
                 yield pd.concat(out_frames, ignore_index=True)
 
     return (
-        df.select(entity_col, ts_col, value_col)
+        df.select(entity_col, ts_col, *cols)
         .repartition(n_parts, entity_col)
         .sortWithinPartitions(entity_col, ts_col)
         .mapInPandas(build, schema)

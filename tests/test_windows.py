@@ -195,3 +195,34 @@ def test_sliding_windows_auto_keeps_null_keys(spark):
     got = out.toPandas()
     assert len(got[got["doc_id"].isna()]) == 5 - 3 + 1  # null entity windows
     assert len(got) == (10 - 3 + 1) + 3
+
+
+def test_map_in_pandas_multi_column_matches_collect_list(spark):
+    """value_cols as a LIST: array<struct> output equal to sliding_windows'
+    multi-column payload — multi-feature callers no longer need the
+    collect_list path (VERDICT r3 item 6). Includes cross-batch carry."""
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf)
+    spark.conf.set(conf, "40")
+    try:
+        from pyspark.sql import functions as F
+
+        n, w = 100, 6
+        df = _series_df(spark, n=n, entities=("a", "b")).withColumn(
+            "v2", F.col("value") * 2.0
+        )
+        a = sliding_windows(df, "doc_id", "ts", ["value", "v2"], w)
+        b = sliding_windows_map_in_pandas(df, "doc_id", "ts", ["value", "v2"], w)
+        pa_ = a.orderBy("doc_id", "ts").toPandas()
+        pb = b.orderBy("doc_id", "ts").toPandas()
+        assert len(pa_) == len(pb) == 2 * (n - w + 1)
+        for x, y in zip(pa_["window"], pb["window"]):
+            assert [tuple(s) for s in x] == [tuple(s) for s in y]
+        # single-element list == scalar behavior parity
+        c = sliding_windows_map_in_pandas(df, "doc_id", "ts", ["value"], w)
+        pc = c.orderBy("doc_id", "ts").toPandas()
+        assert [list(r) for r in pc["window"]][:3] == [
+            [x["value"] for x in r] for r in pb["window"][:3]
+        ]
+    finally:
+        spark.conf.set(conf, old)
