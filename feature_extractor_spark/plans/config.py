@@ -24,6 +24,21 @@ from __future__ import annotations
 
 import json
 
+# The reference's default CVAE target feature list, shipped verbatim as a
+# config default (/root/reference/app/config.py:36-43): 6 base OHLC/vol
+# columns + S&P500 close + 8 15-minute ticks + 8 30-minute ticks = 23.
+# A reference user's default config must resolve to the same selection.
+CVAE_TARGET_FEATURE_NAMES: list[str] = [
+    "OPEN", "LOW", "HIGH", "vix_close", "BC-BO", "BH-BL",
+    "S&P500_Close",
+    "CLOSE_15m_tick_1", "CLOSE_15m_tick_2", "CLOSE_15m_tick_3",
+    "CLOSE_15m_tick_4", "CLOSE_15m_tick_5", "CLOSE_15m_tick_6",
+    "CLOSE_15m_tick_7", "CLOSE_15m_tick_8",
+    "CLOSE_30m_tick_1", "CLOSE_30m_tick_2", "CLOSE_30m_tick_3",
+    "CLOSE_30m_tick_4", "CLOSE_30m_tick_5", "CLOSE_30m_tick_6",
+    "CLOSE_30m_tick_7", "CLOSE_30m_tick_8",
+]
+
 # Engine defaults (the reference's DEFAULT_VALUES analog, trimmed to keys
 # the Spark engine consumes; /root/reference/app/config.py:1-60)
 DEFAULT_VALUES: dict = {
@@ -39,7 +54,7 @@ DEFAULT_VALUES: dict = {
     "headers": True,
     "force_date": False,
     "use_normalization_json": None,
-    "cvae_target_feature_names": None,
+    "cvae_target_feature_names": list(CVAE_TARGET_FEATURE_NAMES),
 }
 
 

@@ -162,3 +162,58 @@ def test_preprocessor_extension_point(spark, sf_small):
 
     assert "t_double" in PREPROCESSORS
     assert run_preprocessing("t_double", ev).first()["v2"] == ev.first()["value"] * 2
+
+
+def test_default_cvae_target_list_matches_reference():
+    """P1 parity: the 23-name default ships in DEFAULT_VALUES exactly as
+    the reference's config.py:36-43 list (order included — index-based
+    selection in the reference depends on it)."""
+    from feature_extractor_spark.plans.config import (
+        CVAE_TARGET_FEATURE_NAMES,
+        DEFAULT_VALUES,
+    )
+
+    assert DEFAULT_VALUES["cvae_target_feature_names"] == CVAE_TARGET_FEATURE_NAMES
+    assert len(CVAE_TARGET_FEATURE_NAMES) == 23
+    assert CVAE_TARGET_FEATURE_NAMES[:6] == [
+        "OPEN", "LOW", "HIGH", "vix_close", "BC-BO", "BH-BL"
+    ]
+    assert CVAE_TARGET_FEATURE_NAMES[6] == "S&P500_Close"
+    assert CVAE_TARGET_FEATURE_NAMES[7:15] == [
+        f"CLOSE_15m_tick_{i}" for i in range(1, 9)
+    ]
+    assert CVAE_TARGET_FEATURE_NAMES[15:] == [
+        f"CLOSE_30m_tick_{i}" for i in range(1, 9)
+    ]
+    # defaults are copied, not aliased: mutating a merged config must not
+    # poison the module-level default
+    assert DEFAULT_VALUES["cvae_target_feature_names"] is not CVAE_TARGET_FEATURE_NAMES
+
+
+def test_select_targets_contract(spark):
+    """select_targets: by-name projection with the reference's hard-error
+    contract (first missing feature named + available list echoed,
+    data_processor.py:86-97)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from feature_extractor_spark.plans.config import CVAE_TARGET_FEATURE_NAMES
+    from feature_extractor_spark.plans.targets import select_targets
+
+    base = spark.range(5).select(
+        F.col("id"),
+        *[
+            (F.col("id") * (i + 1)).cast("double").alias(name)
+            for i, name in enumerate(CVAE_TARGET_FEATURE_NAMES)
+        ],
+    )
+    out = select_targets(base, keep_cols=["id"])
+    assert out.columns == ["id"] + CVAE_TARGET_FEATURE_NAMES
+    row = out.orderBy("id").collect()[2]
+    assert row["BC-BO"] == 2.0 * 5 and row["S&P500_Close"] == 2.0 * 7
+
+    with _pytest.raises(ValueError, match=r"'CLOSE_30m_tick_8'.*not found"):
+        select_targets(base.drop("CLOSE_30m_tick_8"), keep_cols=["id"])
+
+    with _pytest.raises(ValueError, match=r"'nope'"):
+        select_targets(base, ["OPEN", "nope"])
