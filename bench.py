@@ -36,8 +36,8 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "text_quality",
     "ann_cosine_topk",
-    "encoder_latents",
-    "encoder_vae_small_latents",
+    "encoder_latents",  # raw builder (fixture-compare form is sf0.01-only)
+    "encoder_vae_small_latents",  # raw builder, same reason
     "w7_ema_macd",
     # round-3 additions
     "simhash_near_dup",
@@ -109,6 +109,13 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
+    # the fixture-compare contract queries only run where their committed
+    # sf0.01 snapshot applies; the bench measures the underlying raw
+    # pipelines (same names as previous rounds for comparability)
+    from feature_extractor_spark.plans import entry_queries as eq
+
+    qs["encoder_latents"] = eq.encoder_latents
+    qs["encoder_vae_small_latents"] = eq.encoder_vae_small_latents_raw
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         df = qs[name](spark, sf_dir)
@@ -121,6 +128,13 @@ def main() -> None:
     n_seq, headline_sec = headline_pipeline(spark, sf_dir)
     seq_per_sec = n_seq / headline_sec if headline_sec > 0 else 0.0
 
+    # reference-parity block: the reference's exact phase-4.2 workload
+    # (25,200 rows, W=144, 54 feat/step, vae_small latent 32) measured
+    # every round so BENCH_r{N} tracks the apples-to-apples number
+    from tools.reference_parity_bench import run as parity_run
+
+    parity = parity_run(spark)
+
     print(
         json.dumps(
             {
@@ -132,6 +146,7 @@ def main() -> None:
                 "sequences": n_seq,
                 "sequences_per_sec": round(seq_per_sec, 1),
                 "cores": cores,
+                "reference_parity_w144": parity,
             }
         )
     )

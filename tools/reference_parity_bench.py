@@ -30,12 +30,11 @@ N_FEAT = int(os.environ.get("PARITY_F", "54"))
 LATENT = int(os.environ.get("PARITY_LATENT", "32"))
 
 
-def main() -> None:
-    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    from feature_extractor_spark.session import get_spark
-
-    spark = get_spark("parity-bench", cores=cores)
-
+def run(spark) -> dict:
+    """Measure the reference's exact phase-4.2 inference workload on an
+    existing session; returns the metrics dict (importable from bench.py so
+    BENCH_r{N}.json carries the W=144 parity block every round)."""
+    cores = spark.sparkContext.defaultParallelism
     # deterministic hourly series, 54 features per step (pure expressions)
     rid = F.col("id")
     feats = F.array(
@@ -86,20 +85,24 @@ def main() -> None:
         walls.append(time.time() - t0)
     wall = min(walls)
     n_seq = N_ROWS - W + 1
-    print(
-        json.dumps(
-            {
-                "rows": N_ROWS,
-                "window": W,
-                "features_per_step": N_FEAT,
-                "latent": LATENT,
-                "sequences": n_seq,
-                "wall_sec": round(wall, 2),
-                "sequences_per_sec": round(n_seq / wall, 1),
-                "cores": cores,
-            }
-        )
-    )
+    return {
+        "rows": N_ROWS,
+        "window": W,
+        "features_per_step": N_FEAT,
+        "latent": LATENT,
+        "sequences": n_seq,
+        "wall_sec": round(wall, 2),
+        "sequences_per_sec": round(n_seq / wall, 1),
+        "cores": cores,
+    }
+
+
+def main() -> None:
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    from feature_extractor_spark.session import get_spark
+
+    spark = get_spark("parity-bench", cores=cores)
+    print(json.dumps(run(spark)))
     spark.stop()
 
 
