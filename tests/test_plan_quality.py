@@ -116,3 +116,22 @@ def test_minhash_shingle_build_not_duplicated(spark):
 def test_limit_does_not_full_scan(spark, table):
     df = load_table(spark, SF, table).limit(5)
     assert "GlobalLimit" in _plan(df) or "CollectLimit" in _plan(df)
+
+
+def test_lsh_rerank_uses_gemm_not_hof_dot(spark):
+    """lsh_bucketed_topk candidate scoring must be the Arrow GEMM kernel
+    (MapInPandas), not the interpreted zip_with/aggregate dot product —
+    Catalyst does not codegen HOF lambda bodies, so a regression to the
+    expression dot is ~10x per candidate at scale."""
+    from feature_extractor_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.pmod(F.col("vec_id"), F.lit(50)) == 0)
+    out = lsh_bucketed_topk(q, emb, "vec_id", "embedding", k=3, dim=64)
+    opt = _optimized(out)
+    assert "MapInPandas" in opt
+    # the scoring projection above the candidate join must not re-introduce
+    # an aggregate(zip_with(...)) cosine; signature banding HOFs live BELOW
+    # the join, so check the segment above the MapInPandas node
+    above = opt.split("MapInPandas")[0]
+    assert "zip_with" not in above and "aggregate(" not in above
