@@ -120,3 +120,89 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, ch: F.pmod(acc * 31 + F.coalesce(F.ascii(ch), F.lit(0)), mod),
     )
     return df.withColumn("fp_md5", F.md5(norm)).withColumn("fp_rolling", rolling)
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, "Scaling Language
+    Models: Methods, Analysis & Insights from Training Gopher", Appendix A
+    — public method): documents dominated by repeated lines or n-grams are
+    boilerplate/template spam that poisons LLM training data. All signals
+    are built-in array expressions — JVM-side, one linear (or sort +
+    linear) pass per document, no Python and no per-doc quadratic
+    membership counts:
+
+    - ``dup_line_frac``: fraction of non-empty lines that repeat an
+      identical line (1 - distinct/total).
+    - ``dup_2gram_frac`` / ``dup_3gram_frac``: same over word n-grams.
+    - ``top_2gram_frac``: fraction of words covered by occurrences of the
+      single most frequent 2-gram (array_sort + linear run-scan).
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\\n"), lambda ln: F.trim(ln) != F.lit(""))
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0,
+        1.0 - F.size(F.array_distinct(lines)) / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    ws = words(t)
+    n_words = F.size(ws)
+
+    def ngrams(n: int):
+        # zip the word array against its shifted selves: gram i = words[i..i+n-1]
+        parts = [
+            F.slice(ws, k + 1, F.greatest(n_words - n + 1, F.lit(0)))
+            for k in range(n)
+        ]
+        g = parts[0]
+        for p in parts[1:]:
+            # words are whitespace-split, so a space never occurs inside a
+            # word — an unambiguous gram separator
+            g = F.zip_with(g, p, lambda a, b: F.concat_ws(" ", a, b))
+        return g
+
+    def dup_frac(grams):
+        n = F.size(grams)
+        return F.when(
+            n > 0, 1.0 - F.size(F.array_distinct(grams)) / n.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    def top_run(grams):
+        """Count of the most frequent gram = longest equal-run in the
+        SORTED gram array. O(n log n) sort + O(n) aggregate scan."""
+        s = F.array_sort(grams)
+        state = F.aggregate(
+            s,
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, x: F.when(
+                acc["prev"].isNotNull() & (x == acc["prev"]),
+                F.struct(
+                    x.alias("prev"),
+                    (acc["run"] + 1).alias("run"),
+                    F.greatest(acc["run"] + 1, acc["best"]).alias("best"),
+                ),
+            ).otherwise(
+                F.struct(
+                    x.alias("prev"),
+                    F.lit(1).alias("run"),
+                    F.greatest(F.lit(1), acc["best"]).alias("best"),
+                )
+            ),
+        )
+        return state["best"]
+
+    g2, g3 = ngrams(2), ngrams(3)
+    top_2gram_frac = F.when(
+        n_words >= 2,
+        F.least(top_run(g2) * 2 / n_words.cast("double"), F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("dup_line_frac", dup_line)
+        .withColumn("dup_2gram_frac", dup_frac(g2))
+        .withColumn("dup_3gram_frac", dup_frac(g3))
+        .withColumn("top_2gram_frac", top_2gram_frac)
+    )

@@ -177,3 +177,73 @@ def test_multimodal_fake_decode_deterministic(spark):
     # features bounded [0, 1)
     allv = np.concatenate([np.asarray(v) for v in pa["features"]])
     assert ((allv >= 0) & (allv < 1)).all()
+
+
+def test_repetition_signals_gopher_oracle(spark):
+    """Hand-computed Gopher-style repetition fractions on crafted docs,
+    plus range sanity over the real documents table."""
+    from feature_extractor_spark.functions.text import repetition_signals
+
+    docs = [
+        # 4 non-empty lines, "dup line" twice -> dup_line_frac = 1/4
+        ("a", "dup line\nunique one\n\ndup line\nlast line"),
+        # "x y x y x y": 2-grams = [xy, yx, xy, yx, xy] -> distinct 2 of 5
+        # dup_2gram_frac = 3/5; top gram xy count 3 -> top_2gram_frac = 1.0 (capped)
+        ("b", "x y x y x y"),
+        # no repetition at all
+        ("c", "all words here are completely distinct tokens"),
+        # empty-ish doc: no words, no lines
+        ("d", "   "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in repetition_signals(df).collect()
+    }
+    assert abs(out["a"]["dup_line_frac"] - 0.25) < 1e-12
+    assert abs(out["b"]["dup_2gram_frac"] - 0.6) < 1e-12
+    assert out["b"]["top_2gram_frac"] == 1.0
+    assert out["c"]["dup_2gram_frac"] == 0.0 and out["c"]["dup_line_frac"] == 0.0
+    # c: 7 distinct words, top 2-gram count 1 -> 2/7
+    assert abs(out["c"]["top_2gram_frac"] - 2.0 / 7.0) < 1e-12
+    for k in ("dup_line_frac", "dup_2gram_frac", "dup_3gram_frac", "top_2gram_frac"):
+        assert out["d"][k] == 0.0
+
+    # 3-gram check on b: 3-grams = [xyx, yxy, xyx, yxy] -> dup = 2/4
+    assert abs(out["b"]["dup_3gram_frac"] - 0.5) < 1e-12
+
+    # real table: all signals defined and in [0, 1]
+    real = repetition_signals(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ).select("dup_line_frac", "dup_2gram_frac", "dup_3gram_frac", "top_2gram_frac")
+    import pandas as pd
+    pdf = real.toPandas()
+    assert ((pdf >= 0.0) & (pdf <= 1.0)).all().all()
+
+
+def test_repetition_signals_pandas_parity(spark):
+    """Independent pandas/Python oracle over the documents table: the
+    array-expression implementation must agree exactly."""
+    from collections import Counter
+
+    from feature_extractor_spark.functions.text import repetition_signals
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    got = repetition_signals(df).select(
+        "doc_id", "text", "dup_line_frac", "dup_2gram_frac", "top_2gram_frac"
+    ).toPandas()
+
+    def oracle(text):
+        lines = [ln for ln in text.split("\n") if ln.strip() != ""]
+        dl = 1 - len(set(lines)) / len(lines) if lines else 0.0
+        ws = text.split()
+        g2 = [" ".join(ws[i:i+2]) for i in range(len(ws) - 1)]
+        d2 = 1 - len(set(g2)) / len(g2) if g2 else 0.0
+        t2 = min(max(Counter(g2).values()) * 2 / len(ws), 1.0) if g2 else 0.0
+        return dl, d2, t2
+
+    for _, row in got.iterrows():
+        dl, d2, t2 = oracle(row["text"])
+        assert abs(row["dup_line_frac"] - dl) < 1e-12, row["doc_id"]
+        assert abs(row["dup_2gram_frac"] - d2) < 1e-12, row["doc_id"]
+        assert abs(row["top_2gram_frac"] - t2) < 1e-12, row["doc_id"]
