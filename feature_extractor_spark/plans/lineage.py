@@ -106,6 +106,7 @@ def run_stage_with_resume(
     checkpoint_dir: str,
     fail_after_units: int | None = None,
     units_per_job: int = 16,
+    units: list[str] | None = None,
 ) -> dict:
     """Run ``transform(df_slice)`` for every pending unit and commit output +
     lineage. Units already in the manifest are skipped (resume = anti-join).
@@ -141,9 +142,17 @@ def run_stage_with_resume(
 
     log = CheckpointLog(spark, checkpoint_dir)
     done = log.completed_units(stage_name)
-    all_units = [
-        str(r[0]) for r in input_df.select(unit_col).distinct().orderBy(unit_col).collect()
-    ]
+    # pass `units` when the unit universe is known from a cheaper source
+    # (e.g. the raw input's partition values) — the default distinct()
+    # executes input_df's full plan once just to enumerate units
+    all_units = (
+        sorted(str(u) for u in units)
+        if units is not None
+        else [
+            str(r[0])
+            for r in input_df.select(unit_col).distinct().orderBy(unit_col).collect()
+        ]
+    )
     pending = [u for u in all_units if u not in done]
     run_id = uuid.uuid4().hex[:12]
 

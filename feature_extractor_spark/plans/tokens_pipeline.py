@@ -1,0 +1,189 @@
+"""End-to-end training-data curation over the documents/tokens tables.
+
+The composed production path the north rule describes (BASELINE.json):
+raw corpus -> exact dedup -> transitive near-dup dedup -> quality +
+repetition filtering -> deterministic per-source sampling -> stable
+training-order shuffle -> GPT-style sequence packing -> lineage-committed
+partitioned write that a killed run resumes by manifest diff. Every stage
+is one of the engine's individually driver-verified operators; this module
+only COMPOSES them, so the pipeline inherits their scale contracts:
+
+- dedup never materializes N^2 (banded LSH candidates, star-contraction
+  closure in O(log n) rounds),
+- filters and sampling are map-side only (no shuffle),
+- packing's global prefix sum is two scans + a |partitions|-row broadcast,
+- the write commits per-source dynamic partitions in batched jobs with
+  per-unit lineage metrics (plans/lineage.py).
+
+CLI (spark-submit --py-files dist/feature_extractor_spark.zip):
+
+    python -m feature_extractor_spark.plans.tokens_pipeline \
+        --input /root/testdata/sf0.001/documents.parquet \
+        --output /tmp/curated --checkpoint /tmp/curated_ckpt \
+        --context-len 2048 --min-quality 0.2 --web-fraction 0.5
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feature_extractor_spark.functions.text import (
+    quality_score,
+    repetition_signals,
+    token_counts,
+)
+from feature_extractor_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    near_dup_clusters,
+)
+from feature_extractor_spark.operators.packing import pack_sequences
+from feature_extractor_spark.operators.sampling import (
+    deterministic_shuffle,
+    stratified_sample,
+)
+
+
+def curate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    near_dup_threshold: float = 0.5,
+    min_quality: float = 0.0,
+    max_dup_line_frac: float = 0.5,
+    max_top_2gram_frac: float = 0.9,
+    sample_fractions: dict[str, float] | None = None,
+    context_len: int = 2048,
+    seed: int = 0,
+) -> DataFrame:
+    """The curation dataflow as ONE composable lazy plan (no actions except
+    the bounded driver loop inside the connected-components closure).
+
+    Returns one row per surviving document with its original columns plus
+    quality/repetition signals, ``n_tok``/``n_bpe_tokens``, the stable
+    ``shuffle_key``, and packing coordinates (``tok_start``/``bin_id``/
+    ``bin_pos``/``spans_boundary``) in the shuffled training order.
+    """
+    # 1. exact dedup: identical normalized text -> keep min-id survivor
+    exact = exact_dedup(docs, id_col, text_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    survivors = docs.join(exact, id_col)
+
+    # 2. transitive near-dup dedup: banded MinHash candidates -> verified
+    #    Jaccard pairs -> star-contraction closure -> keep component minima
+    pairs = minhash_lsh_pairs(
+        survivors, id_col, text_col, threshold=near_dup_threshold, eager=False
+    )
+    clusters = near_dup_clusters(pairs, survivors, id_col)
+    keep = clusters.filter(F.col(id_col) == F.col("canonical_id")).select(id_col)
+    survivors = survivors.join(keep, id_col)
+
+    # 3. quality + Gopher repetition filters (all map-side expressions)
+    scored = repetition_signals(quality_score(survivors, text_col), text_col)
+    filtered = scored.filter(
+        (F.col("quality") >= F.lit(float(min_quality)))
+        & (F.col("dup_line_frac") <= F.lit(float(max_dup_line_frac)))
+        & (F.col("top_2gram_frac") <= F.lit(float(max_top_2gram_frac)))
+    )
+
+    # 4. deterministic per-source sampling (map-side CASE filter)
+    if sample_fractions:
+        filtered = stratified_sample(
+            filtered, id_col, source_col, sample_fractions,
+            default_fraction=1.0, seed=seed,
+        )
+
+    # 5. token counts + stable training-order shuffle + sequence packing
+    with_tokens = token_counts(filtered, text_col).withColumn(
+        "n_tok", F.col("n_bpe_tokens")
+    )
+    shuffled = deterministic_shuffle(with_tokens, id_col, seed=seed)
+    # shuffle_key is a hash of the unique id -> collision-free total order
+    # is restored by the packing scan's range partitioner reading the key;
+    # ties (hash collisions) are broken nowhere, so guard with the id
+    # folded into the low bits via a stable composite column
+    ordered = shuffled.withColumn(
+        "pack_order",
+        F.concat_ws(
+            ":",
+            F.format_string("%.18f", F.col("shuffle_key")),
+            F.col(id_col).cast("string"),
+        ),
+    )
+    return pack_sequences(
+        ordered, order_col="pack_order", n_tok_col="n_tok",
+        context_len=context_len,
+    ).drop("pack_order")
+
+
+def run_curation(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    unit_col: str = "source",
+    fail_after_units: int | None = None,
+    **curate_kwargs,
+) -> dict:
+    """Read the corpus, curate, and commit the result partitioned by
+    ``unit_col`` with per-unit lineage + resume (plans/lineage.py). A
+    killed run re-invoked with the same dirs recomputes only the units
+    missing from the manifest."""
+    from feature_extractor_spark.plans.lineage import run_stage_with_resume
+
+    docs = spark.read.parquet(input_path)
+    curated = curate(docs, **curate_kwargs)
+    # unit universe from the cheap raw scan, not from a full execution of
+    # the curated plan (curation can only drop rows, never invent units —
+    # a unit fully curated away commits an empty partition, which is the
+    # correct "done" record for it)
+    units = [str(r[0]) for r in docs.select(unit_col).distinct().collect()]
+    return run_stage_with_resume(
+        spark,
+        "tokens_curation",
+        curated,
+        unit_col,
+        lambda df_slice: df_slice,
+        output_dir,
+        checkpoint_dir,
+        fail_after_units=fail_after_units,
+        units=units,
+    )
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description="curate a documents corpus")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--context-len", type=int, default=2048)
+    p.add_argument("--min-quality", type=float, default=0.0)
+    p.add_argument("--max-dup-line-frac", type=float, default=0.5)
+    p.add_argument("--near-dup-threshold", type=float, default=0.5)
+    p.add_argument("--web-fraction", type=float, default=None,
+                   help="downsample source=web to this keep fraction")
+    p.add_argument("--cores", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from feature_extractor_spark.session import get_spark
+
+    spark = get_spark("tokens-curation", cores=args.cores)
+    fractions = {"web": args.web_fraction} if args.web_fraction is not None else None
+    res = run_curation(
+        spark, args.input, args.output, args.checkpoint,
+        context_len=args.context_len,
+        min_quality=args.min_quality,
+        max_dup_line_frac=args.max_dup_line_frac,
+        near_dup_threshold=args.near_dup_threshold,
+        sample_fractions=fractions,
+    )
+    print({"processed_units": res["processed"], "skipped_units": res["skipped"]})
+
+
+if __name__ == "__main__":
+    main()

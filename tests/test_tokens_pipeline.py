@@ -1,0 +1,81 @@
+"""End-to-end curation pipeline (plans/tokens_pipeline.py): composed
+dedup -> filter -> sample -> shuffle -> pack -> lineage-committed write,
+on the real sf0.001 documents table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_extractor_spark.plans.tokens_pipeline import curate, run_curation
+
+SF_DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(SF_DOCS)
+
+
+def test_curate_invariants(spark, docs):
+    out = curate(docs, min_quality=0.0, max_dup_line_frac=1.0,
+                 max_top_2gram_frac=1.0, context_len=512).persist()
+    n_in, n_out = docs.count(), out.count()
+    assert 0 < n_out <= n_in
+
+    # survivors unique, and none is a known near-dup of a smaller-id doc
+    assert out.select("doc_id").distinct().count() == n_out
+
+    # packing coordinates: bin_pos in [0, L); tok_start strictly increasing
+    # along the shuffle order; contiguous (next start = start + n_tok)
+    pdf = out.select("shuffle_key", "doc_id", "n_tok", "tok_start", "bin_id",
+                     "bin_pos").toPandas().sort_values(["shuffle_key", "doc_id"])
+    assert (pdf["bin_pos"] >= 0).all() and (pdf["bin_pos"] < 512).all()
+    starts = pdf["tok_start"].to_numpy()
+    toks = pdf["n_tok"].to_numpy()
+    assert starts[0] == 0
+    assert ((starts[1:] - starts[:-1]) == toks[:-1]).all()
+    assert (pdf["bin_id"].to_numpy() == starts // 512).all()
+    out.unpersist()
+
+
+def test_curate_drops_near_dups_and_low_quality(spark, docs):
+    strict = curate(docs, min_quality=0.2, max_dup_line_frac=0.2,
+                    max_top_2gram_frac=0.5, context_len=512)
+    loose = curate(docs, min_quality=0.0, max_dup_line_frac=1.0,
+                   max_top_2gram_frac=1.0, context_len=512)
+    assert strict.count() <= loose.count()
+
+    # sampling: one real source downweighted to ~half, others untouched
+    # (baseline uses the same default filters, so the only delta is sampling)
+    target = docs.select("source").orderBy("source").first()["source"]
+    sampled = curate(docs, sample_fractions={target: 0.5}, context_len=512)
+    full = curate(docs, context_len=512)
+    full_by = {r["source"]: r["n"] for r in
+               full.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    samp_by = {r["source"]: r["n"] for r in
+               sampled.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert target in full_by and samp_by.get(target, 0) < full_by[target]
+    for src, n in full_by.items():
+        if src != target:
+            assert samp_by.get(src, 0) == n
+
+
+def test_curate_deterministic(spark, docs):
+    a = curate(docs, context_len=256).select("doc_id", "tok_start", "bin_id")
+    b = curate(docs, context_len=256).select("doc_id", "tok_start", "bin_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_run_curation_kill_and_resume(spark, tmp_path):
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_curation(spark, SF_DOCS, out_dir, ck, fail_after_units=2,
+                     context_len=512)
+    res = run_curation(spark, SF_DOCS, out_dir, ck, context_len=512)
+    assert len(res["skipped"]) == 2 and len(res["processed"]) >= 1
+
+    # resumed output == clean one-shot run
+    clean_dir, clean_ck = str(tmp_path / "clean"), str(tmp_path / "cck")
+    run_curation(spark, SF_DOCS, clean_dir, clean_ck, context_len=512)
+    got = spark.read.parquet(out_dir).select("doc_id", "tok_start")
+    exp = spark.read.parquet(clean_dir).select("doc_id", "tok_start")
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
