@@ -137,23 +137,31 @@ def run_curation(
     from feature_extractor_spark.plans.lineage import run_stage_with_resume
 
     docs = spark.read.parquet(input_path)
-    curated = curate(docs, **curate_kwargs)
+    # materialize the curated frame ONCE: the resume loop slices it per
+    # unit inside batched union branches, and without a persist each
+    # branch would re-execute the whole dedup/filter/pack pipeline
+    # (units x the most expensive stage). MEMORY_AND_DISK: curated output
+    # is much smaller than the input and spills instead of recomputing.
+    curated = curate(docs, **curate_kwargs).persist()
     # unit universe from the cheap raw scan, not from a full execution of
     # the curated plan (curation can only drop rows, never invent units —
     # a unit fully curated away commits an empty partition, which is the
     # correct "done" record for it)
     units = [str(r[0]) for r in docs.select(unit_col).distinct().collect()]
-    return run_stage_with_resume(
-        spark,
-        "tokens_curation",
-        curated,
-        unit_col,
-        lambda df_slice: df_slice,
-        output_dir,
-        checkpoint_dir,
-        fail_after_units=fail_after_units,
-        units=units,
-    )
+    try:
+        return run_stage_with_resume(
+            spark,
+            "tokens_curation",
+            curated,
+            unit_col,
+            lambda df_slice: df_slice,
+            output_dir,
+            checkpoint_dir,
+            fail_after_units=fail_after_units,
+            units=units,
+        )
+    finally:
+        curated.unpersist()
 
 
 def main(argv: list[str] | None = None) -> None:

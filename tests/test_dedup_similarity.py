@@ -383,3 +383,40 @@ def test_near_dup_clusters_string_ids(spark):
         "doc_a": "doc_a", "doc_b": "doc_a", "doc_c": "doc_a",
         "doc_x": "doc_x", "doc_y": "doc_x", "doc_z": "doc_z",
     }
+
+
+def test_near_dup_clusters_random_graphs_vs_union_find(spark):
+    """Star contraction == union-find on seeded random graphs of varied
+    shape (sparse, dense, many components, self-loops, duplicate edges)."""
+    import random
+
+    from feature_extractor_spark.operators.dedup import near_dup_clusters
+
+    for seed, n, m in [(1, 30, 15), (2, 40, 80), (3, 25, 5), (4, 50, 50)]:
+        rnd = random.Random(seed)
+        edges = [
+            (rnd.randrange(1, n + 1), rnd.randrange(1, n + 1)) for _ in range(m)
+        ]
+        nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["doc_id"]: r["canonical_id"]
+            for r in near_dup_clusters(pairs, nodes, "doc_id").collect()
+        }
+
+        parent = {i: i for i in range(1, n + 1)}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            if a != b:
+                parent[find(a)] = find(b)
+        comp: dict = {}
+        for i in parent:
+            comp.setdefault(find(i), []).append(i)
+        exp = {i: min(comp[find(i)]) for i in parent}
+        assert got == exp, f"seed={seed}"
