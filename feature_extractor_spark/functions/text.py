@@ -122,6 +122,46 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp_md5", F.md5(norm)).withColumn("fp_rolling", rolling)
 
 
+# PII patterns applied IN THIS ORDER (email before phone so the local part
+# of an address is never half-eaten as digits; IP before phone so dotted
+# quads don't partially match the phone shape)
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    # leading \b would fail before "(" (not a word boundary between space
+    # and paren) — a digit/dot/dash lookbehind guards the left edge instead
+    ("phone", r"(?<![\d.\-])(?:\+?\d{1,2}[ .\-]?)?(?:\(\d{3}\)|\d{3})[ .\-]\d{3}[ .\-]\d{4}\b"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    kinds: tuple[str, ...] = ("email", "ip", "ssn", "phone"),
+) -> DataFrame:
+    """PII scrubbing for training corpora: replace emails / IPv4s / SSNs /
+    phone numbers with typed placeholders (``<EMAIL>`` etc.) and count the
+    redactions per kind. Pure ``regexp_replace``/``regexp_count`` — JVM
+    regex, no Python, no shuffle; pattern order is load-bearing (see
+    PII_PATTERNS). Heuristic by design: a scrubber, not a PII *detector* —
+    the standard pre-training hygiene pass, not a compliance guarantee."""
+    out_col = out_col or f"{text_col}_redacted"
+    order = {k: i for i, (k, _) in enumerate(PII_PATTERNS)}
+    selected = sorted(
+        ((k, p) for k, p in PII_PATTERNS if k in kinds), key=lambda kp: order[kp[0]]
+    )
+    cur = F.col(text_col)
+    result = df
+    for kind, pat in selected:
+        result = result.withColumn(
+            f"n_{kind}", F.regexp_count(cur, F.lit(pat))
+        )
+        cur = F.regexp_replace(cur, pat, f"<{kind.upper()}>")
+    return result.withColumn(out_col, cur)
+
+
 def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021, "Scaling Language
     Models: Methods, Analysis & Insights from Training Gopher", Appendix A

@@ -307,9 +307,67 @@ def minhash_lsh_pairs(
     the shingle cache before returning (localCheckpoint, freed on GC);
     ``eager=False`` returns the fully lazy plan with the cache left alive
     (freed only when the plan's RDDs are GC'd)."""
+    wh_tbl, docs = _hashed_shingle_table(df, id_col, text_col, shingle_n)
+    return _lsh_pairs_from_grams(
+        wh_tbl, docs, id_col, num_hashes, bands, threshold, eager
+    )
+
+
+def minhash_lsh_pairs_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    num_hashes: int = 32,
+    bands: int = 8,
+    gram_n: int = 5,
+    threshold: float = 0.5,
+    eager: bool = True,
+) -> DataFrame:
+    """MinHash/LSH near-dup pairs over PRE-TOKENIZED sequences — the
+    input_hint payload (doc_id, tokens:array<int>): real LLM dedup runs on
+    token n-grams, not reconstructed text. Token ids map to [0, 2^31-1)
+    via a fixed affine hash (no string hashing at all), n-grams combine
+    exactly like the text path's hashed shingles, and the banding /
+    candidate-only exact-Jaccard verification is the shared scale plan.
+    Jaccard is over hashed token-n-gram SETS."""
+    t = F.transform(
+        F.col(tokens_col),
+        # Knuth multiplicative constant; token < 2^31 keeps the product
+        # < 2^63 (ANSI overflow throws, so stay inside long range)
+        lambda tok: F.pmod(
+            tok.cast("long") * F.lit(2654435761) + F.lit(40503), F.lit(_M31)
+        ),
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    wh_tbl = (
+        df.select(id_col, tokens_col)
+        .repartition(par)
+        .select(F.col(id_col), t.alias("__wh"))
+        .persist()
+    )
+    docs = wh_tbl.select(
+        F.col(id_col), combine_word_hashes(F.col("__wh"), gram_n).alias("__h")
+    ).filter(F.size("__h") > 0)
+    return _lsh_pairs_from_grams(
+        wh_tbl, docs, id_col, num_hashes, bands, threshold, eager
+    )
+
+
+def _lsh_pairs_from_grams(
+    wh_tbl: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    eager: bool,
+) -> DataFrame:
+    """Shared LSH tail for the text and token-array front ends: minhash
+    signatures (compiled aggregates), band-bucket ids-only join, exact
+    Jaccard verification on candidates only. ``wh_tbl`` is the persisted
+    upstream cache (released here when ``eager``)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    wh_tbl, docs = _hashed_shingle_table(df, id_col, text_col, shingle_n)
     sig = _minhash_signatures_agg(docs, id_col, "__h", num_hashes)
 
     band_structs = F.array(

@@ -420,3 +420,50 @@ def test_near_dup_clusters_random_graphs_vs_union_find(spark):
             comp.setdefault(find(i), []).append(i)
         exp = {i: min(comp[find(i)]) for i in parent}
         assert got == exp, f"seed={seed}"
+
+
+def test_minhash_lsh_pairs_tokens_python_oracle(spark):
+    """Token-array (input_hint payload) minhash dedup: found pairs and
+    their Jaccard values must match a plain-Python oracle over the same
+    hashed token n-gram sets."""
+    from feature_extractor_spark.operators.dedup import (
+        _M31,
+        minhash_lsh_pairs_tokens,
+    )
+
+    base = list(range(100, 160))          # 60 tokens
+    near = base[:55] + [999, 998, 997, 996, 995]   # ~overlapping
+    other = list(range(5000, 5060))       # disjoint
+    rows = [(1, base), (2, near), (3, other), (4, base[:3])]  # 4: too short
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs_tokens(
+            df, gram_n=5, threshold=0.3
+        ).collect()
+    }
+
+    MULTS = [536870909, 402653171, 268435399, 134217689, 67108859]
+
+    def gram_set(tokens):
+        hs = [(t * 2654435761 + 40503) % _M31 for t in tokens]
+        return {
+            sum((hs[i + j] * MULTS[j]) % _M31 for j in range(5)) % _M31
+            for i in range(len(hs) - 4)
+        }
+
+    sets = {i: gram_set(t) for i, t in rows}
+    exp = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= 0.3:
+                    exp[(a, b)] = j
+    # (1,2) well above threshold -> banding recall is certain; disjoint and
+    # too-short docs must not pair
+    assert (1, 2) in exp
+    assert set(got) == set(exp)
+    for k, j in exp.items():
+        assert abs(got[k] - j) < 1e-12

@@ -247,3 +247,30 @@ def test_repetition_signals_pandas_parity(spark):
         assert abs(row["dup_line_frac"] - dl) < 1e-12, row["doc_id"]
         assert abs(row["dup_2gram_frac"] - d2) < 1e-12, row["doc_id"]
         assert abs(row["top_2gram_frac"] - t2) < 1e-12, row["doc_id"]
+
+
+def test_redact_pii(spark):
+    from feature_extractor_spark.functions.text import redact_pii
+
+    rows = [
+        (1, "mail me at jane.doe+x@example.co.uk or call 555-867-5309 now"),
+        (2, "server 192.168.1.100 logged ssn 123-45-6789 from (212) 555-0199"),
+        (3, "clean text, no identifiers, version 1.2.3 stays"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {r["id"]: r for r in redact_pii(df).collect()}
+
+    r1 = out[1]["text_redacted"]
+    assert "<EMAIL>" in r1 and "example.co.uk" not in r1
+    assert "<PHONE>" in r1 and "867-5309" not in r1
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+
+    r2 = out[2]["text_redacted"]
+    assert "<IP>" in r2 and "192.168.1.100" not in r2
+    assert "<SSN>" in r2 and "123-45-6789" not in r2
+    assert "<PHONE>" in r2 and "555-0199" not in r2
+    assert out[2]["n_ip"] == 1 and out[2]["n_ssn"] == 1 and out[2]["n_phone"] == 1
+
+    # version strings and clean text untouched; counts all zero
+    assert out[3]["text_redacted"] == rows[2][1]
+    assert all(out[3][f"n_{k}"] == 0 for k in ("email", "ip", "ssn", "phone"))
