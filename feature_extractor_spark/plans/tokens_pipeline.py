@@ -121,6 +121,80 @@ def curate(
     ).drop("pack_order")
 
 
+def curate_tokens(
+    tokens_df: DataFrame,
+    doc_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+    source_col: str = "source",
+    ts_col: str = "ts",
+    near_dup_threshold: float = 0.6,
+    gram_n: int = 5,
+    min_tok: int = 8,
+    max_tok: int | None = None,
+    sample_fractions: dict[str, float] | None = None,
+    context_len: int = 2048,
+    seed: int = 0,
+) -> DataFrame:
+    """Curation twin for the PRE-TOKENIZED input (BASELINE.json
+    input_hint: ``doc_id:string, tokens:array<int32>, n_tok:int32,
+    source:string``): no text anywhere — dedup runs on token n-grams
+    (``minhash_lsh_pairs_tokens``), filtering on token counts, then the
+    same deterministic sample / stable shuffle / packing tail as the text
+    path. Each ROW is one training sequence; a synthetic ``seq_id``
+    (xxhash64 of doc id + ts) keys dedup, sampling, and the shuffle."""
+    from feature_extractor_spark.operators.dedup import (
+        minhash_lsh_pairs_tokens,
+        near_dup_clusters,
+    )
+
+    seqs = tokens_df.withColumn(
+        "seq_id", F.xxhash64(F.col(doc_col), F.col(ts_col))
+    )
+
+    # 1. exact dedup: identical token arrays -> min-seq_id survivor
+    exact = (
+        seqs.groupBy(tokens_col)
+        .agg(F.min("seq_id").alias("seq_id"))
+        .select("seq_id")
+    )
+    survivors = seqs.join(exact, "seq_id")
+
+    # 2. transitive near-dup over token n-grams
+    pairs = minhash_lsh_pairs_tokens(
+        survivors, "seq_id", tokens_col,
+        gram_n=gram_n, threshold=near_dup_threshold, eager=False,
+    )
+    clusters = near_dup_clusters(pairs, survivors, "seq_id")
+    keep = clusters.filter(F.col("seq_id") == F.col("canonical_id")).select("seq_id")
+    survivors = survivors.join(keep, "seq_id")
+
+    # 3. token-count bounds (map-side)
+    filtered = survivors.filter(F.col(n_tok_col) >= F.lit(int(min_tok)))
+    if max_tok is not None:
+        filtered = filtered.filter(F.col(n_tok_col) <= F.lit(int(max_tok)))
+
+    # 4./5. deterministic per-source sampling + stable shuffle + packing
+    if sample_fractions:
+        filtered = stratified_sample(
+            filtered, "seq_id", source_col, sample_fractions,
+            default_fraction=1.0, seed=seed,
+        )
+    shuffled = deterministic_shuffle(filtered, "seq_id", seed=seed)
+    ordered = shuffled.withColumn(
+        "pack_order",
+        F.concat_ws(
+            ":",
+            F.format_string("%.18f", F.col("shuffle_key")),
+            F.col("seq_id").cast("string"),
+        ),
+    )
+    return pack_sequences(
+        ordered, order_col="pack_order", n_tok_col=n_tok_col,
+        context_len=context_len,
+    ).drop("pack_order")
+
+
 def run_curation(
     spark: SparkSession,
     input_path: str,

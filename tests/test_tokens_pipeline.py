@@ -79,3 +79,44 @@ def test_run_curation_kill_and_resume(spark, tmp_path):
     got = spark.read.parquet(out_dir).select("doc_id", "tok_start")
     exp = spark.read.parquet(clean_dir).select("doc_id", "tok_start")
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_curate_tokens_input_hint_shape(spark):
+    """Tokens-table curation (input_hint payload): exact dup arrays drop
+    to one survivor, near-dup sequences collapse transitively, and packing
+    invariants hold — all without any text column."""
+    from pyspark.sql import functions as F
+
+    from feature_extractor_spark.plans.tokens_pipeline import curate_tokens
+    from feature_extractor_spark.sources.tokens import synth_tokens
+
+    base = synth_tokens(spark, n_rows=400, n_docs=40)
+    # inject exact duplicates: 10 rows re-emitted under new doc/ts identity
+    dup = (
+        base.limit(10)
+        .withColumn("doc_id", F.concat(F.lit("copy_"), F.col("doc_id")))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 400 MINUTES"))
+    )
+    df = base.unionByName(dup)
+
+    out = curate_tokens(df, context_len=256, min_tok=8).persist()
+    n_out = out.count()
+    # every injected duplicate array collapsed to one survivor
+    assert n_out <= base.count()
+    assert out.select("seq_id").distinct().count() == n_out
+    # no two surviving rows share a token array
+    assert out.groupBy("tokens").count().filter("count > 1").count() == 0
+
+    # packing contiguity along the shuffle order
+    pdf = out.select("shuffle_key", "seq_id", "n_tok", "tok_start").toPandas()
+    pdf = pdf.sort_values(["shuffle_key", "seq_id"])
+    starts, toks = pdf["tok_start"].to_numpy(), pdf["n_tok"].to_numpy()
+    assert starts[0] == 0 and ((starts[1:] - starts[:-1]) == toks[:-1]).all()
+    out.unpersist()
+
+    # determinism
+    again = curate_tokens(df, context_len=256, min_tok=8).select(
+        "seq_id", "tok_start"
+    )
+    prev = out.select("seq_id", "tok_start")
+    assert prev.exceptAll(again).count() == 0 and again.exceptAll(prev).count() == 0
