@@ -59,9 +59,13 @@ def curate(
     sample_fractions: dict[str, float] | None = None,
     context_len: int = 2048,
     seed: int = 0,
+    redact: bool = False,
 ) -> DataFrame:
     """The curation dataflow as ONE composable lazy plan (no actions except
     the bounded driver loop inside the connected-components closure).
+    ``redact=True`` additionally scrubs PII from the surviving text
+    (typed placeholders + per-kind counts, functions/text.redact_pii) —
+    after dedup, so redaction never changes dedup identity.
 
     Returns one row per surviving document with its original columns plus
     quality/repetition signals, ``n_tok``/``n_bpe_tokens``, the stable
@@ -97,6 +101,12 @@ def curate(
             filtered, id_col, source_col, sample_fractions,
             default_fraction=1.0, seed=seed,
         )
+
+    # 4.5 optional PII scrubbing (map-side regex; post-dedup on purpose)
+    if redact:
+        from feature_extractor_spark.functions.text import redact_pii
+
+        filtered = redact_pii(filtered, text_col)
 
     # 5. token counts + stable training-order shuffle + sequence packing
     with_tokens = token_counts(filtered, text_col).withColumn(

@@ -120,3 +120,12 @@ def test_curate_tokens_input_hint_shape(spark):
     )
     prev = out.select("seq_id", "tok_start")
     assert prev.exceptAll(again).count() == 0 and again.exceptAll(prev).count() == 0
+
+
+def test_curate_with_redaction(spark, docs):
+    from feature_extractor_spark.plans.tokens_pipeline import curate
+
+    out = curate(docs, context_len=512, redact=True)
+    cols = out.columns
+    assert "text_redacted" in cols
+    assert all(f"n_{k}" in cols for k in ("email", "ip", "ssn", "phone"))
