@@ -45,7 +45,18 @@ BENCH_QUERIES = [
     "tokens_pack_sequences",
     "doc_stratified_sample",
     "multimodal_features",
+    # round-4: the composed curation pipeline (dedup -> filter -> pack)
+    "curation_pipeline",
 ]
+
+
+def _curation_query(spark, sf_dir: str):
+    """End-to-end corpus curation over the documents table (timed
+    including the bounded connected-components driver loop)."""
+    from feature_extractor_spark.plans.tokens_pipeline import curate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curate(docs, context_len=2048)
 
 
 def _force(df) -> int:
@@ -116,6 +127,7 @@ def main() -> None:
 
     qs["encoder_latents"] = eq.encoder_latents
     qs["encoder_vae_small_latents"] = eq.encoder_vae_small_latents_raw
+    qs["curation_pipeline"] = _curation_query
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         df = qs[name](spark, sf_dir)
