@@ -353,23 +353,18 @@ def minhash_lsh_pairs_tokens(
     )
 
 
-def _lsh_pairs_from_grams(
-    wh_tbl: DataFrame,
-    docs: DataFrame,
-    id_col: str,
-    num_hashes: int,
-    bands: int,
-    threshold: float,
-    eager: bool,
+def signature_bands(
+    docs: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """Shared LSH tail for the text and token-array front ends: minhash
-    signatures (compiled aggregates), band-bucket ids-only join, exact
-    Jaccard verification on candidates only. ``wh_tbl`` is the persisted
-    upstream cache (released here when ``eager``)."""
+    """(id, band, bucket) LSH band-bucket rows from a hashed-gram frame
+    (``__h`` column). Ids only — carrying the gram arrays through the
+    exploded band join would amplify them x bands through the shuffle.
+    Shared by the pairwise dedup tail and the incremental-ingest index
+    (streaming/incremental_dedup.py): both sides of any candidate lookup
+    MUST use this exact bucketing or candidates silently vanish."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig = _minhash_signatures_agg(docs, id_col, "__h", num_hashes)
-
     band_structs = F.array(
         *[
             F.struct(
@@ -387,13 +382,25 @@ def _lsh_pairs_from_grams(
             for i in range(bands)
         ]
     )
-    # Band-bucket join on bare ids only — carrying the shingle arrays
-    # through the exploded join would amplify them x bands through the
-    # shuffle. Shingle sets are re-attached to the (much smaller) candidate
-    # pair set for exact verification.
-    banded = sig.select(id_col, F.explode(band_structs).alias("bb")).select(
+    return sig.select(id_col, F.explode(band_structs).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+
+
+def _lsh_pairs_from_grams(
+    wh_tbl: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    eager: bool,
+) -> DataFrame:
+    """Shared LSH tail for the text and token-array front ends: minhash
+    signatures (compiled aggregates), band-bucket ids-only join, exact
+    Jaccard verification on candidates only. ``wh_tbl`` is the persisted
+    upstream cache (released here when ``eager``)."""
+    banded = signature_bands(docs, id_col, num_hashes, bands)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cand = (

@@ -1,0 +1,223 @@
+"""Incremental (streaming) near-dup ingest against a growing corpus index.
+
+At 100 TB you dedup a corpus ONCE; after that, new documents arrive
+continuously and must be checked against everything already accepted
+without recomputing the corpus. This module keeps a persistent LSH index
+(two append-only parquet tables) and ingests new batches through it:
+
+    <index_dir>/bands/      (doc_id, band, bucket)   candidate lookup
+    <index_dir>/shingles/   (doc_id, __h)            exact-Jaccard verify
+
+Per micro-batch (Structured Streaming ``foreachBatch`` — the standard
+pattern for stream writes that need multi-table transactions Spark does
+not provide natively):
+
+1. within-batch dedup: banded MinHash pairs + star-contraction closure
+   (a batch can contain its own duplicates),
+2. index lookup: the batch's band buckets join the index's — candidates
+   only, never batch x corpus — then exact Jaccard on the hashed shingle
+   sets of the candidates,
+3. accepted (non-duplicate) docs append to the corpus output AND their
+   band/shingle rows append to the index, so batch N+1 dedups against
+   batch N.
+
+Idempotency/restart: every write lands under a ``batch_id=<n>`` dynamic
+partition with overwrite mode, so a replayed micro-batch (foreachBatch is
+at-least-once on failure) overwrites its own partition instead of
+duplicating rows; the stream checkpoint tracks which source files are
+consumed. Bucketing MUST match the index builder's — both sides go
+through ``operators.dedup.signature_bands``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from feature_extractor_spark.operators.dedup import (
+    _hashed_shingle_table,
+    minhash_lsh_pairs,
+    near_dup_clusters,
+    signature_bands,
+)
+
+
+def flag_against_index(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    index_shingles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """(id, is_dup, dup_of, jaccard) for every new doc vs the index.
+
+    Candidates come only from shared (band, bucket) rows; each candidate
+    is verified with exact Jaccard over hashed shingle sets. ``dup_of``
+    is the best match (max jaccard, ties to the smaller corpus id)."""
+    wh_tbl, docs = _hashed_shingle_table(new_docs, id_col, text_col, shingle_n)
+    banded_new = signature_bands(docs, id_col, num_hashes, bands)
+    cand = (
+        banded_new.join(
+            index_bands.select(
+                F.col(id_col).alias("corpus_id"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .select(id_col, "corpus_id")
+        .dropDuplicates([id_col, "corpus_id"])
+    )
+    verified = (
+        cand.join(docs.select(id_col, F.col("__h").alias("h_new")), id_col)
+        .join(
+            index_shingles.select(
+                F.col(id_col).alias("corpus_id"), F.col("__h").alias("h_old")
+            ),
+            "corpus_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("h_new", "h_old"))
+            / F.size(F.array_union("h_new", "h_old")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    # min over (-jaccard, corpus_id): max jaccard, ties to the smaller id
+    best = verified.groupBy(id_col).agg(
+        F.min(
+            F.struct(
+                (-F.col("jaccard")).alias("nj"),
+                F.col("corpus_id").cast("string").alias("corpus_id"),
+            )
+        ).alias("__b"),
+        F.max("jaccard").alias("jaccard"),
+    )
+    out = (
+        new_docs.select(id_col)
+        .distinct()
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.col("jaccard").isNotNull().alias("is_dup"),
+            F.col("__b.corpus_id").alias("dup_of"),
+            "jaccard",
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    wh_tbl.unpersist()
+    return out
+
+
+def _index_rows(
+    accepted: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(bands_df, shingles_df) index rows for newly accepted docs."""
+    wh_tbl, docs = _hashed_shingle_table(accepted, id_col, text_col, shingle_n)
+    bands_df = signature_bands(docs, id_col, num_hashes, bands)
+    shingles_df = docs.select(id_col, "__h")
+    # materialize both before releasing the shared word-hash cache
+    bands_df = bands_df.localCheckpoint(eager=True)
+    shingles_df = shingles_df.localCheckpoint(eager=True)
+    wh_tbl.unpersist()
+    return bands_df, shingles_df
+
+
+def ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    accepted_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+) -> None:
+    """One micro-batch of the dedup ingest (usable directly for batch
+    backfills too). Idempotent per (batch_id): all three writes are
+    dynamic-partition overwrites keyed on batch_id."""
+    spark = batch_df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch_df = batch_df.persist()
+    try:
+        # 1. within-batch transitive dedup
+        pairs = minhash_lsh_pairs(
+            batch_df, id_col, text_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            threshold=threshold, eager=True,
+        )
+        clusters = near_dup_clusters(pairs, batch_df, id_col)
+        unique = batch_df.join(
+            clusters.filter(F.col(id_col) == F.col("canonical_id")).select(id_col),
+            id_col,
+        )
+        # 2. against the existing index (absent on the very first batch)
+        try:
+            idx_bands = spark.read.parquet(f"{index_dir}/bands")
+            idx_shingles = spark.read.parquet(f"{index_dir}/shingles")
+            flags = flag_against_index(
+                unique, idx_bands, idx_shingles, id_col, text_col,
+                num_hashes, bands, shingle_n, threshold,
+            )
+            accepted = unique.join(
+                flags.filter(~F.col("is_dup")).select(id_col), id_col
+            )
+        except Exception:  # first batch: no index yet
+            accepted = unique
+        accepted = accepted.persist()
+        # 3. accepted docs + their index rows, idempotent per batch
+        bid = F.lit(int(batch_id))
+        accepted.withColumn("batch_id", bid).write.mode("overwrite").partitionBy(
+            "batch_id"
+        ).parquet(accepted_dir)
+        new_bands, new_shingles = _index_rows(
+            accepted, id_col, text_col, num_hashes, bands, shingle_n
+        )
+        new_bands.withColumn("batch_id", bid).write.mode("overwrite").partitionBy(
+            "batch_id"
+        ).parquet(f"{index_dir}/bands")
+        new_shingles.withColumn("batch_id", bid).write.mode("overwrite").partitionBy(
+            "batch_id"
+        ).parquet(f"{index_dir}/shingles")
+        accepted.unpersist()
+    finally:
+        batch_df.unpersist()
+
+
+def stream_dedup_ingest(
+    stream_docs: DataFrame,
+    index_dir: str,
+    accepted_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+):
+    """Wire ``ingest_batch`` into a Structured Streaming query. Returns
+    the DataStreamWriter (caller starts it, typically with
+    ``.trigger(availableNow=True)`` for backfills)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ingest_batch(
+            batch_df, batch_id, index_dir, accepted_dir,
+            id_col, text_col, num_hashes, bands, shingle_n, threshold,
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )

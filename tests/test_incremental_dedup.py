@@ -1,0 +1,99 @@
+"""Incremental dedup ingest: new batches dedup against the accepted
+corpus index without recomputing it; replayed batches are idempotent."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_extractor_spark.streaming.incremental_dedup import (
+    flag_against_index,
+    ingest_batch,
+    stream_dedup_ingest,
+)
+
+A = "the quick brown fox jumps over the lazy dog again and again today"
+A_NEAR = "the quick brown fox jumps over the lazy dog again and again tonight"
+B = "completely different content about spark partitioning and shuffles"
+C = "a third unrelated document discussing parquet row group layouts"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_ingest_within_and_across_batches(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    acc = str(tmp_path / "acc")
+
+    # batch 0: A, a near-dup of A, and B -> within-batch dedup keeps 2
+    ingest_batch(
+        _df(spark, [("a1", A), ("a2", A_NEAR), ("b1", B)]), 0, idx, acc,
+        threshold=0.5,
+    )
+    got0 = {r["doc_id"] for r in spark.read.parquet(acc).collect()}
+    assert got0 == {"a1", "b1"}
+
+    # batch 1: another near-dup of A (cross-batch, via the index) + new C
+    ingest_batch(
+        _df(spark, [("a3", A_NEAR), ("c1", C)]), 1, idx, acc, threshold=0.5
+    )
+    got1 = {r["doc_id"] for r in spark.read.parquet(acc).collect()}
+    assert got1 == {"a1", "b1", "c1"}
+
+    # replaying batch 1 (at-least-once foreachBatch) must not duplicate
+    ingest_batch(
+        _df(spark, [("a3", A_NEAR), ("c1", C)]), 1, idx, acc, threshold=0.5
+    )
+    rows = spark.read.parquet(acc).collect()
+    assert {r["doc_id"] for r in rows} == {"a1", "b1", "c1"}
+    assert len(rows) == 3
+
+
+def test_flag_against_index_reports_best_match(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    acc = str(tmp_path / "acc")
+    ingest_batch(_df(spark, [("a1", A), ("b1", B)]), 0, idx, acc, threshold=0.5)
+
+    flags = {
+        r["doc_id"]: r
+        for r in flag_against_index(
+            _df(spark, [("x1", A_NEAR), ("x2", C)]),
+            spark.read.parquet(f"{idx}/bands"),
+            spark.read.parquet(f"{idx}/shingles"),
+            threshold=0.5,
+        ).collect()
+    }
+    assert flags["x1"]["is_dup"] and flags["x1"]["dup_of"] == "a1"
+    assert 0.5 <= flags["x1"]["jaccard"] <= 1.0
+    assert not flags["x2"]["is_dup"] and flags["x2"]["dup_of"] is None
+
+
+def test_stream_dedup_ingest_end_to_end(spark, tmp_path):
+    """Real Structured Streaming run over a file source: two availableNow
+    passes with files added in between — the checkpoint resumes, and the
+    second pass dedups against the first pass's index."""
+    src = str(tmp_path / "src")
+    idx, acc, ck = (str(tmp_path / d) for d in ("idx", "acc", "ck"))
+
+    _df(spark, [("a1", A), ("b1", B)]).coalesce(1).write.mode("append").parquet(src)
+    schema = "doc_id string, text string"
+
+    def run_once():
+        q = (
+            stream_dedup_ingest(
+                spark.readStream.schema(schema).parquet(src),
+                idx, acc, ck, threshold=0.5,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {"a1", "b1"}
+
+    # new files: a cross-run near-dup and a genuinely new doc
+    _df(spark, [("a9", A_NEAR), ("c1", C)]).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {
+        "a1", "b1", "c1"
+    }
