@@ -122,6 +122,92 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp_md5", F.md5(norm)).withColumn("fp_rolling", rolling)
 
 
+def token_repetition_signals(
+    df: DataFrame, tokens_col: str = "tokens", gram_n: int = 5
+) -> DataFrame:
+    """Repetition filters for PRE-TOKENIZED sequences (the input_hint
+    payload) — the token-space twin of ``repetition_signals``: loops and
+    boilerplate show up as repeated token n-grams without any text to
+    inspect. Gram hashes are the same fixed affine combine the token
+    minhash dedup uses, so a sequence these signals flag is exactly the
+    kind the dedup stage would bucket. Adds:
+
+    - ``dup_gram_frac``: fraction of token n-grams that repeat an earlier
+      identical gram (1 - distinct/total),
+    - ``top_gram_frac``: fraction of tokens covered by occurrences of the
+      single most frequent n-gram (array_sort + linear run-scan on LONGS —
+      no strings anywhere).
+    """
+    _M31 = (1 << 31) - 1
+    t = F.col(tokens_col)
+    n = F.size(t)
+    hashed = F.transform(
+        t,
+        lambda tok: F.pmod(
+            tok.cast("long") * F.lit(2654435761) + F.lit(40503), F.lit(_M31)
+        ),
+    )
+    mults = [536870909, 402653171, 268435399, 134217689, 67108859]
+    count = n - (gram_n - 1)
+    grams = F.when(
+        count > 0,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.pmod(
+                sum(
+                    F.pmod(
+                        F.element_at(hashed, i + j) * F.lit(mults[j]), F.lit(_M31)
+                    )
+                    for j in range(gram_n)
+                ),
+                F.lit(_M31),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    # materialize grams once: every consumer below re-evaluates an inline
+    # subtree per element otherwise (the combine_word_hashes trap)
+    df = df.withColumn("__g", grams)
+    g = F.col("__g")
+    n_grams = F.size(g)
+    dup_frac = F.when(
+        n_grams > 0, 1.0 - F.size(F.array_distinct(g)) / n_grams.cast("double")
+    ).otherwise(F.lit(0.0))
+    s = F.array_sort(g)
+    run_state = F.aggregate(
+        s,
+        F.struct(
+            F.lit(-1).cast("long").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.when(
+            x == acc["prev"],
+            F.struct(
+                x.alias("prev"),
+                (acc["run"] + 1).alias("run"),
+                F.greatest(acc["run"] + 1, acc["best"]).alias("best"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).alias("run"),
+                F.greatest(F.lit(1), acc["best"]).alias("best"),
+            )
+        ),
+    )
+    top_frac = F.when(
+        n >= gram_n,
+        F.least(
+            run_state["best"] * gram_n / n.cast("double"), F.lit(1.0)
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("dup_gram_frac", dup_frac)
+        .withColumn("top_gram_frac", top_frac)
+        .drop("__g")
+    )
+
+
 # PII patterns applied IN THIS ORDER (email before phone so the local part
 # of an address is never half-eaten as digits; IP before phone so dotted
 # quads don't partially match the phone shape)

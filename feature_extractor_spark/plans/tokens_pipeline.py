@@ -142,6 +142,7 @@ def curate_tokens(
     gram_n: int = 5,
     min_tok: int = 8,
     max_tok: int | None = None,
+    max_dup_gram_frac: float | None = None,
     sample_fractions: dict[str, float] | None = None,
     context_len: int = 2048,
     seed: int = 0,
@@ -179,10 +180,19 @@ def curate_tokens(
     keep = clusters.filter(F.col("seq_id") == F.col("canonical_id")).select("seq_id")
     survivors = survivors.join(keep, "seq_id")
 
-    # 3. token-count bounds (map-side)
+    # 3. token-count bounds + optional token-space repetition filter
+    #    (both map-side)
     filtered = survivors.filter(F.col(n_tok_col) >= F.lit(int(min_tok)))
     if max_tok is not None:
         filtered = filtered.filter(F.col(n_tok_col) <= F.lit(int(max_tok)))
+    if max_dup_gram_frac is not None:
+        from feature_extractor_spark.functions.text import (
+            token_repetition_signals,
+        )
+
+        filtered = token_repetition_signals(
+            filtered, tokens_col, gram_n=gram_n
+        ).filter(F.col("dup_gram_frac") <= F.lit(float(max_dup_gram_frac)))
 
     # 4./5. deterministic per-source sampling + stable shuffle + packing
     if sample_fractions:

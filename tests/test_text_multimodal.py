@@ -274,3 +274,46 @@ def test_redact_pii(spark):
     # version strings and clean text untouched; counts all zero
     assert out[3]["text_redacted"] == rows[2][1]
     assert all(out[3][f"n_{k}"] == 0 for k in ("email", "ip", "ssn", "phone"))
+
+
+def test_token_repetition_signals(spark):
+    """Token-space repetition: hand-computed dup/top-gram fractions, and
+    a Python oracle replicating the exact gram-hash combine."""
+    from feature_extractor_spark.functions.text import token_repetition_signals
+
+    loop = [1, 2, 3, 4, 5] * 6                 # 30 tokens: one 5-gram loop
+    clean = list(range(100, 130))              # 30 distinct tokens
+    short = [7, 8, 9]                          # shorter than gram_n
+    df = spark.createDataFrame(
+        [(1, loop), (2, clean), (3, short)], "id int, tokens array<int>"
+    )
+    out = {r["id"]: r for r in token_repetition_signals(df, gram_n=5).collect()}
+
+    # loop: 26 grams, only 5 distinct -> dup = 21/26; the most frequent
+    # gram occurs 6 times -> top = min(6*5/30, 1) = 1.0
+    assert abs(out[1]["dup_gram_frac"] - 21 / 26) < 1e-12
+    assert out[1]["top_gram_frac"] == 1.0
+    # clean: all 26 grams distinct; best run 1 -> 5/30
+    assert out[2]["dup_gram_frac"] == 0.0
+    assert abs(out[2]["top_gram_frac"] - 5 / 30) < 1e-12
+    # short: no grams
+    assert out[3]["dup_gram_frac"] == 0.0 and out[3]["top_gram_frac"] == 0.0
+
+    # python oracle parity on an arbitrary mixed sequence
+    from collections import Counter
+
+    M31 = (1 << 31) - 1
+    MULTS = [536870909, 402653171, 268435399, 134217689, 67108859]
+    seq = [5, 6, 7, 5, 6, 7, 5, 6, 9, 10, 11, 12, 5, 6, 7, 5, 6, 7]
+    hs = [(t * 2654435761 + 40503) % M31 for t in seq]
+    grams = [
+        sum((hs[i + j] * MULTS[j]) % M31 for j in range(5)) % M31
+        for i in range(len(hs) - 4)
+    ]
+    exp_dup = 1 - len(set(grams)) / len(grams)
+    exp_top = min(max(Counter(grams).values()) * 5 / len(seq), 1.0)
+    got = token_repetition_signals(
+        spark.createDataFrame([(9, seq)], "id int, tokens array<int>"), gram_n=5
+    ).collect()[0]
+    assert abs(got["dup_gram_frac"] - exp_dup) < 1e-12
+    assert abs(got["top_gram_frac"] - exp_top) < 1e-12

@@ -129,3 +129,26 @@ def test_curate_with_redaction(spark, docs):
     cols = out.columns
     assert "text_redacted" in cols
     assert all(f"n_{k}" in cols for k in ("email", "ip", "ssn", "phone"))
+
+
+def test_curate_tokens_repetition_filter(spark):
+    """max_dup_gram_frac drops looping sequences from the tokens path."""
+    from pyspark.sql import functions as F
+
+    from feature_extractor_spark.plans.tokens_pipeline import curate_tokens
+    from feature_extractor_spark.sources.tokens import synth_tokens
+
+    base = synth_tokens(spark, n_rows=100, n_docs=20)
+    looping = base.limit(5).select(
+        F.concat(F.lit("loop_"), F.col("doc_id")).alias("doc_id"),
+        F.flatten(F.array_repeat(F.slice(F.col("tokens"), 1, 5), 8)).alias("tokens"),
+        F.lit(40).alias("n_tok"),
+        F.col("source"),
+        (F.col("ts") + F.expr("INTERVAL 999 MINUTES")).alias("ts"),
+    )
+    df = base.unionByName(looping)
+
+    kept = curate_tokens(df, context_len=256, max_dup_gram_frac=0.5)
+    assert kept.filter(F.col("doc_id").startswith("loop_")).count() == 0
+    loose = curate_tokens(df, context_len=256)
+    assert loose.filter(F.col("doc_id").startswith("loop_")).count() > 0
