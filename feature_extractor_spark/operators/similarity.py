@@ -546,3 +546,211 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    sample_size: int = 4096,
+    iters: int = 5,
+    seed: int = 29,
+):
+    """Product-quantization codebooks (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search" — public method): the vector
+    space splits into ``m`` subspaces; each gets a ``k``-centroid k-means
+    codebook so a D-dim float vector compresses to m small codes (m bytes
+    at k<=256) — the memory path that lets a 10^12-vector index live in
+    RAM. Same bounded-seeded-sample discipline as ``kmeans_centroids``:
+    TakeOrdered over a deterministic id hash, driver-side Lloyd on
+    <= sample_size rows, codebooks ship back as a broadcast.
+
+    Returns (codebooks: np.ndarray (m, k, D/m) float64, dim: int)."""
+    import numpy as np
+
+    rows = (
+        corpus.select(vec_col)
+        .orderBy(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(_M31))
+        )
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    if X.size == 0:
+        raise ValueError("pq_codebooks: empty corpus")
+    d = X.shape[1]
+    if d % m != 0:
+        raise ValueError(f"pq_codebooks: dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, sub), dtype=np.float64)
+    for s in range(m):
+        Xs = X[:, s * sub : (s + 1) * sub]
+        kk = min(k, len(Xs))
+        # deterministic init: first kk distinct-ish sample rows
+        C = Xs[:kk].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for j in range(kk):
+                members = Xs[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+                else:
+                    # deterministic re-seed for an empty cell
+                    C[j] = Xs[int(rng.integers(0, len(Xs)))]
+        books[s, :kk] = C
+        if kk < k:
+            books[s, kk:] = C[np.arange(k - kk) % kk]
+    return books, d
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Encode vectors to PQ codes (array<int>, one code per subspace):
+    one Arrow batch at a time, a (B, k) distance GEMM per subspace — no
+    per-row Python. Output carries only (id, codes): the m-byte index
+    representation."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(codebooks, dtype=np.float64))
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField(code_col, T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = bc.value
+        m, _, sub = books.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                Xs = X[:, s * sub : (s + 1) * sub]
+                C = books[s]
+                # |x-c|^2 = |x|^2 - 2 x.c + |c|^2 ; |x|^2 constant per row
+                d2 = (C**2).sum(axis=1)[None, :] - 2.0 * (Xs @ C.T)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], code_col: list(codes)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(encode, schema)
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    k: int = 5,
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query builds an
+    (m, k_codes) lookup table of squared subdistances driver-side; scoring
+    a corpus vector is m table lookups — no float vectors touched at scan
+    time. Map-side partial top-k per Arrow batch (same exact-merge
+    discipline as cosine_topk: order by (distance, neighbor_id)).
+    Returns (query_id, neighbor_id, adc_distance, rank)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = corpus_codes.sparkSession
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, kc, sub = books.shape
+    qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_topk: query side exceeds max_queries={max_queries}"
+        )
+    id_type = corpus_codes.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("adc_distance", T.DoubleType()),
+        ]
+    )
+    if not qrows:
+        empty = spark.createDataFrame([], out_schema)
+        return empty.withColumn("rank", F.lit(1)).limit(0)
+    q_ids = np.asarray([r[0] for r in qrows])
+    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    # (n_q, m, k) subdistance tables
+    tables = np.empty((len(Q), m, kc), dtype=np.float64)
+    for s in range(m):
+        Qs = Q[:, s * sub : (s + 1) * sub]
+        C = books[s]
+        tables[:, s, :] = (
+            (Qs**2).sum(axis=1)[:, None]
+            - 2.0 * (Qs @ C.T)
+            + (C**2).sum(axis=1)[None, :]
+        )
+    bq = spark.sparkContext.broadcast((q_ids, tables))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, tabs = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.asarray(
+                [np.asarray(c, dtype=np.int64) for c in pdf[code_col]]
+            )  # (B, m)
+            n_ids = pdf[id_col].to_numpy()
+            B = len(codes)
+            rows_q, rows_n, rows_d = [], [], []
+            sub_idx = np.arange(m)
+            for qi in range(len(ids_q)):
+                # ADC: sum of per-subspace table entries at the stored codes
+                d = tabs[qi][sub_idx[None, :], codes].sum(axis=1)  # (B,)
+                mask = n_ids != ids_q[qi]
+                kk = min(k, int(mask.sum()))
+                if kk == 0:
+                    continue
+                dm = np.where(mask, d, np.inf)
+                idx = np.lexsort((n_ids, dm))[:kk]
+                rows_q.extend([ids_q[qi]] * kk)
+                rows_n.extend(n_ids[idx])
+                rows_d.extend(dm[idx])
+            yield pd.DataFrame(
+                {
+                    "query_id": rows_q,
+                    "neighbor_id": rows_n,
+                    "adc_distance": rows_d,
+                }
+            )
+
+    partial = corpus_codes.select(id_col, code_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_distance").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_distance", "rank")
+    )

@@ -467,3 +467,90 @@ def test_minhash_lsh_pairs_tokens_python_oracle(spark):
     assert set(got) == set(exp)
     for k, j in exp.items():
         assert abs(got[k] - j) < 1e-12
+
+
+def _blobs(spark, n_clusters=8, per_cluster=40, dim=32, seed=3):
+    """Clustered unit vectors (ANN-friendly, unlike the near-orthogonal
+    driver embeddings)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per_cluster):
+            v = c + 0.15 * rng.normal(size=dim)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_encode_and_adc_match_numpy(spark):
+    """PQ codes and ADC distances must equal a direct NumPy evaluation of
+    the same codebooks (the distributed path adds nothing numerically)."""
+    import numpy as np
+
+    from feature_extractor_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    corpus = _blobs(spark, n_clusters=4, per_cluster=25, dim=16)
+    books, d = pq_codebooks(corpus, m=4, k=8, sample_size=100)
+    assert books.shape == (4, 8, 4) and d == 16
+
+    codes = {
+        r["vec_id"]: list(r["pq_code"]) for r in pq_encode(corpus, books).collect()
+    }
+    X = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+         for r in corpus.collect()}
+    for vid, x in list(X.items())[:20]:
+        exp = [
+            int(np.argmin(((books[s] - x[s * 4 : (s + 1) * 4]) ** 2).sum(axis=1)))
+            for s in range(4)
+        ]
+        assert codes[vid] == exp, vid
+
+    q = corpus.filter("vec_id % 50 = 0")
+    got = pq_topk(q, pq_encode(corpus, books), books, k=3).collect()
+    qx = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+          for r in q.collect()}
+    for r in got:
+        x = qx[r["query_id"]]
+        c = codes[r["neighbor_id"]]
+        exp_d = sum(
+            ((x[s * 4 : (s + 1) * 4] - books[s][c[s]]) ** 2).sum() for s in range(4)
+        )
+        assert abs(r["adc_distance"] - exp_d) < 1e-9
+
+
+def test_pq_topk_recall_on_clustered_data(spark):
+    """ADC over 8-byte codes must recover most true neighbors on clustered
+    embeddings (the representative case PQ exists for)."""
+    from feature_extractor_spark.operators.similarity import (
+        cosine_topk,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    corpus = _blobs(spark, n_clusters=8, per_cluster=40, dim=32)
+    books, _ = pq_codebooks(corpus, m=8, k=32, sample_size=320)
+    codes = pq_encode(corpus, books)
+    q = corpus.filter("vec_id % 40 = 0")
+
+    exact = cosine_topk(q, corpus, k=10)
+    approx = pq_topk(q, codes, books, k=10)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, recall
+
+    # determinism
+    again = {(r["query_id"], r["neighbor_id"]) for r in
+             pq_topk(q, codes, books, k=10).collect()}
+    assert again == a
