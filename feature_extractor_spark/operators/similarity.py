@@ -754,3 +754,174 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_distance", "rank")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_codes: int = 32,
+    sample_size: int = 4096,
+    seed: int = 23,
+    balance_limit: float = 4.0,
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """IVF + PQ composition (the standard billion-scale ANN layout):
+    coarse k-means cells bound WHICH vectors are scored (n_probe/n_lists
+    of the corpus), PQ codes bound WHAT is read per vector (m small codes,
+    no floats at scan time). Corpus side is one map-side pass: cell
+    assignment from broadcast centroid literals + PQ encode in the same
+    Arrow stage; query side broadcasts (id, probed cells) plus per-query
+    ADC tables. Codes quantize RAW vectors (not residuals) — simpler and
+    deterministic, at a modest recall cost vs residual-PQ; recall is
+    bounded in tests on clustered data. Returns (query_id, neighbor_id,
+    adc_distance, rank)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cents, balance = kmeans_centroids(
+        corpus, id_col, vec_col, n_lists, sample_size, seed=seed
+    )
+    if not cents:
+        raise ValueError("ivfpq_topk: empty corpus")
+    if balance > balance_limit:
+        n_probe = min(len(cents), n_probe * 2)
+    books, dim = pq_codebooks(
+        corpus, id_col, vec_col, m=m, k=k_codes, sample_size=sample_size,
+        seed=seed,
+    )
+
+    spark = corpus.sparkSession
+    C = np.asarray(cents, dtype=np.float64)  # (n_lists, dim), unit rows
+    bc = spark.sparkContext.broadcast(
+        (C, np.asarray(books, dtype=np.float64))
+    )
+    id_type = corpus.schema[id_col].dataType
+    enc_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("cell", T.IntegerType(), False),
+            T.StructField("pq_code", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+
+    def assign_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cc, bb = bc.value
+        mm, _, sub = bb.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            cells = np.argmax(X @ cc.T, axis=1).astype(np.int32)
+            codes = np.empty((len(X), mm), dtype=np.int32)
+            for s in range(mm):
+                Xs = X[:, s * sub : (s + 1) * sub]
+                B = bb[s]
+                d2 = (B**2).sum(axis=1)[None, :] - 2.0 * (Xs @ B.T)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cell": cells, "pq_code": list(codes)}
+            )
+
+    corpus_idx = corpus.select(id_col, vec_col).mapInPandas(
+        assign_encode, enc_schema
+    )
+
+    qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(f"ivfpq_topk: query side exceeds max_queries={max_queries}")
+    if not qrows:
+        empty = spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", id_type),
+                    T.StructField("neighbor_id", id_type),
+                    T.StructField("adc_distance", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
+        )
+        return empty
+    q_ids = [r[0] for r in qrows]
+    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
+    mm, kc, sub = np.asarray(books).shape
+    tables = np.empty((len(Q), mm, kc), dtype=np.float64)
+    B = np.asarray(books, dtype=np.float64)
+    for s in range(mm):
+        Qs = Q[:, s * sub : (s + 1) * sub]
+        Bs = B[s]
+        tables[:, s, :] = (
+            (Qs**2).sum(axis=1)[:, None]
+            - 2.0 * (Qs @ Bs.T)
+            + (Bs**2).sum(axis=1)[None, :]
+        )
+    q_index = {qid: i for i, qid in enumerate(q_ids)}
+    bt = spark.sparkContext.broadcast((q_index, tables))
+
+    probe_rows = [
+        (qid, int(c)) for qid, cells in zip(q_ids, probe) for c in cells
+    ]
+    q_probe = spark.createDataFrame(
+        probe_rows,
+        T.StructType(
+            [
+                T.StructField("query_id", id_type),
+                T.StructField("cell", T.IntegerType()),
+            ]
+        ),
+    )
+    cand = corpus_idx.join(F.broadcast(q_probe), "cell").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+
+    score_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("adc_distance", T.DoubleType()),
+        ]
+    )
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx, tabs = bt.value
+        mm_local = tabs.shape[1]
+        sub_idx = np.arange(mm_local)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.asarray(
+                [np.asarray(c, dtype=np.int64) for c in pdf["pq_code"]]
+            )
+            qi = pdf["query_id"].map(idx).to_numpy()
+            d = tabs[qi[:, None], sub_idx[None, :], codes].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf[id_col],
+                    "adc_distance": d,
+                }
+            )
+
+    scored = cand.select("query_id", id_col, "pq_code").mapInPandas(
+        adc, score_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_distance").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_distance", "rank")
+    )

@@ -554,3 +554,34 @@ def test_pq_topk_recall_on_clustered_data(spark):
     again = {(r["query_id"], r["neighbor_id"]) for r in
              pq_topk(q, codes, books, k=10).collect()}
     assert again == a
+
+
+def test_ivfpq_topk_recall_and_determinism(spark):
+    """IVF+PQ composition: candidates only from probed cells, ADC scoring
+    on codes — recall on clustered data stays usable, output deterministic."""
+    from feature_extractor_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+    )
+
+    corpus = _blobs(spark, n_clusters=8, per_cluster=40, dim=32)
+    q = corpus.filter("vec_id % 40 = 0")
+
+    exact = cosine_topk(q, corpus, k=10)
+    approx = ivfpq_topk(
+        q, corpus, k=10, n_lists=8, n_probe=4, m=8, k_codes=32,
+        sample_size=320,
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall
+
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            q, corpus, k=10, n_lists=8, n_probe=4, m=8, k_codes=32,
+            sample_size=320,
+        ).collect()
+    }
+    assert again == a
