@@ -135,3 +135,43 @@ def test_lsh_rerank_uses_gemm_not_hof_dot(spark):
     # the join, so check the segment above the MapInPandas node
     above = opt.split("MapInPandas")[0]
     assert "zip_with" not in above and "aggregate(" not in above
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Two tables bucketed+sorted on the join key must join with NO
+    Exchange on either side (the write-once / join-forever trade for the
+    tokens table): bucket pruning is the whole point — a refactor that
+    drops the bucket spec reintroduces the dominant shuffle silently."""
+    from feature_extractor_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    ev = load_table(spark, SF, "events").select("event_id", "user_id", "value")
+    agg = ev.groupBy("user_id").count()
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(ev, "t_ev_bucketed", "user_id", n_buckets=8)
+        write_bucketed(agg, "t_agg_bucketed", "user_id", n_buckets=8)
+        # AQE off for a stable plan string (it rewrites SMJ at runtime);
+        # broadcast off because this test models the FACT-FACT case where
+        # neither side fits in memory — at sf0.01 the planner would
+        # otherwise just broadcast the small side and skip bucketing
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = read_bucketed(spark, "t_ev_bucketed")
+        b = read_bucketed(spark, "t_agg_bucketed")
+        joined = a.join(b, "user_id")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == ev.count()
+
+        # control: the same join from plain (non-bucketed) frames shuffles
+        plain = ev.join(agg, "user_id")
+        assert "Exchange" in _plan(plain)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.sql("DROP TABLE IF EXISTS t_ev_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_agg_bucketed")
