@@ -60,6 +60,7 @@ def curate(
     context_len: int = 2048,
     seed: int = 0,
     redact: bool = False,
+    lm_max_bits: float | None = None,
 ) -> DataFrame:
     """The curation dataflow as ONE composable lazy plan (no actions except
     the bounded driver loop inside the connected-components closure).
@@ -100,6 +101,18 @@ def curate(
         filtered = stratified_sample(
             filtered, id_col, source_col, sample_fractions,
             default_fraction=1.0, seed=seed,
+        )
+
+    # 4.4 optional CCNet-style LM filter: char-trigram model trained on a
+    #     bounded seeded sample of the INPUT corpus (self-referential
+    #     reference — drops the docs least like the corpus's own bulk),
+    #     scored in one Arrow pass, cut at lm_max_bits bits/char
+    if lm_max_bits is not None:
+        from feature_extractor_spark.functions.lm import lm_score, train_char_lm
+
+        model = train_char_lm(docs, text_col, id_col)
+        filtered = lm_score(filtered, model, text_col).filter(
+            F.col("lm_bits_per_char") <= F.lit(float(lm_max_bits))
         )
 
     # 4.5 optional PII scrubbing (map-side regex; post-dedup on purpose)

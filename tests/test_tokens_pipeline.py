@@ -152,3 +152,18 @@ def test_curate_tokens_repetition_filter(spark):
     assert kept.filter(F.col("doc_id").startswith("loop_")).count() == 0
     loose = curate_tokens(df, context_len=256)
     assert loose.filter(F.col("doc_id").startswith("loop_")).count() > 0
+
+
+def test_curate_lm_filter(spark, docs):
+    """lm_max_bits drops the least-corpus-like documents and keeps the
+    pipeline schema intact."""
+    from pyspark.sql import functions as F
+
+    from feature_extractor_spark.plans.tokens_pipeline import curate
+
+    loose = curate(docs, context_len=512)
+    cut = curate(docs, context_len=512, lm_max_bits=6.0)
+    n_loose, n_cut = loose.count(), cut.count()
+    assert 0 < n_cut <= n_loose
+    assert "lm_bits_per_char" in cut.columns
+    assert cut.agg(F.max("lm_bits_per_char")).first()[0] <= 6.0
