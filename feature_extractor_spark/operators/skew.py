@@ -50,3 +50,46 @@ def salted_repartition(
     if heavy_keys is not None:
         salt = F.when(F.col(key_col).isin(heavy_keys), salt).otherwise(F.lit(0))
     return df.withColumn(salt_col, salt).repartition(F.col(key_col), F.col(salt_col))
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    heavy_keys: list | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: heavy keys on the (big, skewed) LEFT side get
+    a random salt so their rows spread across ``salt_buckets`` tasks; the
+    RIGHT side replicates its heavy-key rows once per salt (light keys
+    keep salt 0 — no replication). The join runs on (key, salt), so no
+    single task owns a whole heavy key's probe side.
+
+    This is for the fact-fact case where the right side is too big to
+    broadcast but its HEAVY-KEY SLICE is small (the common shape: a few
+    pathological keys, each with modest right-side rows). AQE's skew-join
+    split handles sort-merge skew at runtime; explicit salting is the
+    deterministic plan-level form that also composes under joins AQE
+    cannot rewrite. ``heavy_keys=None`` salts every key (right side
+    replicates x salt_buckets — only sensible for small right sides).
+
+    Supports how in ('inner', 'left'). Result == the unsalted join
+    (tested), minus any ordering guarantees.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    if heavy_keys is not None:
+        salt = F.when(F.col(on).isin(heavy_keys), salt).otherwise(F.lit(0))
+    l_salted = left.withColumn("__salt", salt)
+
+    replicate = F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+    if heavy_keys is not None:
+        replicate = F.when(F.col(on).isin(heavy_keys), replicate).otherwise(
+            F.array(F.lit(0))
+        )
+    r_salted = right.withColumn("__salt", F.explode(replicate))
+
+    out = l_salted.join(r_salted, [on, "__salt"], how)
+    return out.drop("__salt")

@@ -136,3 +136,46 @@ def test_auto_asof_matches_plain_on_skew(spark):
         .toPandas()
     )
     pd.testing.assert_frame_equal(plain, auto)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join == plain join on Zipf-skewed data, for inner and left,
+    with and without heavy-key targeting."""
+    from pyspark.sql import functions as F
+
+    from feature_extractor_spark.operators.skew import salted_join
+
+    left = spark.range(2000).select(
+        F.when(F.col("id") % 3 == 0, F.lit("heavy"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 50).cast("string")))
+        .alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(300).select(
+        F.when(F.col("id") % 4 == 0, F.lit("heavy"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 60).cast("string")))
+        .alias("k"),
+        F.col("id").alias("rv"),
+    )
+    exp_inner = left.join(right, "k").groupBy("k").count()
+    got_inner = (
+        salted_join(left, right, "k", heavy_keys=["heavy"], salt_buckets=8)
+        .groupBy("k")
+        .count()
+    )
+    assert got_inner.exceptAll(exp_inner).count() == 0
+    assert exp_inner.exceptAll(got_inner).count() == 0
+
+    exp_left = left.join(right, "k", "left").groupBy("k").count()
+    got_left = (
+        salted_join(left, right, "k", heavy_keys=["heavy"], how="left", salt_buckets=8)
+        .groupBy("k")
+        .count()
+    )
+    assert got_left.exceptAll(exp_left).count() == 0
+    assert exp_left.exceptAll(got_left).count() == 0
+
+    # salt-everything mode (small right side)
+    got_all = salted_join(left, right, "k", salt_buckets=4).groupBy("k").count()
+    assert got_all.exceptAll(exp_inner).count() == 0
+    assert exp_inner.exceptAll(got_all).count() == 0
