@@ -707,3 +707,50 @@ def near_dup_clusters(
         )
     )
     return out
+
+
+def shared_ngram_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+    max_gram_docs: int = 50,
+) -> DataFrame:
+    """Pairs of documents sharing at least one EXACT word n-gram — the
+    candidate stage of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — public
+    method): a long verbatim overlap implies one shared n-gram, so this
+    finds copy-paste contamination MinHash can miss when the shared span
+    is a small fraction of both docs (Jaccard below any usable threshold).
+
+    Scale shape: grams exist only as 64-bit hashes (the minhash combine);
+    each doc emits its DISTINCT gram hashes once; grams occurring in more
+    than ``max_gram_docs`` docs are dropped before the self-join (stock
+    phrases/boilerplate would otherwise quadratically explode the pair
+    count — the cap is the standard df-cut, same rationale as
+    jaccard_pairs' df-ratio guard). Returns (id_a, id_b, n_shared_grams)
+    with id_a < id_b.
+    """
+    wh_tbl, docs = _hashed_shingle_table(df, id_col, text_col, n)
+    grams = (
+        docs.select(F.col(id_col), F.explode(F.array_distinct("__h")).alias("__g"))
+    )
+    # df-cut: keep grams rare enough to be discriminative
+    rare = (
+        grams.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_gram_docs)
+        .select("__g")
+    )
+    rg = grams.join(rare, "__g")
+    a = rg.select(F.col(id_col).alias("id_a"), "__g")
+    b = rg.select(F.col(id_col).alias("id_b"), "__g")
+    out = (
+        a.join(b, "__g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    out = out.localCheckpoint(eager=True)
+    wh_tbl.unpersist()
+    return out

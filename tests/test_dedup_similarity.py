@@ -585,3 +585,39 @@ def test_ivfpq_topk_recall_and_determinism(spark):
         ).collect()
     }
     assert again == a
+
+
+def test_shared_ngram_pairs_finds_copy_paste_minhash_misses(spark):
+    """Two long docs sharing one verbatim 25-word span: Jaccard over the
+    whole docs is far below any minhash threshold, but the shared-n-gram
+    detector must flag the pair (and count its shared grams), while
+    unrelated docs stay unpaired. The df-cut must drop boilerplate grams."""
+    from feature_extractor_spark.operators.dedup import (
+        jaccard_pairs,
+        shared_ngram_pairs,
+    )
+
+    span = " ".join(f"span{i}" for i in range(25))
+    d1 = " ".join(f"alpha{i}" for i in range(200)) + " " + span
+    d2 = span + " " + " ".join(f"beta{i}" for i in range(200))
+    d3 = " ".join(f"gamma{i}" for i in range(150))
+    boiler = "all rights reserved " * 10
+    docs = spark.createDataFrame(
+        [("a", d1), ("b", d2), ("c", d3),
+         ("x1", boiler + "unique x1 tail"), ("x2", boiler + "other x2 tail"),
+         ("x3", boiler + "third x3 tail")],
+        "doc_id string, text string",
+    )
+
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared_grams"]
+        for r in shared_ngram_pairs(docs, n=20, max_gram_docs=2).collect()
+    }
+    assert ("a", "b") in got and got[("a", "b")] >= 1
+    assert not any("c" in pair for pair in got)
+    # boilerplate grams occur in 3 docs > max_gram_docs=2 -> x-pairs dropped
+    assert not any(p[0].startswith("x") for p in got)
+
+    # whole-doc jaccard is tiny: the minhash path would never pair a,b
+    jac = jaccard_pairs(docs.filter("doc_id in ('a','b')"), threshold=0.3)
+    assert jac.count() == 0
