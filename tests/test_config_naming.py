@@ -217,3 +217,24 @@ def test_select_targets_contract(spark):
 
     with _pytest.raises(ValueError, match=r"'nope'"):
         select_targets(base, ["OPEN", "nope"])
+
+
+def test_driver_query_budget_exactly_50():
+    """The driver records at most 50 correctness rows (observed r3: 52
+    registered -> 50 recorded, silently dropping the LAST two). Pin the
+    registry at exactly 50 with an oracle for every entry so adding a 51st
+    query fails HERE instead of silently evicting a flagship row."""
+    from feature_extractor_spark.plans.entry_queries import (
+        ENTRY_QUERIES,
+        ORACLE_SQL,
+    )
+
+    assert len(ENTRY_QUERIES) == 50, (
+        f"{len(ENTRY_QUERIES)} registered queries — the driver caps at 50; "
+        "fold or retire a row before adding"
+    )
+    missing = [k for k in ENTRY_QUERIES if k not in ORACLE_SQL]
+    assert missing == [], f"queries without oracles: {missing}"
+    # the two rows r3 lost to the cap must stay registered
+    assert "u2_decoder_roundtrip" in ENTRY_QUERIES
+    assert "fused_windowed_encode" in ENTRY_QUERIES
