@@ -73,6 +73,58 @@ def train_char_lm(
     }
 
 
+def score_doc_py(model: dict, text: str | None, max_chars: int = 4000) -> float | None:
+    """Reference scalar scorer (the spec): mean -log2 p per char of ``text``
+    under ``model``. Kept as the parity oracle for the vectorized path in
+    tests/test_lm.py; NOT used in the Spark hot path."""
+    if text is None or len(text) == 0:
+        return None
+    tri, ctx = model["tri"], model["ctx"]
+    la, luc = model["log_alpha"], model["log_unseen_ctx"]
+    t = f"\x02\x02{text[:max_chars].lower()}\x03"
+    total = 0.0
+    n = len(t) - 2
+    for i in range(n):
+        c3 = t[i : i + 3]
+        c2 = c3[:2]
+        num = tri.get(c3, la)
+        den = ctx.get(c2, luc)
+        total += den - num  # -log p
+    return (total / n) / math.log(2.0)
+
+
+def _pack_model(model: dict):
+    """Encode the trigram/context dicts as sorted int64 key arrays + float64
+    logp arrays (done ONCE on the driver, then broadcast). Key packing: a
+    codepoint is < 0x110000 (21 bits), so a trigram packs losslessly into
+    63 bits as (c0<<42)|(c1<<21)|c2 and a context into 42 bits."""
+    import numpy as np
+
+    def pack(d: dict):
+        n = len(d)
+        keys = np.empty(n, dtype=np.int64)
+        vals = np.empty(n, dtype=np.float64)
+        for i, (k, v) in enumerate(d.items()):
+            acc = 0
+            for ch in k:
+                acc = (acc << 21) | ord(ch)
+            keys[i] = acc
+            vals[i] = v
+        order = np.argsort(keys)
+        return keys[order], vals[order]
+
+    tri_k, tri_v = pack(model["tri"])
+    ctx_k, ctx_v = pack(model["ctx"])
+    return {
+        "tri_k": tri_k,
+        "tri_v": tri_v,
+        "ctx_k": ctx_k,
+        "ctx_v": ctx_v,
+        "log_alpha": model["log_alpha"],
+        "log_unseen_ctx": model["log_unseen_ctx"],
+    }
+
+
 def lm_score(
     df: DataFrame,
     model: dict,
@@ -82,37 +134,54 @@ def lm_score(
 ) -> DataFrame:
     """Score every document: mean negative log2-probability per character
     under ``model`` (lower = more like the training sample). Empty docs
-    score null. One Arrow-batched pass; the model rides a broadcast."""
+    score null. One Arrow-batched pass; the packed model rides a broadcast.
+
+    Vectorized hot path (no per-char Python): each doc's codepoints come
+    from ``text.encode("utf-32-le")`` viewed as uint32 (C-level), trigram
+    and context keys are computed with whole-array shifts/ors, and log-p
+    lookups are two ``np.searchsorted`` probes against the broadcast
+    sorted key tables. Matches ``score_doc_py`` to float round-off
+    (pairwise vs sequential summation; tested at 1e-12)."""
     from typing import Iterator
 
+    import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     spark = df.sparkSession
-    bm = spark.sparkContext.broadcast(model)
+    bm = spark.sparkContext.broadcast(_pack_model(model))
     schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
     )
-    ln2 = math.log(2.0)
+    inv_ln2 = 1.0 / math.log(2.0)
+
+    def lookup(keys: "np.ndarray", table_k, table_v, default: float):
+        if len(table_k) == 0:
+            return np.full(len(keys), default)
+        idx = np.searchsorted(table_k, keys)
+        idx_c = np.minimum(idx, len(table_k) - 1)
+        found = table_k[idx_c] == keys
+        return np.where(found, table_v[idx_c], default)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         m = bm.value
-        tri, ctx = m["tri"], m["ctx"]
+        tri_k, tri_v = m["tri_k"], m["tri_v"]
+        ctx_k, ctx_v = m["ctx_k"], m["ctx_v"]
         la, luc = m["log_alpha"], m["log_unseen_ctx"]
 
         def one(text) -> float | None:
             if text is None or len(text) == 0:
                 return None
             t = f"\x02\x02{text[:max_chars].lower()}\x03"
-            total = 0.0
-            n = len(t) - 2
-            for i in range(n):
-                c3 = t[i : i + 3]
-                c2 = c3[:2]
-                num = tri.get(c3, la)
-                den = ctx.get(c2, luc)
-                total += den - num  # -log p
-            return (total / n) / ln2
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
+            )
+            k2 = (cp[:-2] << 21) | cp[1:-1]
+            k3 = (k2 << 21) | cp[2:]
+            num = lookup(k3, tri_k, tri_v, la)
+            den = lookup(k2, ctx_k, ctx_v, luc)
+            n = len(cp) - 2
+            return (float(np.sum(den - num)) / n) * inv_ln2
 
         for pdf in batches:
             pdf[out_col] = pdf[text_col].map(one)

@@ -163,8 +163,27 @@ def run_stage_with_resume(
         for i in range(0, len(runnable), units_per_job)
     ]
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    from feature_extractor_spark.session import restore_conf
+
     processed = []
+    with restore_conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+        _run_batches(
+            batches, input_df, transform, unit_col, stage_name, run_id,
+            output_dir, log, processed,
+        )
+    if fail_after_units is not None and len(pending) > fail_after_units:
+        raise RuntimeError(f"injected failure after {fail_after_units} units")
+    return {"processed": processed, "skipped": sorted(done)}
+
+
+def _run_batches(
+    batches, input_df, transform, unit_col, stage_name, run_id, output_dir,
+    log, processed,
+) -> None:
+    import datetime as dt
+
+    from pyspark.sql import Observation
+
     for batch in batches:
         t0 = time.time()
         observations: dict[str, Observation] = {}
@@ -199,9 +218,6 @@ def run_stage_with_resume(
             ]
         )
         processed.extend(batch)
-    if fail_after_units is not None and len(pending) > fail_after_units:
-        raise RuntimeError(f"injected failure after {fail_after_units} units")
-    return {"processed": processed, "skipped": sorted(done)}
 
 
 # ---------------------------------------------------------------------------

@@ -8,6 +8,7 @@ multi-executor cluster via spark-submit --conf.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -89,3 +90,24 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+@_contextmanager
+def restore_conf(spark: SparkSession, key: str, value: str):
+    """Set a session conf key for the duration of a block, then restore the
+    previous value (or unset). Use around writes that need e.g. dynamic
+    partition-overwrite so the mode does not leak into the shared session,
+    where a later static ``mode("overwrite").partitionBy(...)`` write would
+    silently preserve stale partitions."""
+    try:
+        prev = spark.conf.get(key, None)
+    except Exception:
+        prev = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -40,6 +40,7 @@ from feature_extractor_spark.operators.dedup import (
     near_dup_clusters,
     signature_bands,
 )
+from feature_extractor_spark.session import restore_conf
 
 
 def flag_against_index(
@@ -85,12 +86,16 @@ def flag_against_index(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    # min over (-jaccard, corpus_id): max jaccard, ties to the smaller id
+    # min over (-jaccard, corpus_id): max jaccard, ties to the smaller id.
+    # corpus_id stays in its NATIVE type inside the struct — min over
+    # (double, any-orderable) works directly, and casting through string
+    # would both order numeric ids lexicographically ('10' < '9') and
+    # change the dup_of column type away from the id column's.
     best = verified.groupBy(id_col).agg(
         F.min(
             F.struct(
                 (-F.col("jaccard")).alias("nj"),
-                F.col("corpus_id").cast("string").alias("corpus_id"),
+                F.col("corpus_id").alias("corpus_id"),
             )
         ).alias("__b"),
         F.max("jaccard").alias("jaccard"),
@@ -130,6 +135,23 @@ def _index_rows(
     return bands_df, shingles_df
 
 
+def _index_exists(spark, index_dir: str) -> bool:
+    """True iff both index tables exist. An EXPLICIT existence probe via
+    the Hadoop FileSystem API (works for any scheme the session can read):
+    'index missing' is the only condition that may soften cross-batch
+    dedup into a no-op. Any OTHER failure while reading or probing the
+    index (corrupt files, transient storage errors, OOM) must PROPAGATE so
+    the stream retries the batch — swallowing it would silently admit
+    duplicates with no signal."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for sub in ("bands", "shingles"):
+        p = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{sub}")
+        if not p.getFileSystem(conf).exists(p):
+            return False
+    return True
+
+
 def ingest_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -146,7 +168,6 @@ def ingest_batch(
     backfills too). Idempotent per (batch_id): all three writes are
     dynamic-partition overwrites keyed on batch_id."""
     spark = batch_df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     batch_df = batch_df.persist()
     try:
         # 1. within-batch transitive dedup
@@ -160,8 +181,10 @@ def ingest_batch(
             clusters.filter(F.col(id_col) == F.col("canonical_id")).select(id_col),
             id_col,
         )
-        # 2. against the existing index (absent on the very first batch)
-        try:
+        # 2. against the existing index. Only a MISSING index (first
+        # batch, probed explicitly) skips the cross-batch check; read or
+        # compute failures propagate so the stream retries the batch.
+        if _index_exists(spark, index_dir):
             idx_bands = spark.read.parquet(f"{index_dir}/bands")
             idx_shingles = spark.read.parquet(f"{index_dir}/shingles")
             flags = flag_against_index(
@@ -171,23 +194,26 @@ def ingest_batch(
             accepted = unique.join(
                 flags.filter(~F.col("is_dup")).select(id_col), id_col
             )
-        except Exception:  # first batch: no index yet
+        else:  # first batch: no index yet
             accepted = unique
         accepted = accepted.persist()
         # 3. accepted docs + their index rows, idempotent per batch
         bid = F.lit(int(batch_id))
-        accepted.withColumn("batch_id", bid).write.mode("overwrite").partitionBy(
-            "batch_id"
-        ).parquet(accepted_dir)
-        new_bands, new_shingles = _index_rows(
-            accepted, id_col, text_col, num_hashes, bands, shingle_n
-        )
-        new_bands.withColumn("batch_id", bid).write.mode("overwrite").partitionBy(
-            "batch_id"
-        ).parquet(f"{index_dir}/bands")
-        new_shingles.withColumn("batch_id", bid).write.mode("overwrite").partitionBy(
-            "batch_id"
-        ).parquet(f"{index_dir}/shingles")
+        with restore_conf(
+            spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        ):
+            accepted.withColumn("batch_id", bid).write.mode(
+                "overwrite"
+            ).partitionBy("batch_id").parquet(accepted_dir)
+            new_bands, new_shingles = _index_rows(
+                accepted, id_col, text_col, num_hashes, bands, shingle_n
+            )
+            new_bands.withColumn("batch_id", bid).write.mode(
+                "overwrite"
+            ).partitionBy("batch_id").parquet(f"{index_dir}/bands")
+            new_shingles.withColumn("batch_id", bid).write.mode(
+                "overwrite"
+            ).partitionBy("batch_id").parquet(f"{index_dir}/shingles")
         accepted.unpersist()
     finally:
         batch_df.unpersist()

@@ -179,3 +179,40 @@ def test_salted_join_equals_plain_join(spark):
     got_all = salted_join(left, right, "k", salt_buckets=4).groupBy("k").count()
     assert got_all.exceptAll(exp_inner).count() == 0
     assert exp_inner.exceptAll(got_all).count() == 0
+
+
+def test_salt_is_deterministic_across_evaluations(spark):
+    """The salt must be a pure function of row content so a retried map
+    task re-emits identical (key, salt) pairs. monotonically_increasing_id
+    / rand() salts are forbidden: a lost-map-task recompute would reshuffle
+    rows to different (key, salt) partitions after some reducers already
+    fetched, silently duplicating or dropping rows. Evidence: evaluating
+    the SAME salted plan twice (second run cannot reuse the first's
+    shuffle files once we vary the action) yields identical per-row salt
+    assignments, and the salt depends only on the salt_from columns."""
+    from pyspark.sql import functions as F
+
+    from feature_extractor_spark.operators.skew import (
+        _content_salt,
+        salted_repartition,
+    )
+
+    df = spark.range(5000).select(
+        F.concat(F.lit("d"), (F.col("id") % 7).cast("string")).alias("doc_id"),
+        F.col("id").alias("ts"),
+        (F.col("id") * 2).cast("double").alias("v"),
+    )
+    salted = salted_repartition(df, "doc_id", salt_buckets=8, salt_from=["ts"])
+    a = salted.select("doc_id", "ts", "__salt").orderBy("doc_id", "ts").collect()
+    b = salted.select("doc_id", "ts", "__salt").orderBy("doc_id", "ts").collect()
+    assert a == b
+    # recomputing from a fresh, differently-partitioned copy of the same
+    # rows (simulating a retry that re-reads the source) gives the same salt
+    fresh = df.repartition(13).withColumn(
+        "__salt", _content_salt(df, 8, ["ts"])
+    )
+    c = fresh.select("doc_id", "ts", "__salt").orderBy("doc_id", "ts").collect()
+    assert a == c
+    # every bucket is actually used (the salt does spread rows)
+    used = {r["__salt"] for r in a}
+    assert used == set(range(8))

@@ -67,6 +67,54 @@ def test_flag_against_index_reports_best_match(spark, tmp_path):
     assert not flags["x2"]["is_dup"] and flags["x2"]["dup_of"] is None
 
 
+def test_corrupt_index_raises_instead_of_admitting_dups(spark, tmp_path):
+    """Only a MISSING index may skip the cross-batch check. A present but
+    unreadable index must RAISE (so the stream retries the batch), never
+    silently accept the whole batch with dedup disabled."""
+    idx = str(tmp_path / "idx")
+    acc = str(tmp_path / "acc")
+    ingest_batch(_df(spark, [("a1", A), ("b1", B)]), 0, idx, acc, threshold=0.5)
+
+    # corrupt both index tables: parquet footers gone
+    import pathlib
+
+    for sub in ("bands", "shingles"):
+        for f in pathlib.Path(idx, sub).rglob("*.parquet"):
+            f.write_bytes(b"not a parquet file")
+
+    with pytest.raises(Exception) as exc:
+        ingest_batch(
+            _df(spark, [("a9", A_NEAR), ("c1", C)]), 1, idx, acc, threshold=0.5
+        )
+    # and nothing from the failed batch was committed as accepted
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {"a1", "b1"}
+    assert "parquet" in str(exc.value).lower() or "footer" in str(exc.value).lower()
+
+
+def test_dup_of_keeps_id_native_type_and_numeric_tie_order(spark, tmp_path):
+    """dup_of must carry the id column's native type and break jaccard
+    ties on the NUMERIC min (9 < 10), not the lexicographic one
+    ('10' < '9')."""
+    from feature_extractor_spark.operators.dedup import (
+        _hashed_shingle_table,
+        signature_bands,
+    )
+
+    docs = spark.createDataFrame(
+        [(9, A), (10, A)], "doc_id long, text string"
+    )
+    wh, d = _hashed_shingle_table(docs, "doc_id", "text", 3)
+    idx_bands = signature_bands(d, "doc_id", 32, 8).localCheckpoint(eager=True)
+    idx_shingles = d.select("doc_id", "__h").localCheckpoint(eager=True)
+    wh.unpersist()
+
+    new = spark.createDataFrame([(99, A)], "doc_id long, text string")
+    out = flag_against_index(new, idx_bands, idx_shingles, threshold=0.5)
+    row = out.collect()[0]
+    assert out.schema["dup_of"].dataType.simpleString() == "bigint"
+    assert row["is_dup"] and row["dup_of"] == 9
+
+
 def test_stream_dedup_ingest_end_to_end(spark, tmp_path):
     """Real Structured Streaming run over a file source: two availableNow
     passes with files added in between — the checkpoint resumes, and the
