@@ -128,16 +128,28 @@ def main() -> None:
     qs["encoder_latents"] = eq.encoder_latents
     qs["encoder_vae_small_latents"] = eq.encoder_vae_small_latents_raw
     qs["curation_pipeline"] = _curation_query
+
+    # noise protocol (BENCH.md): the committed artifact is min-of-N, not a
+    # single draw — box-state variance at sf0.1 measured up to +-25%, and
+    # min over repeated runs is the stable estimator of the kernel cost
+    n_runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (plan + JIT)
-        t0 = time.time()
-        df2 = qs[name](spark, sf_dir)
-        df2.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(n_runs - 1):  # warm run excluded from samples
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        timings[name] = round(min(samples), 3)
 
-    n_seq, headline_sec = headline_pipeline(spark, sf_dir)
+    head_samples = []
+    n_seq = 0
+    for _ in range(n_runs):
+        n_seq, sec = headline_pipeline(spark, sf_dir)
+        head_samples.append(round(sec, 3))
+    headline_sec = min(head_samples)
     seq_per_sec = n_seq / headline_sec if headline_sec > 0 else 0.0
 
     # reference-parity block: the reference's exact phase-4.2 workload
@@ -153,6 +165,8 @@ def main() -> None:
                 "metric": "asof+window+encoder pipeline wall-clock (headline); per-query secs in 'queries'",
                 "value": round(headline_sec, 3),
                 "unit": "sec",
+                "protocol": f"min-of-{n_runs} (headline samples listed; per-query min of {n_runs - 1} timed runs after 1 warm)",
+                "headline_samples": head_samples,
                 "queries": timings,
                 "sf": sf,
                 "sequences": n_seq,

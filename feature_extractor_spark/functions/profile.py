@@ -32,46 +32,43 @@ def profile_columns(
     aggregate row is computed distributed, then unpivoted driver-side
     (constant-size: metrics x columns scalars)."""
     cols = columns if columns is not None else df.columns
-    dtypes = dict(df.dtypes)
+    # (column, metric) labels ride a side list keyed by agg POSITION —
+    # never parsed back out of the alias, so any column name (including
+    # ones containing '__') profiles correctly
     aggs = [F.count(F.lit(1)).alias("__n")]
+    labels: list[tuple[str, str]] = [("", "__n")]
+
+    def add(c: str, metric: str, expr) -> None:
+        aggs.append(expr.alias(f"__m{len(aggs)}"))
+        labels.append((c, metric))
+
     for c in cols:
         dt = df.schema[c].dataType
-        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"))
-        aggs.append(F.approx_count_distinct(c).alias(f"{c}__distinct"))
+        add(c, "nulls", F.count(F.when(F.col(c).isNull(), 1)))
+        add(c, "distinct", F.approx_count_distinct(c))
         if isinstance(dt, T.NumericType):
-            aggs += [
-                F.min(c).cast("double").alias(f"{c}__min"),
-                F.max(c).cast("double").alias(f"{c}__max"),
-                F.avg(c).alias(f"{c}__mean"),
-                F.percentile_approx(
-                    F.col(c).cast("double"), _PCTS, 10_000
-                ).alias(f"{c}__pcts"),
-            ]
+            add(c, "min", F.min(c).cast("double"))
+            add(c, "max", F.max(c).cast("double"))
+            add(c, "mean", F.avg(c))
+            add(c, "pcts", F.percentile_approx(F.col(c).cast("double"), _PCTS, 10_000))
         elif isinstance(dt, T.StringType):
             ln = F.length(c)
-            aggs += [
-                F.min(ln).cast("double").alias(f"{c}__min_len"),
-                F.max(ln).cast("double").alias(f"{c}__max_len"),
-                F.avg(ln).alias(f"{c}__avg_len"),
-            ]
+            add(c, "min_len", F.min(ln).cast("double"))
+            add(c, "max_len", F.max(ln).cast("double"))
+            add(c, "avg_len", F.avg(ln))
         elif isinstance(dt, T.ArrayType):
             sz = F.size(c)
-            aggs += [
-                F.min(sz).cast("double").alias(f"{c}__min_size"),
-                F.max(sz).cast("double").alias(f"{c}__max_size"),
-                F.avg(sz).alias(f"{c}__avg_size"),
-            ]
+            add(c, "min_size", F.min(sz).cast("double"))
+            add(c, "max_size", F.max(sz).cast("double"))
+            add(c, "avg_size", F.avg(sz))
         elif isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
-            aggs += [
-                F.min(c).cast("string").alias(f"{c}__min_ts"),
-                F.max(c).cast("string").alias(f"{c}__max_ts"),
-            ]
-    row = df.agg(*aggs).first().asDict()
+            add(c, "min_ts", F.min(c).cast("string"))
+            add(c, "max_ts", F.max(c).cast("string"))
+    row = df.agg(*aggs).first()
 
-    n_rows = int(row.pop("__n"))
+    n_rows = int(row[0])
     out_rows: list[tuple] = []
-    for key, val in row.items():
-        col, metric = key.split("__", 1)
+    for (col, metric), val in zip(labels[1:], row[1:]):
         if metric == "pcts":
             if val is not None:
                 for p, v in zip(_PCTS, val):

@@ -661,29 +661,53 @@ def near_dup_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    def _canonical(e: DataFrame) -> DataFrame:
+        return e.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        ).distinct()
+
+    def _signature(e: DataFrame) -> tuple:
+        """(edge count, commutative hash-sum) of a canonical-oriented
+        distinct edge set: one map-side-partial aggregate, no shuffle join
+        — the cheap per-round stand-in for set equality."""
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: exact + commutative, and immune to the
+            # ANSI long-overflow a sum of 2^63-range hashes would hit
+            F.sum(F.xxhash64("src", "dst").cast("decimal(20,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
     converged = False
     rounds = 0
+    prev_sig = None
     for _ in range(max_iter):
         rounds += 1
         after_large = _large_star(edges)
+        # _small_star output is already (big -> small) oriented + distinct
         after_small = _small_star(after_large).localCheckpoint(eager=True)
-        # fixpoint check on the canonical (big->small) orientation: both
-        # sides are distinct, so two symmetric subtracts decide equality
-        old_directed = (
-            edges.select(
-                F.greatest("src", "dst").alias("src"),
-                F.least("src", "dst").alias("dst"),
+        # fixpoint check, two tiers: per round only the scalar signature
+        # (count + order-insensitive hash-sum) is compared — an aggregate
+        # with map-side partials, vs the two full exceptAll anti-join
+        # shuffles this replaced. The exact exceptAll equality check runs
+        # ONCE, on the round the signature claims convergence, so a hash
+        # collision can never end the loop early.
+        if prev_sig is None:
+            prev_sig = _signature(_canonical(edges))
+        sig = _signature(after_small)
+        if sig == prev_sig:
+            old_directed = _canonical(edges)
+            changed = (
+                after_small.exceptAll(old_directed).limit(1).count()
+                + old_directed.exceptAll(after_small).limit(1).count()
             )
-            .distinct()
-        )
-        changed = (
-            after_small.exceptAll(old_directed).limit(1).count()
-            + old_directed.exceptAll(after_small).limit(1).count()
-        )
+            if changed == 0:
+                edges = after_small
+                converged = True
+                break
+        prev_sig = sig
         edges = after_small
-        if changed == 0:
-            converged = True
-            break
     if stats is not None:
         stats["rounds"] = rounds
     if not converged:

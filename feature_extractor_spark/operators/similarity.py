@@ -570,6 +570,14 @@ def pq_codebooks(
     Returns (codebooks: np.ndarray (m, k, D/m) float64, dim: int)."""
     import numpy as np
 
+    X = _pq_sample(corpus, id_col, vec_col, sample_size, seed)
+    return _fit_pq(X, m, k, iters, seed), X.shape[1]
+
+
+def _pq_sample(corpus, id_col, vec_col, sample_size, seed):
+    """Bounded deterministic vector sample (driver-side numpy matrix)."""
+    import numpy as np
+
     rows = (
         corpus.select(vec_col)
         .orderBy(
@@ -581,6 +589,15 @@ def pq_codebooks(
     X = np.asarray([r[0] for r in rows], dtype=np.float64)
     if X.size == 0:
         raise ValueError("pq_codebooks: empty corpus")
+    return X
+
+
+def _fit_pq(X, m: int, k: int, iters: int, seed: int):
+    """Per-subspace Lloyd k-means over a driver-side sample matrix ``X``
+    (rows = training vectors — RAW vectors for plain PQ, residuals
+    ``x - centroid[cell]`` for IVFADC). Returns (m, k, D/m) codebooks."""
+    import numpy as np
+
     d = X.shape[1]
     if d % m != 0:
         raise ValueError(f"pq_codebooks: dim {d} not divisible by m={m}")
@@ -605,7 +622,7 @@ def pq_codebooks(
         books[s, :kk] = C
         if kk < k:
             books[s, kk:] = C[np.arange(k - kk) % kk]
-    return books, d
+    return books
 
 
 def pq_encode(
@@ -770,6 +787,7 @@ def ivfpq_topk(
     seed: int = 23,
     balance_limit: float = 4.0,
     max_queries: int = 100_000,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF + PQ composition (the standard billion-scale ANN layout):
     coarse k-means cells bound WHICH vectors are scored (n_probe/n_lists
@@ -777,9 +795,19 @@ def ivfpq_topk(
     no floats at scan time). Corpus side is one map-side pass: cell
     assignment from broadcast centroid literals + PQ encode in the same
     Arrow stage; query side broadcasts (id, probed cells) plus per-query
-    ADC tables. Codes quantize RAW vectors (not residuals) — simpler and
-    deterministic, at a modest recall cost vs residual-PQ; recall is
-    bounded in tests on clustered data. Returns (query_id, neighbor_id,
+    ADC tables.
+
+    ``residual=False``: codes quantize RAW vectors — simpler, one shared
+    (m, k_codes) ADC table per query. ``residual=True`` is the standard
+    IVFADC layout (Jegou et al. 2011): codebooks train on and encode the
+    residual ``x - centroid[cell]``, which has far less variance than x
+    itself, so the same (m, k_codes) code budget reconstructs tighter and
+    recall rises (enforced in tests on clustered blobs). The query side
+    then needs one ADC table per PROBED CELL — entries are
+    ``||(q - c_cell)_s - codeword||^2`` — so tables are (n_q, n_probe, m,
+    k_codes) and scoring looks up the candidate's cell slot; the lookup
+    rides a dense (n_q, n_lists) slot array, still zero per-row Python.
+    Deterministic either way. Returns (query_id, neighbor_id,
     adc_distance, rank)."""
     from typing import Iterator
 
@@ -794,15 +822,20 @@ def ivfpq_topk(
         raise ValueError("ivfpq_topk: empty corpus")
     if balance > balance_limit:
         n_probe = min(len(cents), n_probe * 2)
-    books, dim = pq_codebooks(
-        corpus, id_col, vec_col, m=m, k=k_codes, sample_size=sample_size,
-        seed=seed,
-    )
-
     spark = corpus.sparkSession
     C = np.asarray(cents, dtype=np.float64)  # (n_lists, dim), unit rows
+    if residual:
+        Xs = _pq_sample(corpus, id_col, vec_col, sample_size, seed)
+        cell_s = np.argmax(Xs @ C.T, axis=1)
+        books = _fit_pq(Xs - C[cell_s], m, k_codes, iters=5, seed=seed)
+    else:
+        books, _ = pq_codebooks(
+            corpus, id_col, vec_col, m=m, k=k_codes, sample_size=sample_size,
+            seed=seed,
+        )
+
     bc = spark.sparkContext.broadcast(
-        (C, np.asarray(books, dtype=np.float64))
+        (C, np.asarray(books, dtype=np.float64), residual)
     )
     id_type = corpus.schema[id_col].dataType
     enc_schema = T.StructType(
@@ -814,7 +847,7 @@ def ivfpq_topk(
     )
 
     def assign_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cc, bb = bc.value
+        cc, bb, res = bc.value
         mm, _, sub = bb.shape
         for pdf in batches:
             if pdf.empty:
@@ -823,6 +856,8 @@ def ivfpq_topk(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
             cells = np.argmax(X @ cc.T, axis=1).astype(np.int32)
+            if res:
+                X = X - cc[cells]  # IVFADC: encode the residual
             codes = np.empty((len(X), mm), dtype=np.int32)
             for s in range(mm):
                 Xs = X[:, s * sub : (s + 1) * sub]
@@ -856,19 +891,37 @@ def ivfpq_topk(
     q_ids = [r[0] for r in qrows]
     Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
-    mm, kc, sub = np.asarray(books).shape
-    tables = np.empty((len(Q), mm, kc), dtype=np.float64)
     B = np.asarray(books, dtype=np.float64)
-    for s in range(mm):
-        Qs = Q[:, s * sub : (s + 1) * sub]
-        Bs = B[s]
-        tables[:, s, :] = (
-            (Qs**2).sum(axis=1)[:, None]
-            - 2.0 * (Qs @ Bs.T)
-            + (Bs**2).sum(axis=1)[None, :]
-        )
+    mm, kc, sub = B.shape
+    bsq = (B**2).sum(axis=2)  # (m, kc)
+
+    def _adc_table(Qmat):
+        """(len(Qmat), m, kc) squared-subdistance tables for query rows."""
+        t = np.empty((len(Qmat), mm, kc), dtype=np.float64)
+        for s in range(mm):
+            Qs = Qmat[:, s * sub : (s + 1) * sub]
+            t[:, s, :] = (
+                (Qs**2).sum(axis=1)[:, None]
+                - 2.0 * (Qs @ B[s].T)
+                + bsq[s][None, :]
+            )
+        return t
+
     q_index = {qid: i for i, qid in enumerate(q_ids)}
-    bt = spark.sparkContext.broadcast((q_index, tables))
+    if residual:
+        # IVFADC: one table per probed cell — the query-side residual
+        # q - c_cell differs per cell. slot_arr maps (query, cell) to its
+        # probe slot densely so the scorer stays fully vectorized.
+        n_slots = probe.shape[1]
+        tables = np.empty((len(Q), n_slots, mm, kc), dtype=np.float64)
+        slot_arr = np.full((len(Q), len(C)), -1, dtype=np.int32)
+        for j in range(n_slots):
+            tables[:, j] = _adc_table(Q - C[probe[:, j]])
+            slot_arr[np.arange(len(Q)), probe[:, j]] = j
+        bt = spark.sparkContext.broadcast((q_index, tables, slot_arr))
+    else:
+        tables = _adc_table(Q)
+        bt = spark.sparkContext.broadcast((q_index, tables, None))
 
     probe_rows = [
         (qid, int(c)) for qid, cells in zip(q_ids, probe) for c in cells
@@ -895,9 +948,8 @@ def ivfpq_topk(
     )
 
     def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        idx, tabs = bt.value
-        mm_local = tabs.shape[1]
-        sub_idx = np.arange(mm_local)
+        idx, tabs, slots = bt.value
+        sub_idx = np.arange(mm)
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -905,7 +957,16 @@ def ivfpq_topk(
                 [np.asarray(c, dtype=np.int64) for c in pdf["pq_code"]]
             )
             qi = pdf["query_id"].map(idx).to_numpy()
-            d = tabs[qi[:, None], sub_idx[None, :], codes].sum(axis=1)
+            if slots is None:
+                d = tabs[qi[:, None], sub_idx[None, :], codes].sum(axis=1)
+            else:
+                # residual: pick the per-(query, cell) table via the dense
+                # slot array (candidates only come from probed cells, so
+                # the slot is always >= 0)
+                sl = slots[qi, pdf["cell"].to_numpy()]
+                d = tabs[
+                    qi[:, None], sl[:, None], sub_idx[None, :], codes
+                ].sum(axis=1)
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"],
@@ -914,7 +975,7 @@ def ivfpq_topk(
                 }
             )
 
-    scored = cand.select("query_id", id_col, "pq_code").mapInPandas(
+    scored = cand.select("query_id", id_col, "cell", "pq_code").mapInPandas(
         adc, score_schema
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -61,10 +61,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _ts_us(col: str):
-    """Epoch-microseconds join key for fixture compares: the testdata ts is
-    TIMESTAMP_NTZ (unix_micros rejects it), so cast via the session zone —
-    fixture and engine share one session config, so the key is stable."""
-    return F.unix_micros(F.col(col).cast("timestamp"))
+    """Epoch-microseconds join key for fixture compares, derived from the
+    NTZ timestamp's FIELDS (date + time-of-day), never from a cast through
+    the session zone: the committed fixtures baked keys generated under a
+    UTC session, and a session-zone cast would shift every key (and flip
+    every fixture row red) the moment spark.sql.session.timeZone differs.
+    Field arithmetic equals the UTC-session value bit-for-bit, under ANY
+    zone (tested in test_latent_fixtures.py)."""
+    c = F.col(col)
+    micros = F.coalesce(F.date_format(c, "SSSSSS").cast("long"), F.lit(0))
+    return (
+        F.unix_date(c.cast("date")).cast("long") * F.lit(86_400_000_000)
+        + F.hour(c).cast("long") * F.lit(3_600_000_000)
+        + F.minute(c).cast("long") * F.lit(60_000_000)
+        + F.second(c).cast("long") * F.lit(1_000_000)
+        + micros
+    )
 
 
 def _array_probes_raw(col: str, prefix: str) -> list:
@@ -246,21 +258,98 @@ def q3_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "o3_union_distinct",
+# O3 (union + distinct) moved to a pytest-only check
+# (tests/test_sources_pipeline.py::test_o3_union_distinct_matches_duckdb):
+# the driver registry is pinned at 50 rows and this slot now carries
+# pq_topk_adc, whose oracle RECOMPUTES PQ code assignment + ADC distances
+# in SQL from the committed codebook fixture — a far stronger value check
+# than 30 rows of name-union trivia (VERDICT r4 item 4).
+
+
+def _pq_oracle() -> str:
+    path = _fixture_path("pq_codebooks", "sf0.01")
+    # sub = 8: embeddings are 64-dim, m = 8 subspaces (tools/make_pq_fixture.py)
+    return f"""
+    WITH books AS (
+      SELECT s, code, centroid::DOUBLE[] AS c
+      FROM read_parquet('{path}')
+    ),
+    vec AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    assign AS (
+      SELECT vec_id, s, code,
+             row_number() OVER (
+               PARTITION BY vec_id, s
+               ORDER BY list_dot_product(sl, sl) - 2*list_dot_product(sl, c)
+                        + list_dot_product(c, c) ASC,
+                        code ASC
+             ) AS rn
+      FROM (
+        SELECT v.vec_id, b.s, b.code, b.c,
+               v.e[(b.s*8+1):(b.s*8+8)] AS sl
+        FROM vec v CROSS JOIN books b
+      )
+    ),
+    codes AS (SELECT vec_id, s, code FROM assign WHERE rn = 1),
+    q AS (SELECT vec_id, e FROM vec WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, nc.vec_id AS neighbor_id,
+             sum(
+               list_dot_product(q.e[(nc.s*8+1):(nc.s*8+8)],
+                                q.e[(nc.s*8+1):(nc.s*8+8)])
+               - 2*list_dot_product(q.e[(nc.s*8+1):(nc.s*8+8)], b.c)
+               + list_dot_product(b.c, b.c)
+             ) AS adc_distance
+      FROM q, codes nc
+      JOIN books b ON b.s = nc.s AND b.code = nc.code
+      WHERE q.vec_id <> nc.vec_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc_distance,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_distance ASC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(adc_distance, 6) AS adc_distance,
+           rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 5
     """
-    SELECT name FROM (
-      SELECT r_name AS name FROM region
-      UNION ALL
-      SELECT n_name AS name FROM nation
-    ) GROUP BY name
-    """,
-)
-def o3_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O3 union + distinct."""
-    r = _t(spark, sf_dir, "region").select(F.col("r_name").alias("name"))
-    n = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("name"))
-    return r.unionByName(n).distinct()
+
+
+@_q("pq_topk_adc", _pq_oracle())
+def pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k over the committed codebook fixture.
+
+    The codebooks are deterministic k-means products committed as data
+    (tests/fixtures/latents/pq_codebooks_sf0.01.parquet); the DuckDB
+    oracle independently RECOMPUTES per-subspace code assignment (argmin
+    over codewords), the per-query ADC tables, and the (distance, id)
+    ranking from that file + the embeddings table — so this row value-
+    checks pq_encode AND pq_topk end-to-end, and a perturbed codebook
+    flips it red (tests/test_latent_fixtures.py)."""
+    import numpy as np
+    import pyarrow.parquet as pq_reader
+
+    from feature_extractor_spark.operators.similarity import pq_encode, pq_topk
+
+    tbl = pq_reader.read_table(_fixture_path("pq_codebooks", sf_dir)).to_pandas()
+    tbl = tbl.sort_values(["s", "code"])
+    m = int(tbl["s"].max()) + 1
+    k_codes = int(tbl["code"].max()) + 1
+    books = np.asarray(
+        [np.asarray(c, dtype=np.float64) for c in tbl["centroid"]]
+    ).reshape(m, k_codes, -1)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.pmod(F.col("vec_id"), F.lit(50)) == 0)
+    codes = pq_encode(emb, books, "vec_id", "embedding")
+    out = pq_topk(q, codes, books, "vec_id", "embedding", k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("adc_distance"), 6).alias("adc_distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 @_q(

@@ -587,6 +587,39 @@ def test_ivfpq_topk_recall_and_determinism(spark):
     assert again == a
 
 
+def test_ivfpq_residual_beats_raw_recall(spark):
+    """IVFADC (residual=True) encodes x - centroid[cell]; residuals have
+    far less variance than raw vectors, so at IDENTICAL (m, k_codes) the
+    codes reconstruct tighter and recall vs exact cosine top-k must be at
+    least the raw-vector variant's. Both paths stay deterministic."""
+    from feature_extractor_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+    )
+
+    corpus = _blobs(spark, n_clusters=8, per_cluster=40, dim=32)
+    q = corpus.filter("vec_id % 40 = 0")
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             cosine_topk(q, corpus, k=10).collect()}
+
+    kwargs = dict(k=10, n_lists=8, n_probe=4, m=8, k_codes=32, sample_size=320)
+
+    def run(residual):
+        return {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivfpq_topk(q, corpus, residual=residual, **kwargs).collect()
+        }
+
+    raw = run(False)
+    res = run(True)
+    recall_raw = len(exact & raw) / len(exact)
+    recall_res = len(exact & res) / len(exact)
+    assert recall_res >= recall_raw, (recall_res, recall_raw)
+    assert recall_res >= 0.6, recall_res
+    # determinism of the residual path
+    assert run(True) == res
+
+
 def test_shared_ngram_pairs_finds_copy_paste_minhash_misses(spark):
     """Two long docs sharing one verbatim 25-word span: Jaccard over the
     whole docs is far below any minhash threshold, but the shared-n-gram

@@ -78,3 +78,57 @@ def test_distributed_forward_matches_committed_fixture(spark):
 def test_other_sf_raises_clearly(spark):
     with pytest.raises(FileNotFoundError, match="sf0.1"):
         ENTRY_QUERIES[NAME](spark, "/root/testdata/sf0.1")
+
+
+def test_pq_codebook_fixture_green_and_perturbation_flips_red(spark):
+    """pq_topk_adc contract: the DuckDB oracle RECOMPUTES code assignment
+    + ADC distances from the committed codebook parquet, so (a) the
+    unperturbed engine output must equal the oracle value-for-value, and
+    (b) a deliberately perturbed codebook must change the engine's
+    result set (the driver's hash would go red)."""
+    import numpy as np
+    import pyarrow.parquet as pq_reader
+
+    from feature_extractor_spark.operators.similarity import pq_encode, pq_topk
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    oracle = {
+        (r[0], r[1], round(r[2], 6))
+        for r in con.execute(ORACLE_SQL["pq_topk_adc"]).fetchall()
+    }
+
+    sp = ENTRY_QUERIES["pq_topk_adc"](spark, SF).collect()
+    got = {(r["query_id"], r["neighbor_id"], round(r["adc_distance"], 6)) for r in sp}
+    assert got == oracle and len(got) == 50
+
+    # perturb one codeword: codes and/or distances shift -> sets diverge
+    tbl = pq_reader.read_table(_fixture_path("pq_codebooks", SF)).to_pandas()
+    tbl = tbl.sort_values(["s", "code"])
+    books = np.asarray(
+        [np.asarray(c, dtype=np.float64) for c in tbl["centroid"]]
+    ).reshape(8, 16, -1)
+    books[0, 0] += 0.05
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter("vec_id % 50 = 0")
+    pert = pq_topk(q, pq_encode(emb, books), books, k=5).collect()
+    pert_set = {
+        (r["query_id"], r["neighbor_id"], round(r["adc_distance"], 6)) for r in pert
+    }
+    assert pert_set != oracle
+
+
+def test_fixture_keys_survive_non_utc_session_timezone(spark):
+    """_ts_us must be zone-independent: under a non-UTC session timezone
+    the contract query still matches the committed (UTC-generated)
+    fixture on every row (ADVICE r4: a session-zone cast shifted every
+    key and deterministically false-failed the whole board)."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        out = ENTRY_QUERIES[NAME](spark, SF)
+        assert out.filter("is_match != 1").count() == 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

@@ -51,3 +51,19 @@ def test_profile_arrays_nulls_and_single_job(spark):
     assert prof[("arr", "min_size")] == 1 and prof[("arr", "max_size")] == 3
     assert prof[("s", "nulls")] == 1
     assert prof[("s", "max_len")] == 2
+
+
+def test_profile_column_names_containing_double_underscore(spark):
+    """A column whose NAME contains '__' must profile under its own name
+    with the right metrics (the unpivot keys are positional, not parsed
+    from the agg alias)."""
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, None), (None, "xyz")], "a__b int, s__t__u string"
+    )
+    prof = profile_columns(df)
+    got = {(r["column"], r["metric"]): r["value"] for r in prof.collect()}
+    assert got[("a__b", "nulls")] == 1.0
+    assert got[("a__b", "min")] == 1.0 and got[("a__b", "max")] == 2.0
+    assert got[("s__t__u", "nulls")] == 1.0
+    assert got[("s__t__u", "max_len")] == 3.0
+    assert {c for c, _ in got} == {"a__b", "s__t__u"}

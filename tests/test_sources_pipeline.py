@@ -65,3 +65,30 @@ def test_encoder_pipeline_cli(spark, tmp_path, sf_small):
     assert got.count() > 0
     assert "z_mean" in got.columns
     assert len(got.first()["z_mean"]) == 8
+
+
+def test_o3_union_distinct_matches_duckdb(spark, sf_small):
+    """O3 union + distinct (formerly the o3_union_distinct driver row; its
+    registry slot now carries pq_topk_adc — see plans/entry_queries.py)."""
+    import duckdb
+
+    r = spark.read.parquet(f"{sf_small}/region.parquet").select(
+        F.col("r_name").alias("name")
+    )
+    n = spark.read.parquet(f"{sf_small}/nation.parquet").select(
+        F.col("n_name").alias("name")
+    )
+    got = {row["name"] for row in r.unionByName(n).distinct().collect()}
+    exp = {
+        row[0]
+        for row in duckdb.sql(
+            f"""
+            SELECT name FROM (
+              SELECT r_name AS name FROM read_parquet('{sf_small}/region.parquet')
+              UNION ALL
+              SELECT n_name AS name FROM read_parquet('{sf_small}/nation.parquet')
+            ) GROUP BY name
+            """
+        ).fetchall()
+    }
+    assert got == exp and len(got) > 0
