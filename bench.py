@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "multimodal_features",
     # round-4: the composed curation pipeline (dedup -> filter -> pack)
     "curation_pipeline",
+    # round-5: same pipeline with the CCNet-style LM filter enabled —
+    # measures the vectorized lm_score stage (train + broadcast + one
+    # Arrow scoring pass) inside the composition
+    "curation_pipeline_lm",
 ]
 
 
@@ -57,6 +61,14 @@ def _curation_query(spark, sf_dir: str):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return curate(docs, context_len=2048)
+
+
+def _curation_lm_query(spark, sf_dir: str):
+    """Curation with the LM quality cut on (vectorized scorer hot path)."""
+    from feature_extractor_spark.plans.tokens_pipeline import curate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curate(docs, context_len=2048, lm_max_bits=8.0)
 
 
 def _force(df) -> int:
@@ -128,6 +140,7 @@ def main() -> None:
     qs["encoder_latents"] = eq.encoder_latents
     qs["encoder_vae_small_latents"] = eq.encoder_vae_small_latents_raw
     qs["curation_pipeline"] = _curation_query
+    qs["curation_pipeline_lm"] = _curation_lm_query
 
     # noise protocol (BENCH.md): the committed artifact is min-of-N, not a
     # single draw — box-state variance at sf0.1 measured up to +-25%, and

@@ -8,3 +8,13 @@ from feature_extractor_spark.operators.asof import asof_join  # noqa: F401
 from feature_extractor_spark.operators.sessionize import sessionize  # noqa: F401
 from feature_extractor_spark.operators.unwindow import unwindow  # noqa: F401
 from feature_extractor_spark.operators.skew import salted_repartition  # noqa: F401
+from feature_extractor_spark.operators.dedup import (  # noqa: F401
+    contamination_flags,
+    exact_dedup,
+    minhash_lsh_pairs,
+    near_dup_clusters,
+)
+from feature_extractor_spark.operators.similarity import (  # noqa: F401
+    cosine_topk,
+    semantic_dedup,
+)

@@ -733,6 +733,65 @@ def near_dup_clusters(
     return out
 
 
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination flags: one row per training doc with the
+    count of its distinct word ``n``-grams that also occur anywhere in the
+    ``benchmark`` set, plus ``is_contaminated`` (count >= min_hits).
+
+    This is the standard eval-set decontamination check (public method:
+    GPT-3's 13-gram overlap filter, Brown et al. 2020 appendix C; PaLM
+    and Llama report the same n-gram collision approach) — a training doc
+    sharing a long verbatim n-gram with a benchmark question leaks the
+    answer into training.
+
+    Scale shape: the benchmark side is SMALL by construction (eval sets
+    are thousands of rows, the corpus is 10^12) — its distinct gram
+    hashes broadcast; the corpus side is one map pass (tokenize + hash +
+    explode distinct grams) into the broadcast join and a per-doc count.
+    No shuffle touches the corpus except the final per-doc groupBy, and
+    grams exist only as 64-bit hashes end-to-end (same machinery as
+    minhash/shared-n-gram: ``_hashed_shingle_table``). Docs shorter than
+    ``n`` words have no grams and are trivially clean.
+    """
+    wh_d, d = _hashed_shingle_table(docs, id_col, text_col, n)
+    wh_b, b = _hashed_shingle_table(benchmark, bench_id_col, bench_text_col, n)
+    bench_grams = (
+        b.select(F.explode(F.array_distinct("__h")).alias("__g")).distinct()
+    )
+    doc_grams = d.select(
+        F.col(id_col), F.explode(F.array_distinct("__h")).alias("__g")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "__g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    zero = F.coalesce(F.col("n_contaminated_grams"), F.lit(0))
+    out = (
+        docs.select(id_col)
+        .distinct()
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            zero.alias("n_contaminated_grams"),
+            (zero >= F.lit(min_hits)).alias("is_contaminated"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    wh_d.unpersist()
+    wh_b.unpersist()
+    return out
+
+
 def shared_ngram_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -986,3 +986,118 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_distance", "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    sample_size: int = 4096,
+    seed: int = 23,
+    max_cluster_rows: int = 200_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public method): cluster the embedding space with
+    spherical k-means, compare pairs ONLY within a cluster (cosine >=
+    ``threshold``), take the transitive closure, keep one canonical
+    survivor per semantic group. Returns (id_col, canonical_id, cell).
+
+    Scale shape: centroids come from the bounded seeded sample
+    (``kmeans_centroids``); cell assignment is one Arrow map pass with the
+    centroid matrix broadcast; the quadratic term is bounded per cell —
+    with C clusters over N rows the pair work is ~N^2/C instead of N^2,
+    and each cell's GEMM runs inside one ``applyInPandas`` group (cells
+    shuffle once on the cell key). A cell larger than ``max_cluster_rows``
+    RAISES rather than silently attempting an executor-OOM GEMM — the fix
+    is more clusters, exactly as the paper scales (50k clusters for
+    LAION). Closure + canonical labeling reuse the star-contraction
+    component machinery (``near_dup_clusters``), so survivors are
+    deterministic component minima.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cents, _ = kmeans_centroids(
+        corpus, id_col, vec_col, n_clusters, sample_size, seed=seed
+    )
+    if not cents:
+        raise ValueError("semantic_dedup: empty corpus")
+    spark = corpus.sparkSession
+    C = np.asarray(cents, dtype=np.float64)
+    bc = spark.sparkContext.broadcast(C)
+    id_type = corpus.schema[id_col].dataType
+
+    assign_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("cell", T.IntegerType(), False),
+            T.StructField(vec_col, corpus.schema[vec_col].dataType),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cc = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            norms = np.linalg.norm(X, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            cells = np.argmax((X / norms) @ cc.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cell": cells, vec_col: pdf[vec_col]}
+            )
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(assign, assign_schema)
+
+    pair_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+    cap = int(max_cluster_rows)
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        if n > cap:
+            raise ValueError(
+                f"semantic_dedup: cell with {n} rows exceeds max_cluster_rows="
+                f"{cap}; raise n_clusters (pair work within a cell is "
+                f"quadratic by design)"
+            )
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].iloc[order]]
+        )
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        S = (X / norms) @ (X / norms).T
+        ia, ib = np.triu_indices(n, k=1)
+        keep = S[ia, ib] >= thr
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": S[ia, ib][keep]}
+        )
+
+    pairs = assigned.groupBy("cell").applyInPandas(cell_pairs, pair_schema)
+
+    from feature_extractor_spark.operators.dedup import near_dup_clusters
+
+    clusters = near_dup_clusters(pairs, corpus, id_col)
+    return clusters.join(
+        assigned.select(id_col, "cell"), id_col
+    ).select(id_col, "canonical_id", "cell")

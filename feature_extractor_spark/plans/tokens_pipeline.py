@@ -61,12 +61,18 @@ def curate(
     seed: int = 0,
     redact: bool = False,
     lm_max_bits: float | None = None,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 13,
 ) -> DataFrame:
     """The curation dataflow as ONE composable lazy plan (no actions except
     the bounded driver loop inside the connected-components closure).
     ``redact=True`` additionally scrubs PII from the surviving text
     (typed placeholders + per-kind counts, functions/text.redact_pii) —
     after dedup, so redaction never changes dedup identity.
+    ``benchmark`` (a small eval-set DataFrame with the same id/text
+    columns) enables GPT-3-style decontamination: any surviving doc
+    sharing a ``decontam_n``-gram with the benchmark is dropped
+    (operators/dedup.contamination_flags — benchmark grams broadcast).
 
     Returns one row per surviving document with its original columns plus
     quality/repetition signals, ``n_tok``/``n_bpe_tokens``, the stable
@@ -115,7 +121,21 @@ def curate(
             F.col("lm_bits_per_char") <= F.lit(float(lm_max_bits))
         )
 
-    # 4.5 optional PII scrubbing (map-side regex; post-dedup on purpose)
+    # 4.5 optional benchmark decontamination (BEFORE redaction: scrubbed
+    #     text would hide grams the original shares with the benchmark): drop docs sharing any
+    #     decontam_n-gram with the (small, broadcast) eval set
+    if benchmark is not None:
+        from feature_extractor_spark.operators.dedup import contamination_flags
+
+        flags = contamination_flags(
+            filtered, benchmark, id_col, text_col, id_col, text_col,
+            n=decontam_n,
+        )
+        filtered = filtered.join(
+            flags.filter(~F.col("is_contaminated")).select(id_col), id_col
+        )
+
+    # 4.6 optional PII scrubbing (map-side regex; post-dedup on purpose)
     if redact:
         from feature_extractor_spark.functions.text import redact_pii
 

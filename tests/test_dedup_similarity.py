@@ -654,3 +654,121 @@ def test_shared_ngram_pairs_finds_copy_paste_minhash_misses(spark):
     # whole-doc jaccard is tiny: the minhash path would never pair a,b
     jac = jaccard_pairs(docs.filter("doc_id in ('a','b')"), threshold=0.3)
     assert jac.count() == 0
+
+
+def test_contamination_flags_gpt3_style(spark):
+    """A training doc containing a benchmark question's 13-gram verbatim
+    must flag contaminated with the right gram count; clean docs and
+    docs sharing only short overlaps must not. Oracle: Python set
+    intersection over lowercase word 13-grams."""
+    from feature_extractor_spark.operators.dedup import contamination_flags
+
+    bench_q = " ".join(f"benchword{i}" for i in range(20))
+    filler = " ".join(f"filler{i}" for i in range(60))
+    short_overlap = " ".join(f"benchword{i}" for i in range(8))  # < n words
+    rows = [
+        ("train_clean", filler),
+        ("train_leak", f"{filler} {bench_q} more trailing text here"),
+        ("train_short", f"{short_overlap} {filler}"),
+        ("train_tiny", "too short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    bench = spark.createDataFrame(
+        [("q1", bench_q), ("q2", "unrelated benchmark question entirely")],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in contamination_flags(docs, bench, n=13).collect()
+    }
+    assert set(got) == {r[0] for r in rows}
+    assert got["train_leak"]["is_contaminated"]
+    for clean in ("train_clean", "train_short", "train_tiny"):
+        assert not got[clean]["is_contaminated"], clean
+        assert got[clean]["n_contaminated_grams"] == 0
+
+    # gram-count oracle: distinct 13-grams of the doc ∩ benchmark grams
+    def grams(t, n=13):
+        w = [x.lower() for x in t.split()]
+        return {tuple(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    bench_g = grams(bench_q) | grams("unrelated benchmark question entirely")
+    exp = len(grams(rows[1][1]) & bench_g)
+    assert got["train_leak"]["n_contaminated_grams"] == exp > 0
+
+
+def test_curate_decontaminates_against_benchmark(spark):
+    """curate(benchmark=...) drops exactly the docs sharing an n-gram with
+    the eval set and keeps the rest of the pipeline output unchanged."""
+    from feature_extractor_spark.plans.tokens_pipeline import curate
+
+    bench_q = " ".join(f"evalword{i}" for i in range(15))
+    mk = lambda i: " ".join(f"doc{i}word{j}" for j in range(40))
+    rows = [(f"d{i}", mk(i), "web") for i in range(6)]
+    rows.append(("d_leak", f"{mk(99)} {bench_q}", "web"))
+    docs = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    bench = spark.createDataFrame([("q", bench_q)], "doc_id string, text string")
+
+    base = {r["doc_id"] for r in curate(docs, context_len=64).collect()}
+    deconned = {
+        r["doc_id"]
+        for r in curate(docs, context_len=64, benchmark=bench).collect()
+    }
+    assert "d_leak" in base
+    assert deconned == base - {"d_leak"}
+
+
+def test_semantic_dedup_matches_exact_pipeline_on_blobs(spark):
+    """SemDeDup (cluster-bounded pairs + closure) must equal the exact
+    all-pairs near-dup pipeline on clustered data where duplicate pairs
+    never straddle clusters, keep deterministic component-min survivors,
+    and RAISE on an oversized cell instead of attempting the quadratic
+    GEMM."""
+    import numpy as np
+    import pytest as _pytest
+
+    from feature_extractor_spark.operators.dedup import near_dup_clusters
+    from feature_extractor_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(6, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in centers:
+        for j in range(20):
+            # every other vector is a tight near-dup of the previous one
+            v = c + (0.001 if j % 2 else 0.4) * rng.normal(size=16)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = semantic_dedup(emb, n_clusters=6, threshold=0.999, sample_size=200)
+    got_map = {r["vec_id"]: r["canonical_id"] for r in got.collect()}
+    assert len(got_map) == len(rows)
+
+    exact_pairs = embedding_near_dup_pairs(emb, threshold=0.999, exact=True)
+    exp = {
+        r["vec_id"]: r["canonical_id"]
+        for r in near_dup_clusters(exact_pairs, emb, "vec_id").collect()
+    }
+    assert got_map == exp
+    # it actually deduplicates something
+    assert len(set(got_map.values())) < len(rows)
+
+    # determinism
+    again = {r["vec_id"]: r["canonical_id"] for r in
+             semantic_dedup(emb, n_clusters=6, threshold=0.999,
+                            sample_size=200).collect()}
+    assert again == got_map
+
+    # oversized-cell guard: 1 cluster -> every row in one cell > cap
+    with _pytest.raises(Exception, match="max_cluster_rows"):
+        semantic_dedup(
+            emb, n_clusters=1, threshold=0.999, sample_size=200,
+            max_cluster_rows=50,
+        ).collect()
