@@ -1,0 +1,144 @@
+"""seasonal_decompose + haar_wavelet_features vs independent NumPy oracles.
+
+Reference semantics: the stl_preprocessor plugin's knobs
+(/root/reference/app/config.py:89-91 — use_stl, stl_period=24,
+use_wavelets) name the classic moving-average decomposition and a
+wavelet channel; both oracles below are written from the textbook
+definitions, independent of the engine code."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from feature_extractor_spark.functions.decompose import (
+    haar_wavelet_features,
+    seasonal_decompose,
+)
+
+
+def _series(spark, n=240, period=24, entities=2, seed=5):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for e in range(entities):
+        seas = rng.normal(size=period) * 2.0
+        for i in range(n):
+            v = 0.05 * i + seas[i % period] + 0.1 * rng.normal()
+            rows.append((f"e{e}", i, float(v)))
+    return (
+        spark.createDataFrame(rows, "doc_id string, ts long, value double"),
+        rows,
+    )
+
+
+def _oracle(vals: np.ndarray, p: int):
+    """Textbook moving-average additive decomposition (statsmodels
+    seasonal_decompose semantics): even p -> convolve with
+    [0.5,1,...,1,0.5]/p over p+1 points; per-phase detrended means
+    centered to zero-mean."""
+    n = len(vals)
+    trend = np.full(n, np.nan)
+    if p % 2 == 0:
+        w = np.r_[0.5, np.ones(p - 1), 0.5] / p
+        half = p // 2
+        for i in range(half, n - half):
+            trend[i] = np.dot(vals[i - half : i + half + 1], w)
+    else:
+        half = (p - 1) // 2
+        for i in range(half, n - half):
+            trend[i] = vals[i - half : i + half + 1].mean()
+    detr = vals - trend
+    phase_means = np.array(
+        [np.nanmean(detr[ph::p]) for ph in range(p)]
+    )
+    phase_means -= phase_means.mean()
+    seasonal = np.array([phase_means[i % p] for i in range(n)])
+    resid = vals - trend - seasonal
+    return trend, seasonal, resid
+
+
+@pytest.mark.parametrize("period", [24, 7])
+def test_seasonal_decompose_matches_textbook_oracle(spark, period):
+    df, rows = _series(spark, n=200, period=24)
+    out = (
+        seasonal_decompose(df, period=period)
+        .orderBy("doc_id", "ts")
+        .collect()
+    )
+    for e in ("e0", "e1"):
+        vals = np.array([r[2] for r in rows if r[0] == e])
+        t_o, s_o, r_o = _oracle(vals, period)
+        got = [r for r in out if r["doc_id"] == e]
+        assert len(got) == len(vals)
+        for i, r in enumerate(got):
+            if np.isnan(t_o[i]):
+                assert r["trend"] is None and r["resid"] is None
+            else:
+                assert abs(r["trend"] - t_o[i]) < 1e-9, (e, i)
+                assert abs(r["resid"] - r_o[i]) < 1e-9, (e, i)
+            assert abs(r["seasonal"] - s_o[i]) < 1e-9, (e, i)
+
+
+def test_seasonal_decompose_recovers_planted_seasonality(spark):
+    """On a clean trend+seasonal signal the decomposition must recover
+    the planted daily cycle up to the residual noise floor."""
+    p = 24
+    rng = np.random.default_rng(9)
+    seas = np.sin(2 * np.pi * np.arange(p) / p) * 3.0
+    rows = [
+        ("d", i, float(0.01 * i + seas[i % p])) for i in range(10 * p)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, ts long, value double")
+    out = seasonal_decompose(df, period=p).filter("trend IS NOT NULL")
+    mx = out.agg(F.max(F.abs("resid"))).first()[0]
+    assert mx < 1e-9  # pure trend+seasonal -> residual ~ 0
+    got_seas = {
+        r["ts"] % p: r["seasonal"]
+        for r in out.select("ts", "seasonal").collect()
+    }
+    centered = seas - seas.mean()
+    for ph, v in got_seas.items():
+        assert abs(v - centered[ph]) < 1e-6, ph
+
+
+def test_haar_wavelet_parseval_and_known_values(spark):
+    rows = [
+        ("a", [1.0, 1.0, 1.0, 1.0]),          # constant: zero details
+        ("b", [4.0, 2.0, 6.0, 0.0]),          # hand-checkable
+        ("c", [float(x) for x in range(10)]),  # truncates to 8
+        ("d", []),                             # empty window
+    ]
+    df = spark.createDataFrame(rows, "id string, window array<double>")
+    got = {r["id"]: r for r in haar_wavelet_features(df).collect()}
+
+    # constant signal: all detail energy zero, approx carries everything
+    assert all(abs(e) < 1e-12 for e in got["a"]["wv_detail_energy"])
+    assert abs(got["a"]["wv_approx"][0] - 2.0) < 1e-12  # 4 * 1 / (sqrt2^2)
+
+    # hand computation for b: level1 a=[(4+2)/√2,(6+0)/√2] d=[(4-2)/√2,(6-0)/√2]
+    s2 = np.sqrt(2.0)
+    d1 = np.array([2.0 / s2, 6.0 / s2])
+    a1 = np.array([6.0 / s2, 6.0 / s2])
+    d2 = np.array([(a1[0] - a1[1]) / s2])
+    a2 = np.array([(a1[0] + a1[1]) / s2])
+    assert np.allclose(got["b"]["wv_detail_energy"], [(d1**2).sum(), (d2**2).sum()])
+    assert np.allclose(got["b"]["wv_approx"], a2)
+
+    # Parseval on every row with a power-of-two-truncated signal
+    for rid, arr in rows[:3]:
+        x = np.asarray(arr)
+        pow2 = 1 << int(np.floor(np.log2(len(x))))
+        total = float((x[:pow2] ** 2).sum())
+        r = got[rid]
+        recon = sum(r["wv_detail_energy"]) + sum(v * v for v in r["wv_approx"])
+        assert abs(recon - total) < 1e-9, rid
+
+    assert got["d"]["wv_approx"] == [] and got["d"]["wv_detail_energy"] == []
+
+
+def test_haar_levels_cap(spark):
+    df = spark.createDataFrame(
+        [("a", [float(x) for x in range(16)])], "id string, window array<double>"
+    )
+    r = haar_wavelet_features(df, levels=2).collect()[0]
+    assert len(r["wv_detail_energy"]) == 2
+    assert len(r["wv_approx"]) == 4  # 16 -> 8 -> 4 after 2 levels
