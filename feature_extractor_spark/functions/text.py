@@ -332,3 +332,60 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("dup_3gram_frac", dup_frac(g3))
         .withColumn("top_2gram_frac", top_2gram_frac)
     )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    min_line_words: int = 3,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020, §2.2 — public recipe),
+    entirely as map-side JVM expressions (no shuffle, no Python):
+
+    Line-level: keep only lines that end in terminal punctuation
+    (. ! ? " ') and contain at least ``min_line_words`` words; drop lines
+    containing the word "javascript" (case-insensitive) — the
+    cookie-warning/JS-notice rule. Cleaned text lands in ``out_col``
+    (default ``{text_col}_clean``).
+
+    Page-level flags (the caller filters; C4 drops the page):
+    - ``c4_too_short``: fewer than ``min_sentences`` sentences survive,
+    - ``c4_has_lorem``: contains "lorem ipsum",
+    - ``c4_has_brace``: contains "{" (code, not prose),
+    - ``c4_keep``: none of the above.
+
+    The corpus-wide three-in-corpus line dedup is the separate
+    ``operators.dedup.line_dedup_corpus`` (it needs a shuffle; this
+    function is the per-page half of the recipe).
+    """
+    out_col = out_col or f"{text_col}_clean"
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda l: (
+            F.trim(l).rlike("[.!?\"']$")
+            & (F.size(F.split(F.trim(l), "\\s+")) >= min_line_words)
+            & ~F.lower(l).contains("javascript")
+        ),
+    )
+    cleaned = F.array_join(kept, "\n")
+    low = F.lower(F.col(text_col))
+    # sentence count over the CLEANED text: terminal-punct runs
+    n_sent = F.size(
+        F.filter(
+            F.split(F.col(out_col), "[.!?]+"),
+            lambda s: F.trim(s) != "",
+        )
+    )
+    out = (
+        df.withColumn(out_col, cleaned)
+        .withColumn("c4_too_short", n_sent < min_sentences)
+        .withColumn("c4_has_lorem", low.contains("lorem ipsum"))
+        .withColumn("c4_has_brace", F.col(text_col).contains("{"))
+    )
+    return out.withColumn(
+        "c4_keep",
+        ~F.col("c4_too_short") & ~F.col("c4_has_lorem") & ~F.col("c4_has_brace"),
+    )

@@ -18,3 +18,4 @@ from feature_extractor_spark.operators.similarity import (  # noqa: F401
     cosine_topk,
     semantic_dedup,
 )
+from feature_extractor_spark.operators.dedup import line_dedup_corpus  # noqa: F401

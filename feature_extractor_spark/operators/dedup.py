@@ -733,6 +733,86 @@ def near_dup_clusters(
     return out
 
 
+def line_dedup_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Corpus-wide line-level boilerplate removal (the C4 recipe, Raffel
+    et al. 2020 "Exploring the Limits of Transfer Learning..." — public
+    method): any line occurring in at least ``min_docs`` DISTINCT
+    documents (nav menus, cookie banners, footers — content that repeats
+    across pages without the pages being near-dups) is removed from every
+    document. Returns the input rows with ``out_col`` (default: replaces
+    ``text_col``) holding the cleaned text plus ``n_removed_lines``.
+
+    Scale shape: lines cross the shuffle only as 64-bit xxhash64 keys —
+    one posexplode to (doc, pos, line_hash), a distinct (doc, hash)
+    projection feeding a per-hash distinct-doc count (map-side partials),
+    and the small common-hash set (boilerplate is by definition the
+    repeated minority) joins back BROADCAST against the exploded lines.
+    Reconstruction keeps each doc's original line text and order
+    (group-max over pos), so untouched docs round-trip byte-identical.
+    Empty lines are preserved verbatim (never counted, never removed) —
+    paragraph structure is not boilerplate.
+    """
+    out_col = out_col or text_col
+    lh = F.xxhash64(F.trim(F.col("__line")))
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n"))
+    ).select(
+        id_col,
+        F.col("pos").alias("__pos"),
+        F.col("col").alias("__line"),
+    ).withColumn(
+        "__lh",
+        F.when(F.trim(F.col("__line")) == "", None).otherwise(lh),
+    )
+    common = (
+        exploded.filter(F.col("__lh").isNotNull())
+        .select(id_col, "__lh")
+        .distinct()
+        .groupBy("__lh")
+        .agg(F.count(F.lit(1)).alias("__docs"))
+        .filter(F.col("__docs") >= min_docs)
+        .select("__lh")
+    )
+    flagged = exploded.join(
+        F.broadcast(common.withColumn("__rm", F.lit(True))), "__lh", "left"
+    )
+    rebuilt = (
+        flagged.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rm").isNull(),
+                                F.struct(F.col("__pos"), F.col("__line")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("__line"),
+                ),
+                "\n",
+            ).alias("__clean"),
+            F.sum(F.when(F.col("__rm").isNotNull(), 1).otherwise(0)).alias(
+                "n_removed_lines"
+            ),
+        )
+    )
+    keep_cols = [c for c in docs.columns if c != out_col]
+    return (
+        docs.select(*keep_cols)
+        .join(rebuilt, id_col)
+        .withColumn(out_col, F.coalesce(F.col("__clean"), F.lit("")))
+        .drop("__clean")
+    )
+
+
 def contamination_flags(
     docs: DataFrame,
     benchmark: DataFrame,

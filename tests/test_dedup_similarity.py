@@ -772,3 +772,82 @@ def test_semantic_dedup_matches_exact_pipeline_on_blobs(spark):
             emb, n_clusters=1, threshold=0.999, sample_size=200,
             max_cluster_rows=50,
         ).collect()
+
+
+def test_line_dedup_corpus_removes_boilerplate(spark):
+    """The C4 across-corpus rule: a line appearing in >= min_docs distinct
+    docs vanishes from all of them; unique lines, intra-doc repeats below
+    the doc threshold, and empty lines survive; untouched docs round-trip
+    byte-identical."""
+    from feature_extractor_spark.operators.dedup import line_dedup_corpus
+
+    banner = "Accept our cookies to continue"
+    rows = [
+        ("d1", f"{banner}\nunique one\n\nlast line."),
+        ("d2", f"intro text\n{banner}\nmore content"),
+        ("d3", f"{banner}\nclosing words"),
+        # banner twice in ONE doc only -> 1 distinct doc -> stays
+        ("d4", "solo banner\nsolo banner\nbody"),
+        ("d5", "totally untouched\n\ndocument text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in line_dedup_corpus(docs, min_docs=3).collect()}
+
+    assert got["d1"]["text"] == "unique one\n\nlast line."
+    assert got["d2"]["text"] == "intro text\nmore content"
+    assert got["d3"]["text"] == "closing words"
+    assert got["d1"]["n_removed_lines"] == 1
+    assert got["d4"]["text"] == rows[3][1] and got["d4"]["n_removed_lines"] == 0
+    assert got["d5"]["text"] == rows[4][1] and got["d5"]["n_removed_lines"] == 0
+
+    # oracle on real data: line occurrence counts from a Python pass
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = line_dedup_corpus(real, min_docs=2)
+    import collections
+
+    texts = {r["doc_id"]: r["text"] for r in real.collect()}
+    cnt = collections.Counter()
+    for t in texts.values():
+        for ln in {l.strip() for l in t.split("\n") if l.strip()}:
+            cnt[ln] += 1
+    common = {l for l, c in cnt.items() if c >= 2}
+    for r in out.collect():
+        exp_lines = [
+            l for l in texts[r["doc_id"]].split("\n")
+            if l.strip() == "" or l.strip() not in common
+        ]
+        assert r["text"] == "\n".join(exp_lines), r["doc_id"]
+
+
+def test_c4_clean_line_and_page_rules(spark):
+    from feature_extractor_spark.functions.text import c4_clean
+
+    doc = "\n".join(
+        [
+            "This is a proper sentence with enough words.",  # kept
+            "short.",                                        # < 3 words
+            "no terminal punctuation here",                  # no punct
+            "Please enable JavaScript to view this page.",   # javascript
+            'He said "stop right there."',                   # kept (quote end)
+        ]
+    )
+    rows = [
+        ("good", doc + "\nAnother fine sentence here. And one more now. Plus a third!"),
+        ("lorem", "Lorem ipsum dolor sit amet. More words here today. Third sentence is present."),
+        ("brace", "function() { return 1; } This has code. Two more sentences. Three now here."),
+        ("short", "Only one good sentence here."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in c4_clean(df).collect()}
+
+    kept_lines = got["good"]["text_clean"].split("\n")
+    assert "This is a proper sentence with enough words." in kept_lines
+    assert 'He said "stop right there."' in kept_lines
+    assert not any("JavaScript" in l for l in kept_lines)
+    assert not any(l == "short." for l in kept_lines)
+    assert not any("no terminal" in l for l in kept_lines)
+    assert got["good"]["c4_keep"]
+
+    assert got["lorem"]["c4_has_lorem"] and not got["lorem"]["c4_keep"]
+    assert got["brace"]["c4_has_brace"] and not got["brace"]["c4_keep"]
+    assert got["short"]["c4_too_short"] and not got["short"]["c4_keep"]
