@@ -7,6 +7,12 @@ right row with right.ts <= left.ts (backward direction / last observation
 carried forward). Zero temporal leakage by construction — rows with
 right.ts > left.ts can never influence the output.
 
+``direction="forward"`` attaches the EARLIEST right row with right.ts >=
+left.ts instead (next observation) — the same scan time-reversed, in all
+strategies. Forward reads the future BY DESIGN: it is for label/target
+construction (e.g. "next price after t"), never for features at t —
+keep feature pipelines on backward, where the no-leakage property holds.
+
 Two strategies:
 
 - ``union_locf`` (default): union(left-probe, right-state) tagged, one
@@ -45,22 +51,27 @@ def asof_join(
     chunk_seconds: int = 7 * 24 * 3600,
     heavy_keys: list | None = None,
 ) -> DataFrame:
-    if direction != "backward":
-        raise NotImplementedError("only backward (LOCF) as-of is supported")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward or forward, got {direction!r}")
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, by)]
     if strategy == "union_locf":
-        return _asof_union_locf(left, right, on, by, value_cols, tolerance_seconds)
+        return _asof_union_locf(
+            left, right, on, by, value_cols, tolerance_seconds, direction
+        )
     if strategy == "merge_asof":
-        return _asof_merge_asof(left, right, on, by, value_cols, tolerance_seconds)
+        return _asof_merge_asof(
+            left, right, on, by, value_cols, tolerance_seconds, direction
+        )
     if strategy == "union_locf_chunked":
         return _asof_union_locf_chunked(
-            left, right, on, by, value_cols, tolerance_seconds, chunk_seconds
+            left, right, on, by, value_cols, tolerance_seconds, chunk_seconds,
+            direction,
         )
     if strategy == "auto":
         return _asof_auto(
             left, right, on, by, value_cols, tolerance_seconds,
-            heavy_keys=heavy_keys,
+            heavy_keys=heavy_keys, direction=direction,
         )
     raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -75,6 +86,7 @@ def _asof_auto(
     heavy_share: float = 0.02,
     target_chunks: int = 128,
     heavy_keys: list | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Skew-adaptive hybrid (the production default at scale).
 
@@ -101,7 +113,9 @@ def _asof_auto(
             else []
         )
     if not heavy:
-        return _asof_union_locf(left, right, on, by, value_cols, tolerance_seconds)
+        return _asof_union_locf(
+            left, right, on, by, value_cols, tolerance_seconds, direction
+        )
     # null-keyed rows route to the light branch explicitly: a bare
     # ~isin(heavy) evaluates to NULL for NULL keys, silently dropping them
     # from BOTH branches (the plain paths keep them)
@@ -114,9 +128,12 @@ def _asof_auto(
         epoch_seconds(F.min(on)).alias("lo"), epoch_seconds(F.max(on)).alias("hi")
     ).first()
     chunk_seconds = max(1, int((span["hi"] - span["lo"]) / target_chunks) + 1)
-    light_out = _asof_union_locf(l_light, r_light, on, by, value_cols, tolerance_seconds)
+    light_out = _asof_union_locf(
+        l_light, r_light, on, by, value_cols, tolerance_seconds, direction
+    )
     heavy_out = _asof_union_locf_chunked(
-        l_heavy, r_heavy, on, by, value_cols, tolerance_seconds, chunk_seconds
+        l_heavy, r_heavy, on, by, value_cols, tolerance_seconds, chunk_seconds,
+        direction,
     )
     return light_out.unionByName(heavy_out)
 
@@ -128,11 +145,14 @@ def _asof_union_locf(
     by: str,
     value_cols: list[str],
     tolerance_seconds: int | None,
+    direction: str = "backward",
 ) -> DataFrame:
     left_cols = left.columns
     # side=0 sorts right-side state BEFORE left probes at equal ts, so an
     # exact-ts right row is visible to the left row at the same instant
-    # (merge_asof backward semantics: <=, not <).
+    # (merge_asof semantics: <= backward, >= forward). Forward (next
+    # observation) is the same scan over time REVERSED: order by ts desc
+    # and the running last(ignorenulls) carries the NEXT right row back.
     l_tagged = left.select(
         *left_cols,
         F.lit(1).alias("__side"),
@@ -148,21 +168,24 @@ def _asof_union_locf(
         F.col(on).alias("__r_ts"),
     ).select(*l_tagged.columns)
 
+    ts_ord = F.col(on).asc() if direction == "backward" else F.col(on).desc()
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .orderBy(ts_ord, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = l_tagged.unionByName(r_tagged)
     out_vals = []
     carried_ts = F.last("__r_ts", ignorenulls=True).over(w)
+    staleness = (
+        epoch_seconds(F.col(on)) - epoch_seconds(carried_ts)
+        if direction == "backward"
+        else epoch_seconds(carried_ts) - epoch_seconds(F.col(on))
+    )
     for c in value_cols:
         v = F.last(f"__r_{c}", ignorenulls=True).over(w)
         if tolerance_seconds is not None:
-            fresh = (
-                epoch_seconds(F.col(on)) - epoch_seconds(carried_ts)
-            ) <= F.lit(tolerance_seconds)
-            v = F.when(fresh, v)
+            v = F.when(staleness <= F.lit(tolerance_seconds), v)
         out_vals.append(v.alias(c))
     return (
         filled.select(*left_cols, F.col("__side"), *out_vals)
@@ -178,6 +201,7 @@ def _asof_merge_asof(
     by: str,
     value_cols: list[str],
     tolerance_seconds: int | None,
+    direction: str = "backward",
 ) -> DataFrame:
     from pyspark.sql import types as T
 
@@ -197,7 +221,7 @@ def _asof_merge_asof(
             return l_pdf
         r_pdf = r_pdf[[on] + value_cols].sort_values(on, kind="mergesort")
         return pd.merge_asof(
-            l_pdf, r_pdf, on=on, direction="backward", tolerance=tol
+            l_pdf, r_pdf, on=on, direction=direction, tolerance=tol
         )
 
     return left.groupBy(by).cogroup(
@@ -213,6 +237,7 @@ def _asof_union_locf_chunked(
     value_cols: list[str],
     tolerance_seconds: int | None,
     chunk_seconds: int,
+    direction: str = "backward",
 ) -> DataFrame:
     """Skew-proof LOCF: the plain union_locf partitions by key, so one
     heavy-hitter key serializes into a single task. This variant is the
@@ -228,7 +253,11 @@ def _asof_union_locf_chunked(
 
     Exact for ANY chunking — a right value carries across arbitrarily many
     empty chunks through the summary scan. Same semantics as union_locf
-    (verified in tests)."""
+    (verified in tests). ``direction="forward"`` is the time-mirrored
+    scan: local pass ordered desc, per-chunk summaries keep the EARLIEST
+    non-null per column, and the carry window walks chunks in descending
+    order (next observation carried backward)."""
+    fwd = direction == "forward"
     left_cols = left.columns
     chunk = lambda c: F.floor(epoch_seconds(c) / F.lit(chunk_seconds))  # noqa: E731
 
@@ -256,7 +285,10 @@ def _asof_union_locf_chunked(
     # phase 1: local LOCF inside each (key, chunk)
     w_local = (
         Window.partitionBy(by, "__chunk")
-        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .orderBy(
+            F.col(on).desc() if fwd else F.col(on).asc(),
+            F.col("__side").asc(),
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = unioned.select(
@@ -277,13 +309,15 @@ def _asof_union_locf_chunked(
     # (Row-level max(struct(ts, values)) diverged exactly there.) The ts
     # carried for the tolerance check stays ROW-level (last right row's ts),
     # matching union_locf's carried_ts.
+    agg_ts = F.min("__r_ts") if fwd else F.max("__r_ts")
+    agg_struct = F.min if fwd else F.max
     summary = (
         unioned.filter(F.col("__side") == 0)
         .groupBy(by, "__chunk")
         .agg(
-            F.max("__r_ts").alias("__last_ts"),
+            agg_ts.alias("__last_ts"),
             *[
-                F.max(
+                agg_struct(
                     F.when(
                         F.col(f"__r_{c}").isNotNull(),
                         F.struct(
@@ -299,7 +333,7 @@ def _asof_union_locf_chunked(
     domain = unioned.select(by, "__chunk").distinct()
     w_carry = (
         Window.partitionBy(by)
-        .orderBy("__chunk")
+        .orderBy(F.col("__chunk").desc() if fwd else F.col("__chunk").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carry = (
@@ -320,13 +354,15 @@ def _asof_union_locf_chunked(
     # phase 3: stitch
     out = local.join(carry, [by, "__chunk"], "left")
     carried_ts = F.coalesce(F.col("__loc_ts"), F.col("__carry_ts"))
+    staleness = (
+        epoch_seconds(F.col(on)) - epoch_seconds(carried_ts)
+        if not fwd
+        else epoch_seconds(carried_ts) - epoch_seconds(F.col(on))
+    )
     vals = []
     for c in value_cols:
         v = F.coalesce(F.col(f"__loc_{c}"), F.col(f"__carry_{c}.v"))
         if tolerance_seconds is not None:
-            fresh = (
-                epoch_seconds(F.col(on)) - epoch_seconds(carried_ts)
-            ) <= F.lit(tolerance_seconds)
-            v = F.when(fresh, v)
+            v = F.when(staleness <= F.lit(tolerance_seconds), v)
         vals.append(v.alias(c))
     return out.select(*left_cols, *vals)

@@ -177,3 +177,103 @@ def test_asof_chunked_nulls_with_tolerance_match_plain(spark):
         pd.testing.assert_frame_equal(
             plain.orderBy("ts").toPandas(), chunked.orderBy("ts").toPandas()
         )
+
+
+def _pandas_oracle_fwd(left, right, tolerance=None):
+    lp = left.toPandas().sort_values(["ts"], kind="mergesort")
+    rp = right.toPandas().sort_values(["ts"], kind="mergesort")
+    tol = pd.Timedelta(seconds=tolerance) if tolerance else None
+    out = pd.merge_asof(
+        lp, rp[["doc_id", "ts", "aux"]], on="ts", by="doc_id",
+        direction="forward", tolerance=tol,
+    )
+    return out.sort_values(["doc_id", "ts"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("strategy", ["union_locf", "merge_asof"])
+@pytest.mark.parametrize("tol", [None, 1800])
+def test_asof_forward_matches_pandas(spark, strategy, tol):
+    """direction='forward' (next observation, for label construction) must
+    equal pandas merge_asof(direction='forward') with and without
+    tolerance, including the no-right-rows key."""
+    left, right = _fixtures(spark)
+    got = (
+        asof_join(
+            left, right, on="ts", by="doc_id", strategy=strategy,
+            direction="forward", tolerance_seconds=tol,
+        )
+        .orderBy("doc_id", "ts")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    exp = _pandas_oracle_fwd(left, right, tolerance=tol)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "ts", "lval", "aux"]], exp[["doc_id", "ts", "lval", "aux"]]
+    )
+
+
+def test_asof_forward_chunked_and_auto_match_plain(spark):
+    """Chunked scan and the skew-auto router must reproduce the plain
+    forward result exactly (the time-mirrored two-phase prefix scan)."""
+    left, right = _fixtures(spark)
+    plain = (
+        asof_join(left, right, on="ts", by="doc_id", direction="forward")
+        .orderBy("doc_id", "ts")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    for strategy, kw in (
+        ("union_locf_chunked", {"chunk_seconds": 3600}),
+        ("auto", {"heavy_keys": ["a"]}),
+    ):
+        got = (
+            asof_join(
+                left, right, on="ts", by="doc_id", direction="forward",
+                strategy=strategy, **kw,
+            )
+            .orderBy("doc_id", "ts")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, plain)
+
+
+def test_asof_forward_exact_ts_and_equal_boundary(spark):
+    """Forward semantics is >=: a right row AT the left ts is attached."""
+    t = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("a", t, 1.0)], "doc_id string, ts timestamp, lval double"
+    )
+    right = spark.createDataFrame(
+        [("a", t, 42.0), ("a", t + dt.timedelta(hours=1), 99.0)],
+        "doc_id string, ts timestamp, aux double",
+    )
+    got = asof_join(left, right, on="ts", by="doc_id", direction="forward").first()
+    assert got["aux"] == 42.0
+
+
+def test_asof_forward_nulls_in_values_match_plain_chunked(spark):
+    """Per-column carry symmetry: a NEARER future right row with a null in
+    column c must not mask a FARTHER future non-null c."""
+    t = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("a", t + dt.timedelta(hours=h), float(h)) for h in range(0, 30, 2)],
+        "doc_id string, ts timestamp, lval double",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", t + dt.timedelta(hours=5), None),
+            ("a", t + dt.timedelta(hours=20), 7.0),
+        ],
+        "doc_id string, ts timestamp, aux double",
+    )
+    plain = asof_join(
+        left, right, on="ts", by="doc_id", direction="forward"
+    ).orderBy("ts").toPandas()
+    chunked = asof_join(
+        left, right, on="ts", by="doc_id", direction="forward",
+        strategy="union_locf_chunked", chunk_seconds=6 * 3600,
+    ).orderBy("ts").toPandas()
+    pd.testing.assert_frame_equal(plain, chunked)
+    # rows at/before h=5 see the h=20 value (null at h=5 does not mask)
+    assert plain.iloc[0]["aux"] == 7.0
