@@ -779,8 +779,13 @@ def line_dedup_corpus(
         .filter(F.col("__docs") >= min_docs)
         .select("__lh")
     )
+    # NO forced broadcast on the common set: boilerplate is usually the
+    # small minority, but a pathologically templated corpus (the case
+    # this operator exists for) can push the >=min_docs line set past
+    # executor memory — let Catalyst/AQE pick broadcast vs shuffle from
+    # the actual size at runtime
     flagged = exploded.join(
-        F.broadcast(common.withColumn("__rm", F.lit(True))), "__lh", "left"
+        common.withColumn("__rm", F.lit(True)), "__lh", "left"
     )
     rebuilt = (
         flagged.groupBy(id_col)

@@ -1093,11 +1093,20 @@ def semantic_dedup(
             {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": S[ia, ib][keep]}
         )
 
+    # two consumers read `assigned` (the in-cell pair stage and the final
+    # cell join): without a persist the Arrow assign pass re-executes per
+    # consumer (multi-consumer subplans do not share work) — a second full
+    # corpus scan at scale. near_dup_clusters materializes eagerly, so the
+    # cache is populated there and released before returning.
+    assigned = assigned.persist()
     pairs = assigned.groupBy("cell").applyInPandas(cell_pairs, pair_schema)
 
     from feature_extractor_spark.operators.dedup import near_dup_clusters
 
     clusters = near_dup_clusters(pairs, corpus, id_col)
-    return clusters.join(
+    out = clusters.join(
         assigned.select(id_col, "cell"), id_col
     ).select(id_col, "canonical_id", "cell")
+    out = out.localCheckpoint(eager=True)
+    assigned.unpersist()
+    return out
