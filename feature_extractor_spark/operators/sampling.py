@@ -85,3 +85,44 @@ def deterministic_shuffle(
     repartitionByRange + sortWithinPartitions for a partitioned write) is
     the deterministic global training-order shuffle."""
     return df.withColumn(key_col, hash_uniform(id_col, seed, hash_fn))
+
+
+def mixture_fractions(
+    docs: DataFrame,
+    target: dict[str, float],
+    source_col: str = "source",
+    weight_col: str | None = None,
+) -> dict[str, float]:
+    """Per-source sampling fractions that turn the corpus's OBSERVED
+    source mix into the ``target`` mixture (shares summing to ~1) by
+    downsampling only — the standard domain-reweighting step of a
+    training-data pipeline (the mixture knob DoReMi/Pile-style recipes
+    tune; computing fractions from observed mass is public arithmetic).
+
+    ``weight_col`` (e.g. ``n_tok``) measures mass in tokens instead of
+    documents — the quantity that actually matters for a token budget.
+
+    Math: with observed mass c_s and target share t_s, the largest
+    achievable output total without upsampling is T = min_s c_s / t_s
+    (over t_s > 0); each source keeps fraction f_s = t_s * T / c_s, so
+    the binding source keeps 1.0 and the output mix is exactly t.
+    Sources absent from ``target`` get fraction 0.0. One map-side
+    aggregate; the result dict feeds ``stratified_sample``.
+
+    Raises if a targeted source has zero observed mass (the target is
+    unreachable, silently returning a skewed mix would be worse).
+    """
+    mass = F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    rows = docs.groupBy(source_col).agg(mass.cast("double").alias("__m")).collect()
+    observed = {r[source_col]: r["__m"] for r in rows}
+    missing = [s for s, t in target.items() if t > 0 and not observed.get(s)]
+    if missing:
+        raise ValueError(
+            f"mixture_fractions: target sources with no observed mass: {missing}"
+        )
+    total_out = min(observed[s] / t for s, t in target.items() if t > 0)
+    fractions = {}
+    for s in observed:
+        t = target.get(s, 0.0)
+        fractions[s] = min(1.0, (t * total_out) / observed[s]) if t > 0 else 0.0
+    return fractions

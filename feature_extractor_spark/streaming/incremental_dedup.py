@@ -247,3 +247,69 @@ def stream_dedup_ingest(
         stream_docs.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def compact_index(spark, index_dir: str, target_partitions: int | None = None) -> dict:
+    """Offline maintenance for the append-only LSH index: each micro-batch
+    appends a ``batch_id=<n>`` partition with its own small files, so after
+    many batches the candidate-lookup join pays a file-listing and
+    small-file tax on every batch. This rewrites both tables into a flat
+    compacted layout (one partitionless parquet dataset, sized to
+    ``target_partitions`` files; default = the session's shuffle
+    parallelism) and swaps it in.
+
+    All history merges into a single ``batch_id=-1`` partition — the
+    partition LAYOUT is preserved (mixing flat files with partition dirs
+    would break discovery for the stream's later dynamic-partition
+    writes), and -1 can never collide with a replayed micro-batch id.
+
+    MUST run while the ingest stream is stopped AND after a clean
+    shutdown — without Iceberg there is no snapshot isolation: the swap
+    (write new -> rename old away -> rename new in) needs no concurrent
+    reader/writer, and compacting the partial writes of a batch whose
+    offset never committed would make its eventual replay double those
+    rows (normally the replay's partition overwrite makes it idempotent).
+    The old data is kept at ``<index_dir>/<table>__pre_compact`` until
+    the swap completes, so a crash mid-swap leaves old or new intact
+    under a recoverable name. Idempotent re-runs are safe. Dedup behavior
+    is unchanged (tested): flag_against_index never reads batch_id.
+
+    Returns {"bands_files": n, "shingles_files": n} after compaction.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    n_out = target_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    stats = {}
+    for sub in ("bands", "shingles"):
+        cur = f"{index_dir}/{sub}"
+        tmp = f"{index_dir}/{sub}__compacting"
+        bak = f"{index_dir}/{sub}__pre_compact"
+        fs = jvm.org.apache.hadoop.fs.Path(cur).getFileSystem(conf)
+        P = jvm.org.apache.hadoop.fs.Path
+        if not fs.exists(P(cur)):
+            raise FileNotFoundError(f"compact_index: missing {cur}")
+        for stale in (tmp, bak):  # recover from a previous crash
+            if fs.exists(P(stale)):
+                fs.delete(P(stale), True)
+        df = (
+            spark.read.parquet(cur)
+            .drop("batch_id")
+            .withColumn("batch_id", F.lit(-1))
+        )
+        df.repartition(n_out).write.mode("overwrite").partitionBy(
+            "batch_id"
+        ).parquet(tmp)
+        if not fs.rename(P(cur), P(bak)):
+            raise IOError(f"compact_index: could not move {cur} aside")
+        if not fs.rename(P(tmp), P(cur)):
+            # restore the original on failure
+            fs.rename(P(bak), P(cur))
+            raise IOError(f"compact_index: could not swap in {tmp}")
+        fs.delete(P(bak), True)
+        stats[f"{sub}_files"] = sum(
+            1
+            for f in spark.read.parquet(cur).inputFiles()
+        )
+    return stats

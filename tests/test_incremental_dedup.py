@@ -145,3 +145,60 @@ def test_stream_dedup_ingest_end_to_end(spark, tmp_path):
     assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {
         "a1", "b1", "c1"
     }
+
+
+def test_compact_index_preserves_dedup_and_reduces_files(spark, tmp_path):
+    """After compaction: same cross-batch dedup decisions, fewer files,
+    and subsequent ingest batches still write/replay correctly into the
+    partitioned layout."""
+    from feature_extractor_spark.streaming.incremental_dedup import compact_index
+
+    idx = str(tmp_path / "idx")
+    acc = str(tmp_path / "acc")
+    docs = [("a1", A), ("b1", B)]
+    for i, row in enumerate(docs):
+        ingest_batch(_df(spark, [row]), i, idx, acc, threshold=0.5)
+
+    import pathlib
+
+    def nfiles(sub):
+        return len(list(pathlib.Path(idx, sub).rglob("*.parquet")))
+
+    before = nfiles("bands")
+    pre = {
+        r["doc_id"]: r["is_dup"]
+        for r in flag_against_index(
+            _df(spark, [("x1", A_NEAR), ("x2", C)]),
+            spark.read.parquet(f"{idx}/bands"),
+            spark.read.parquet(f"{idx}/shingles"),
+            threshold=0.5,
+        ).collect()
+    }
+
+    stats = compact_index(spark, idx, target_partitions=1)
+    assert stats["bands_files"] == 1 and stats["shingles_files"] == 1
+    assert nfiles("bands") < before
+
+    post = {
+        r["doc_id"]: r["is_dup"]
+        for r in flag_against_index(
+            _df(spark, [("x1", A_NEAR), ("x2", C)]),
+            spark.read.parquet(f"{idx}/bands"),
+            spark.read.parquet(f"{idx}/shingles"),
+            threshold=0.5,
+        ).collect()
+    }
+    assert post == pre == {"x1": True, "x2": False}
+
+    # the stream keeps working against the compacted index: new batch
+    # dedups cross-batch and replaying it stays idempotent
+    ingest_batch(_df(spark, [("a9", A_NEAR), ("c1", C)]), 7, idx, acc, threshold=0.5)
+    got = {r["doc_id"] for r in spark.read.parquet(acc).collect()}
+    assert got == {"a1", "b1", "c1"}
+    ingest_batch(_df(spark, [("a9", A_NEAR), ("c1", C)]), 7, idx, acc, threshold=0.5)
+    rows = spark.read.parquet(acc).collect()
+    assert len(rows) == 3
+
+    # idempotent re-compaction
+    stats2 = compact_index(spark, idx, target_partitions=1)
+    assert stats2["bands_files"] == 1

@@ -61,3 +61,46 @@ def test_shuffle_key_stable_and_distinct_by_seed(spark, docs):
     np.testing.assert_array_equal(k1["shuffle_key"], k2["shuffle_key"])
     order1 = k1.sort_values("shuffle_key")["doc_id"].tolist()
     assert order1 != sorted(order1)  # actually shuffled
+
+
+def test_mixture_fractions_math_and_composition(spark):
+    """Fractions must make the binding source keep 1.0 and reproduce the
+    target mix exactly in expectation; composed with stratified_sample the
+    realized token mix lands near the target; unreachable targets raise."""
+    import pytest as _pytest
+
+    from feature_extractor_spark.operators.sampling import (
+        mixture_fractions,
+        stratified_sample,
+    )
+
+    rows = []
+    for i in range(4000):
+        src = "web" if i % 10 < 7 else ("code" if i % 10 < 9 else "books")
+        rows.append((f"d{i}", src, 100))  # uniform weight: counts == mass
+    docs = spark.createDataFrame(rows, "doc_id string, source string, n_tok int")
+
+    target = {"web": 0.5, "code": 0.3, "books": 0.2}
+    fr = mixture_fractions(docs, target, weight_col="n_tok")
+    # observed mass: web 2800, code 800, books 400 (x100 tokens)
+    # binding source is books: T = min(2800/.5, 800/.3, 400/.2) = 2000
+    assert abs(fr["books"] - 1.0) < 1e-12
+    T = 400 / 0.2
+    assert abs(fr["web"] - (0.5 * T) / 2800) < 1e-12
+    assert abs(fr["code"] - (0.3 * T) / 800) < 1e-12
+
+    sampled = stratified_sample(docs, "doc_id", "source", fr, default_fraction=0.0)
+    got = {
+        r["source"]: r["cnt"]
+        for r in sampled.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    total = sum(got.values())
+    for s, t in target.items():
+        assert abs(got[s] / total - t) < 0.05, (s, got[s] / total)
+
+    # a source absent from target is dropped entirely
+    fr2 = mixture_fractions(docs, {"web": 1.0})
+    assert fr2["code"] == 0.0 and fr2["books"] == 0.0 and fr2["web"] == 1.0
+
+    with _pytest.raises(ValueError, match="no observed mass"):
+        mixture_fractions(docs, {"web": 0.5, "wikipedia": 0.5})
