@@ -10,3 +10,17 @@ from feature_extractor_spark.functions.normalize import (  # noqa: F401
     denormalize_minmax,
 )
 from feature_extractor_spark.functions.transforms import returns  # noqa: F401
+from feature_extractor_spark.functions.text import (  # noqa: F401
+    c4_clean,
+    language_id,
+    quality_score,
+    redact_pii,
+    repetition_signals,
+    token_counts,
+)
+from feature_extractor_spark.functions.lm import lm_score, train_char_lm  # noqa: F401
+from feature_extractor_spark.functions.profile import profile_columns  # noqa: F401
+from feature_extractor_spark.functions.decompose import (  # noqa: F401
+    haar_wavelet_features,
+    seasonal_decompose,
+)

@@ -757,6 +757,13 @@ def line_dedup_corpus(
     (group-max over pos), so untouched docs round-trip byte-identical.
     Empty lines are preserved verbatim (never counted, never removed) —
     paragraph structure is not boilerplate.
+
+    Deliberate two-scan shape: the exploded line frame feeds both the
+    df-count branch and the removal join, so the corpus is read (and
+    split) twice. Persisting the exploded lines instead would hold
+    ~corpus-size bytes of cache at exactly the scale where memory is
+    scarce; two cheap map passes beat that trade, same reasoning as the
+    reference-free two-phase scans elsewhere in this package.
     """
     out_col = out_col or text_col
     lh = F.xxhash64(F.trim(F.col("__line")))

@@ -4,3 +4,9 @@ from feature_extractor_spark.streaming.stream_ops import (  # noqa: F401
     stream_windowed_encode,
     stream_windowed_stats,
 )
+from feature_extractor_spark.streaming.incremental_dedup import (  # noqa: F401
+    compact_index,
+    flag_against_index,
+    ingest_batch,
+    stream_dedup_ingest,
+)

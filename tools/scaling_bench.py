@@ -37,7 +37,68 @@ def ensure_data(spark) -> None:
     df.write.mode("overwrite").parquet(DATA_DIR)
 
 
-STAGE = os.environ.get("SCALE_STAGE", "full")  # full | asof_window
+STAGE = os.environ.get("SCALE_STAGE", "full")  # full | asof_window | dedup
+N_DOCS = int(os.environ.get("SCALE_DOCS", "200000"))
+DOCS_DIR = os.environ.get("SCALE_DOCS_DATA", "/tmp/fx_scale_docs")
+
+
+def ensure_docs(spark) -> None:
+    """Deterministic synthetic corpus with planted near-dup structure:
+    every doc is 40 vocab words keyed by xxhash64(doc_id, position); docs
+    in the same 50-id template group share a base id for all but 3
+    positions, so each group collapses to near-dup clusters while
+    cross-group jaccard stays low. Pure expressions — no driver data."""
+    marker = os.path.join(DOCS_DIR, "_SUCCESS")
+    if os.path.exists(marker):
+        return
+    vocab = F.array(
+        *[F.lit(f"w{i:04d}") for i in range(2000)]
+    )
+    base = F.when(
+        F.pmod(F.xxhash64(F.col("id"), F.lit(7)), F.lit(5)) < 2,
+        F.col("id") - F.pmod(F.col("id"), F.lit(50)),
+    ).otherwise(F.col("id"))
+    word_key = (
+        lambda i: F.when(
+            F.pmod(F.xxhash64(F.col("id"), i, F.lit(13)), F.lit(40)) < 3,
+            F.xxhash64(F.col("id"), i),  # per-doc noise positions
+        ).otherwise(F.xxhash64(F.col("__base"), i))
+    )
+    df = (
+        spark.range(N_DOCS)
+        .withColumn("__base", base)
+        .select(
+            F.concat(F.lit("doc"), F.col("id").cast("string")).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(39)),
+                    lambda i: F.element_at(
+                        vocab, (F.pmod(word_key(i), F.lit(2000)) + 1).cast("int")
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    df.write.mode("overwrite").parquet(DOCS_DIR)
+
+
+def _dedup_stage(spark):
+    """The LLM-curation dedup core as the measured stage: banded MinHash
+    candidates -> exact-jaccard verify -> star-contraction transitive
+    closure -> canonical survivors. Wall includes the bounded CC driver
+    loop (it is part of the real cost)."""
+    from feature_extractor_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
+
+    docs = spark.read.parquet(DOCS_DIR)
+    # eager=True: pairs materialize inside the timed section AND the
+    # shingle cache is released per run (eager=False would leak one
+    # word-hash cache per repetition)
+    pairs = minhash_lsh_pairs(docs, threshold=0.6, eager=True)
+    return near_dup_clusters(pairs, docs, "doc_id")
 
 
 def _asof_window_features(spark, heavy):
@@ -84,6 +145,8 @@ def _asof_window_features(spark, heavy):
 
 
 def pipeline(spark, heavy=None):
+    if STAGE == "dedup":
+        return _dedup_stage(spark)
     if STAGE == "asof_window":
         return _asof_window_features(spark, heavy)
     from feature_extractor_spark.encoder import init_weights
@@ -137,14 +200,21 @@ def main() -> None:
     from feature_extractor_spark.session import get_spark
 
     spark = get_spark("scaling-bench", cores=cores)
-    ensure_data(spark)
+    if STAGE == "dedup":
+        ensure_docs(spark)
+    else:
+        ensure_data(spark)
 
     # heavy-hitter detection is planning, not the measured stage: hoist it
     # (in production it is amortized over the whole job / cached stats)
     from feature_extractor_spark.operators.skew import detect_heavy_hitters
 
-    heavy = detect_heavy_hitters(
-        spark.read.parquet(DATA_DIR), "doc_id", threshold_share=0.02
+    heavy = (
+        None
+        if STAGE == "dedup"
+        else detect_heavy_hitters(
+            spark.read.parquet(DATA_DIR), "doc_id", threshold_share=0.02
+        )
     )
 
     # warm once (JIT), then min-of-N steady-state runs. (Requires
@@ -161,7 +231,9 @@ def main() -> None:
     # analytic sequence count (windows per doc = max(n_i - W + 1, 0)):
     # counting via the pipeline would re-run the whole encoder stage.
     # asof_window mode emits one feature row per input row.
-    if STAGE == "asof_window":
+    if STAGE == "dedup":
+        n_seq = N_DOCS
+    elif STAGE == "asof_window":
         n_seq = N_ROWS
     else:
         n_seq = (
