@@ -24,3 +24,4 @@ from feature_extractor_spark.functions.decompose import (  # noqa: F401
     haar_wavelet_features,
     seasonal_decompose,
 )
+from feature_extractor_spark.functions.text import compression_ratio  # noqa: F401

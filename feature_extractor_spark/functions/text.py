@@ -389,3 +389,46 @@ def c4_clean(
         "c4_keep",
         ~F.col("c4_too_short") & ~F.col("c4_has_lorem") & ~F.col("c4_has_brace"),
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "compression_ratio",
+    level: int = 6,
+    max_chars: int = 65536,
+) -> DataFrame:
+    """Per-document zlib compression ratio (compressed bytes / raw
+    bytes) — the classic cheap repetitiveness/entropy signal web-corpus
+    pipelines cut on (public heuristic: highly templated or repetitive
+    pages compress far below prose; random bytes approach 1.0). English
+    prose lands ~0.3-0.5 at level 6; <0.15 flags machine-generated
+    repetition the n-gram signals can miss (long-period templates), and
+    >0.9 flags binary junk posing as text. Empty/null docs score null.
+
+    One Arrow-batched pass, no shuffle; zlib runs at C speed (~100 MB/s
+    per core), and ``max_chars`` bounds per-doc cost on pathological
+    inputs — the prefix ratio is the signal, not the exact archive size.
+    """
+    import zlib
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(text) -> float | None:
+            if text is None or len(text) == 0:
+                return None
+            raw = text[:max_chars].encode("utf-8", errors="replace")
+            return len(zlib.compress(raw, level)) / len(raw)
+
+        for pdf in batches:
+            pdf[out_col] = pdf[text_col].map(one)
+            yield pdf
+
+    return df.mapInPandas(run, schema)

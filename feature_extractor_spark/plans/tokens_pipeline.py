@@ -63,6 +63,8 @@ def curate(
     lm_max_bits: float | None = None,
     benchmark: DataFrame | None = None,
     decontam_n: int = 13,
+    c4_rules: bool = False,
+    line_dedup_min_docs: int | None = None,
 ) -> DataFrame:
     """The curation dataflow as ONE composable lazy plan (no actions except
     the bounded driver loop inside the connected-components closure).
@@ -79,6 +81,26 @@ def curate(
     ``shuffle_key``, and packing coordinates (``tok_start``/``bin_id``/
     ``bin_pos``/``spans_boundary``) in the shuffled training order.
     """
+    # 0. optional C4 pre-cleaning, BEFORE dedup identity is computed:
+    #    line_dedup_min_docs removes corpus-wide boilerplate lines
+    #    (cookie banners make unrelated pages near-dups), then c4_rules
+    #    applies the per-page line filters + page flags
+    if line_dedup_min_docs is not None:
+        from feature_extractor_spark.operators.dedup import line_dedup_corpus
+
+        docs = line_dedup_corpus(
+            docs, id_col, text_col, min_docs=line_dedup_min_docs
+        ).drop("n_removed_lines")
+    if c4_rules:
+        from feature_extractor_spark.functions.text import c4_clean
+
+        docs = (
+            c4_clean(docs, text_col, out_col=f"__{text_col}_c4")
+            .filter(F.col("c4_keep"))
+            .drop(text_col, "c4_too_short", "c4_has_lorem", "c4_has_brace", "c4_keep")
+            .withColumnRenamed(f"__{text_col}_c4", text_col)
+        )
+
     # 1. exact dedup: identical normalized text -> keep min-id survivor
     exact = exact_dedup(docs, id_col, text_col).select(
         F.col("canonical_id").alias(id_col)

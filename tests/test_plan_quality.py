@@ -175,3 +175,44 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         spark.sql("DROP TABLE IF EXISTS t_ev_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_agg_bucketed")
+
+
+def test_c4_clean_stays_map_side_jvm(spark):
+    """C4 page cleaning must plan with NO exchange and NO Python eval —
+    pure whole-stage-codegen expressions."""
+    from feature_extractor_spark.functions.text import c4_clean
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(c4_clean(docs))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan  # neither Batch- nor ArrowEvalPython
+
+
+def test_line_dedup_corpus_no_python_hashed_shuffle(spark):
+    """Corpus line dedup: no Python stages anywhere; line text must not
+    ride the count-side shuffle (only the 64-bit __lh hash does)."""
+    from feature_extractor_spark.operators.dedup import line_dedup_corpus
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = line_dedup_corpus(docs, min_docs=2)
+    plan = _plan(out)
+    assert "EvalPython" not in plan
+    opt = _optimized(out)
+    # the distinct/count branch projects (doc_id, __lh) only — the __line
+    # payload is pruned before that aggregate's exchange
+    agg_side = opt.split("Aggregate")[-1]
+    assert "__lh" in agg_side
+
+
+def test_seasonal_decompose_single_entity_shuffle(spark):
+    """All four window families (trend MAs, phase index, per-phase mean,
+    entity mean) must reuse ONE hash exchange on the entity key."""
+    from feature_extractor_spark.functions.decompose import seasonal_decompose
+
+    df = spark.range(1000).select(
+        F.concat(F.lit("e"), (F.col("id") % 5).cast("string")).alias("doc_id"),
+        F.col("id").alias("ts"),
+        F.col("id").cast("double").alias("value"),
+    )
+    plan = _plan(seasonal_decompose(df, period=24))
+    assert plan.count("Exchange hashpartitioning") == 1

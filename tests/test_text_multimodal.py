@@ -317,3 +317,35 @@ def test_token_repetition_signals(spark):
     ).collect()[0]
     assert abs(got["dup_gram_frac"] - exp_dup) < 1e-12
     assert abs(got["top_gram_frac"] - exp_top) < 1e-12
+
+
+def test_compression_ratio_orders_repetitive_prose_random(spark):
+    """The signal must rank: templated repetition << prose << random
+    junk, be deterministic, and null out empty docs."""
+    import random
+
+    from feature_extractor_spark.functions.text import compression_ratio
+
+    rnd = random.Random(3)
+    prose = " ".join(
+        rnd.choice(["the", "model", "reads", "data", "from", "parquet",
+                    "files", "and", "computes", "features", "quickly",
+                    "while", "spark", "handles", "shuffles"])
+        for _ in range(400)
+    )
+    rows = [
+        ("rep", "subscribe now! " * 300),
+        ("prose", prose),
+        ("rand", "".join(chr(rnd.randint(33, 0x2FFF)) for _ in range(2000))),
+        ("empty", ""),
+        ("none", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r["compression_ratio"]
+           for r in compression_ratio(df).collect()}
+    assert got["empty"] is None and got["none"] is None
+    assert got["rep"] < 0.1 < got["prose"] < got["rand"]
+    # deterministic
+    again = {r["doc_id"]: r["compression_ratio"]
+             for r in compression_ratio(df).collect()}
+    assert again == got

@@ -167,3 +167,30 @@ def test_curate_lm_filter(spark, docs):
     assert 0 < n_cut <= n_loose
     assert "lm_bits_per_char" in cut.columns
     assert cut.agg(F.max("lm_bits_per_char")).first()[0] <= 6.0
+
+
+def test_curate_c4_and_line_dedup_options(spark):
+    """c4_rules drops no-terminal-punct pages; line_dedup_min_docs strips
+    a corpus-wide banner BEFORE dedup so banner-sharing docs don't become
+    near-dups of each other."""
+    from feature_extractor_spark.plans.tokens_pipeline import curate
+
+    banner = "Subscribe to our newsletter today folks"
+    body = lambda i: " ".join(
+        f"doc{i}word{j} and the sentence continues here." for j in range(12)
+    )
+    rows = [(f"d{i}", f"{banner}\n{body(i)}", "web") for i in range(4)]
+    rows.append(("junk", "no punctuation no sentences here at all", "web"))
+    docs = spark.createDataFrame(rows, "doc_id string, text string, source string")
+
+    out = curate(
+        docs, context_len=128, c4_rules=True, line_dedup_min_docs=3,
+        near_dup_threshold=0.9,
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    # the junk page dies to the C4 sentence rule; the 4 real docs survive
+    # individually (the shared banner was stripped pre-dedup)
+    assert "junk" not in got
+    assert set(got) == {f"d{i}" for i in range(4)}
+    for r in got.values():
+        assert banner not in r["text"]
