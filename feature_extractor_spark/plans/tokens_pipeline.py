@@ -65,6 +65,7 @@ def curate(
     decontam_n: int = 13,
     c4_rules: bool = False,
     line_dedup_min_docs: int | None = None,
+    stage_counts: dict | None = None,
 ) -> DataFrame:
     """The curation dataflow as ONE composable lazy plan (no actions except
     the bounded driver loop inside the connected-components closure).
@@ -75,6 +76,17 @@ def curate(
     columns) enables GPT-3-style decontamination: any surviving doc
     sharing a ``decontam_n``-gram with the benchmark is dropped
     (operators/dedup.contamination_flags — benchmark grams broadcast).
+
+    ``stage_counts``, if given, collects per-stage survivor counts via
+    ``observe()`` on the returned plan — the metrics ride the caller's
+    ONE action (no extra jobs), the same observability discipline as the
+    lineage manifest. The metric is an HLL distinct-count of the id
+    column (rsd 1%, exact at small cardinality), NOT a row count — on
+    purpose: multi-scan stages re-execute upstream nodes (sequence
+    packing is a two-phase scan; the CC closure runs eager jobs), and a
+    plain count double-tallies every replay, while a distinct-id sketch
+    merges idempotently. After an action has run, pass the dict to
+    ``resolve_stage_counts`` for plain ints. Disabled stages are absent.
 
     Returns one row per surviving document with its original columns plus
     quality/repetition signals, ``n_tok``/``n_bpe_tokens``, the stable
@@ -101,11 +113,26 @@ def curate(
             .withColumnRenamed(f"__{text_col}_c4", text_col)
         )
 
+    from pyspark.sql import Observation
+
+    def _count(df: DataFrame, stage: str) -> DataFrame:
+        if stage_counts is None:
+            return df
+        obs = Observation()
+        stage_counts[stage] = obs  # resolve_stage_counts turns these to ints
+        # approx_count_distinct, NOT count: replay-idempotent (see docstring)
+        return df.observe(
+            obs, F.approx_count_distinct(id_col, 0.01).alias("rows")
+        )
+
+    docs = _count(docs, "input")
+
     # 1. exact dedup: identical normalized text -> keep min-id survivor
     exact = exact_dedup(docs, id_col, text_col).select(
         F.col("canonical_id").alias(id_col)
     )
     survivors = docs.join(exact, id_col)
+    survivors = _count(survivors, "exact_dedup")
 
     # 2. transitive near-dup dedup: banded MinHash candidates -> verified
     #    Jaccard pairs -> star-contraction closure -> keep component minima
@@ -115,6 +142,7 @@ def curate(
     clusters = near_dup_clusters(pairs, survivors, id_col)
     keep = clusters.filter(F.col(id_col) == F.col("canonical_id")).select(id_col)
     survivors = survivors.join(keep, id_col)
+    survivors = _count(survivors, "near_dup_dedup")
 
     # 3. quality + Gopher repetition filters (all map-side expressions)
     scored = repetition_signals(quality_score(survivors, text_col), text_col)
@@ -123,6 +151,7 @@ def curate(
         & (F.col("dup_line_frac") <= F.lit(float(max_dup_line_frac)))
         & (F.col("top_2gram_frac") <= F.lit(float(max_top_2gram_frac)))
     )
+    filtered = _count(filtered, "quality_filters")
 
     # 4. deterministic per-source sampling (map-side CASE filter)
     if sample_fractions:
@@ -142,6 +171,7 @@ def curate(
         filtered = lm_score(filtered, model, text_col).filter(
             F.col("lm_bits_per_char") <= F.lit(float(lm_max_bits))
         )
+        filtered = _count(filtered, "lm_filter")
 
     # 4.5 optional benchmark decontamination (BEFORE redaction: scrubbed
     #     text would hide grams the original shares with the benchmark): drop docs sharing any
@@ -156,6 +186,7 @@ def curate(
         filtered = filtered.join(
             flags.filter(~F.col("is_contaminated")).select(id_col), id_col
         )
+        filtered = _count(filtered, "decontamination")
 
     # 4.6 optional PII scrubbing (map-side regex; post-dedup on purpose)
     if redact:
@@ -180,10 +211,18 @@ def curate(
             F.col(id_col).cast("string"),
         ),
     )
-    return pack_sequences(
+    out = pack_sequences(
         ordered, order_col="pack_order", n_tok_col="n_tok",
         context_len=context_len,
     ).drop("pack_order")
+    return _count(out, "output")
+
+
+def resolve_stage_counts(stage_counts: dict) -> dict:
+    """Convert the Observation handles ``curate(stage_counts=...)``
+    collected into plain ints. Call AFTER an action has executed the
+    returned plan (Observation.get blocks until its metrics exist)."""
+    return {k: int(v.get["rows"]) for k, v in stage_counts.items()}
 
 
 def curate_tokens(

@@ -194,3 +194,28 @@ def test_curate_c4_and_line_dedup_options(spark):
     assert set(got) == {f"d{i}" for i in range(4)}
     for r in got.values():
         assert banner not in r["text"]
+
+
+def test_curate_stage_counts_observability(spark):
+    """stage_counts rides the single caller action (observe, no extra
+    jobs) and reports a monotone non-increasing survivor funnel whose
+    endpoints match the actual input/output row counts."""
+    from feature_extractor_spark.plans.tokens_pipeline import (
+        curate,
+        resolve_stage_counts,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    counts: dict = {}
+    out = curate(docs, context_len=512, stage_counts=counts)
+    n_out = out.count()  # the one action
+    got = resolve_stage_counts(counts)
+    # HLL distinct-ids: exact at this cardinality (and replay-idempotent
+    # under packing's two-phase scan — a plain count double-tallies)
+    assert abs(got["input"] - docs.count()) <= 5
+    assert abs(got["output"] - n_out) <= 5
+    funnel = [got[k] for k in
+              ("input", "exact_dedup", "near_dup_dedup", "quality_filters",
+               "output")]
+    assert all(a + 5 >= b for a, b in zip(funnel, funnel[1:])), funnel
+    assert "lm_filter" not in got and "decontamination" not in got
