@@ -362,3 +362,60 @@ def test_stream_checkpoint_restart_exactly_once(spark, tmp_path):
     # state survived the restart: rows AFTER the boundary continue the
     # recursion from the first run's carry, matching the single-pass oracle
     np.testing.assert_allclose(got["ema_5"].to_numpy(), exp["ema_5"].to_numpy(), rtol=1e-9)
+
+
+def test_stateless_curation_ops_run_on_streams(spark, tmp_path):
+    """The map-side curation signals (quality, repetition, C4 cleaning,
+    LM scoring, compression ratio, PII redaction) are stateless
+    projections, so the SAME functions must run unmodified on a
+    streaming DataFrame and emit values identical to the batch run —
+    the contract that lets a curation front-end sit on a live ingest."""
+    from pyspark.sql import functions as F
+
+    from feature_extractor_spark.functions.lm import lm_score, train_char_lm
+    from feature_extractor_spark.functions.text import (
+        c4_clean,
+        compression_ratio,
+        quality_score,
+        redact_pii,
+        repetition_signals,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    model = train_char_lm(docs, sample_size=50)
+
+    def transform(df):
+        out = repetition_signals(quality_score(df, "text"), "text")
+        out = c4_clean(out, "text")
+        out = compression_ratio(out, "text")
+        out = redact_pii(out, "text")
+        return lm_score(out, model, "text")
+
+    batch = transform(spark.read.parquet(src))
+
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    q = (
+        transform(spark.readStream.schema(docs.schema).parquet(src))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    cols = ["doc_id", "quality", "dup_line_frac", "text_clean",
+            "compression_ratio", "lm_bits_per_char"]
+    b = {r["doc_id"]: r for r in batch.select(cols).collect()}
+    s = {r["doc_id"]: r for r in spark.read.parquet(sink).select(cols).collect()}
+    assert set(b) == set(s) and len(b) == 100
+    for k in b:
+        for c in cols[1:]:
+            bv, sv = b[k][c], s[k][c]
+            if isinstance(bv, float):
+                assert abs(bv - sv) < 1e-12, (k, c)
+            else:
+                assert bv == sv, (k, c)
