@@ -185,3 +185,90 @@ def haar_wavelet_features(
             yield pdf
 
     return df.mapInPandas(run, schema)
+
+
+def spectral_features(
+    df: DataFrame,
+    window_col: str = "window",
+    n_bands: int = 4,
+    out_prefix: str = "sp",
+) -> DataFrame:
+    """Per-window periodogram features — the third channel of the
+    reference's preprocessing trio (its stl_preprocessor plugin family
+    names STL, wavelets, and multitaper spectral estimation; the plugin
+    code is external, so this is the clean-room spectral channel: the
+    plain periodogram, the single-taper special case every multitaper
+    method averages over).
+
+    Per row (array-typed window of length W):
+    - ``{prefix}_band_power``: array<double>, ``n_bands`` equal slices of
+      the one-sided power spectrum (DC excluded), each the mean power in
+      that frequency band,
+    - ``{prefix}_dom_freq``: dominant nonzero frequency as a fraction of
+      the sampling rate in [0, 0.5],
+    - ``{prefix}_spec_entropy``: normalized spectral entropy in [0, 1]
+      (flat spectrum -> 1, pure tone -> ~0).
+
+    One Arrow-batched pass; same-length windows batch into a single
+    ``np.fft.rfft`` over a (rows, W) matrix — no per-row FFT calls.
+    Windows shorter than 4 samples emit nulls.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField(f"{out_prefix}_band_power", T.ArrayType(T.DoubleType())),
+            T.StructField(f"{out_prefix}_dom_freq", T.DoubleType()),
+            T.StructField(f"{out_prefix}_spec_entropy", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            arrs = [np.asarray(v, dtype=np.float64) for v in pdf[window_col]]
+            lens = np.array([len(a) for a in arrs])
+            bp: list = [None] * len(arrs)
+            domf: list = [None] * len(arrs)
+            ent: list = [None] * len(arrs)
+            for L in np.unique(lens):
+                idx = np.nonzero(lens == L)[0]
+                if L < 4:
+                    continue
+                X = np.stack([arrs[i] for i in idx])
+                spec = np.abs(np.fft.rfft(X, axis=1)) ** 2  # (rows, L//2+1)
+                pos = spec[:, 1:]  # drop DC
+                nf = pos.shape[1]
+                freqs = np.arange(1, nf + 1) / L
+                # band powers: n_bands equal slices of the positive axis
+                edges = np.linspace(0, nf, n_bands + 1).astype(int)
+                bands = np.stack(
+                    [
+                        pos[:, a:b].mean(axis=1) if b > a else np.zeros(len(idx))
+                        for a, b in zip(edges[:-1], edges[1:])
+                    ],
+                    axis=1,
+                )
+                dom = freqs[np.argmax(pos, axis=1)]
+                tot = pos.sum(axis=1, keepdims=True)
+                p = np.where(tot > 0, pos / np.maximum(tot, 1e-300), 0.0)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    h = -(p * np.where(p > 0, np.log(p), 0.0)).sum(axis=1)
+                h_norm = h / np.log(nf) if nf > 1 else np.zeros(len(idx))
+                for j, i in enumerate(idx):
+                    bp[i] = [float(x) for x in bands[j]]
+                    domf[i] = float(dom[j])
+                    ent[i] = float(h_norm[j])
+            pdf = pdf.copy()
+            pdf[f"{out_prefix}_band_power"] = bp
+            pdf[f"{out_prefix}_dom_freq"] = domf
+            pdf[f"{out_prefix}_spec_entropy"] = ent
+            yield pdf
+
+    return df.mapInPandas(run, schema)

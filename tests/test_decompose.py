@@ -142,3 +142,41 @@ def test_haar_levels_cap(spark):
     r = haar_wavelet_features(df, levels=2).collect()[0]
     assert len(r["wv_detail_energy"]) == 2
     assert len(r["wv_approx"]) == 4  # 16 -> 8 -> 4 after 2 levels
+
+
+def test_spectral_features_sinusoid_noise_and_edge_cases(spark):
+    """A pure tone must put its energy in the right band with low
+    spectral entropy and the exact dominant frequency; white-ish noise
+    must score high entropy; short/empty windows emit nulls."""
+    import numpy as np
+
+    from feature_extractor_spark.functions.decompose import spectral_features
+
+    W = 64
+    t = np.arange(W)
+    rng = np.random.default_rng(4)
+    tone = np.sin(2 * np.pi * 8 * t / W)          # freq 8/64 = 0.125
+    noise = rng.normal(size=W)
+    rows = [
+        ("tone", [float(x) for x in tone]),
+        ("noise", [float(x) for x in noise]),
+        ("short", [1.0, 2.0]),
+        ("empty", []),
+    ]
+    df = spark.createDataFrame(rows, "id string, window array<double>")
+    got = {r["id"]: r for r in spectral_features(df, n_bands=4).collect()}
+
+    assert abs(got["tone"]["sp_dom_freq"] - 8 / 64) < 1e-12
+    assert got["tone"]["sp_spec_entropy"] < 0.2
+    # bin 8 of the 32 positive bins lies in band 0 of 4 (bins 1..8)
+    bp = got["tone"]["sp_band_power"]
+    assert bp[0] == max(bp)
+    assert got["noise"]["sp_spec_entropy"] > 0.6
+    for rid in ("short", "empty"):
+        assert got[rid]["sp_band_power"] is None
+        assert got[rid]["sp_dom_freq"] is None
+
+    # Parseval sanity: total band power * nf ~ sum |fft|^2 (positive half)
+    pos = (np.abs(np.fft.rfft(tone)) ** 2)[1:]
+    # bands are MEANS over equal slices; their mean * nf == total power
+    assert abs(np.mean(bp) * len(pos) - pos.sum()) / pos.sum() < 1e-9
