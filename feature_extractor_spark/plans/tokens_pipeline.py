@@ -240,6 +240,7 @@ def curate_tokens(
     sample_fractions: dict[str, float] | None = None,
     context_len: int = 2048,
     seed: int = 0,
+    stage_counts: dict | None = None,
 ) -> DataFrame:
     """Curation twin for the PRE-TOKENIZED input (BASELINE.json
     input_hint: ``doc_id:string, tokens:array<int32>, n_tok:int32,
@@ -247,15 +248,30 @@ def curate_tokens(
     (``minhash_lsh_pairs_tokens``), filtering on token counts, then the
     same deterministic sample / stable shuffle / packing tail as the text
     path. Each ROW is one training sequence; a synthetic ``seq_id``
-    (xxhash64 of doc id + ts) keys dedup, sampling, and the shuffle."""
+    (xxhash64 of doc id + ts) keys dedup, sampling, and the shuffle.
+    ``stage_counts`` works as in ``curate`` (replay-idempotent HLL
+    distinct-seq_id metric via observe; resolve_stage_counts after an
+    action)."""
     from feature_extractor_spark.operators.dedup import (
         minhash_lsh_pairs_tokens,
         near_dup_clusters,
     )
 
+    from pyspark.sql import Observation
+
+    def _count(df: DataFrame, stage: str) -> DataFrame:
+        if stage_counts is None:
+            return df
+        obs = Observation()
+        stage_counts[stage] = obs
+        return df.observe(
+            obs, F.approx_count_distinct("seq_id", 0.01).alias("rows")
+        )
+
     seqs = tokens_df.withColumn(
         "seq_id", F.xxhash64(F.col(doc_col), F.col(ts_col))
     )
+    seqs = _count(seqs, "input")
 
     # 1. exact dedup: identical token arrays -> min-seq_id survivor
     exact = (
@@ -273,6 +289,7 @@ def curate_tokens(
     clusters = near_dup_clusters(pairs, survivors, "seq_id")
     keep = clusters.filter(F.col("seq_id") == F.col("canonical_id")).select("seq_id")
     survivors = survivors.join(keep, "seq_id")
+    survivors = _count(survivors, "near_dup_dedup")
 
     # 3. token-count bounds + optional token-space repetition filter
     #    (both map-side)
@@ -287,6 +304,8 @@ def curate_tokens(
         filtered = token_repetition_signals(
             filtered, tokens_col, gram_n=gram_n
         ).filter(F.col("dup_gram_frac") <= F.lit(float(max_dup_gram_frac)))
+
+    filtered = _count(filtered, "token_filters")
 
     # 4./5. deterministic per-source sampling + stable shuffle + packing
     if sample_fractions:
@@ -303,10 +322,11 @@ def curate_tokens(
             F.col("seq_id").cast("string"),
         ),
     )
-    return pack_sequences(
+    out = pack_sequences(
         ordered, order_col="pack_order", n_tok_col=n_tok_col,
         context_len=context_len,
     ).drop("pack_order")
+    return _count(out, "output")
 
 
 def run_curation(

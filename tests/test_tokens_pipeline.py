@@ -219,3 +219,22 @@ def test_curate_stage_counts_observability(spark):
                "output")]
     assert all(a + 5 >= b for a, b in zip(funnel, funnel[1:])), funnel
     assert "lm_filter" not in got and "decontamination" not in got
+
+
+def test_curate_tokens_stage_counts(spark):
+    from feature_extractor_spark.plans.tokens_pipeline import (
+        curate_tokens,
+        resolve_stage_counts,
+    )
+    from feature_extractor_spark.sources.tokens import synth_tokens
+
+    toks = synth_tokens(spark, n_rows=2000, n_docs=50)
+    counts: dict = {}
+    out = curate_tokens(toks, context_len=256, stage_counts=counts)
+    n = out.count()
+    got = resolve_stage_counts(counts)
+    assert abs(got["input"] - 2000) <= 20  # HLL rsd
+    assert abs(got["output"] - n) <= 20
+    order = ["input", "near_dup_dedup", "token_filters", "output"]
+    vals = [got[k] for k in order]
+    assert all(a + 20 >= b for a, b in zip(vals, vals[1:])), vals
