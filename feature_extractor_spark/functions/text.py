@@ -432,3 +432,62 @@ def compression_ratio(
             yield pdf
 
     return df.mapInPandas(run, schema)
+
+
+def top_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 100,
+    by_docs: bool = True,
+) -> DataFrame:
+    """Corpus-wide top-``k`` word ``n``-grams with counts — the standard
+    corpus-analysis / boilerplate-discovery query (what line/n-gram dedup
+    thresholds get tuned against). Returns (ngram string, n_docs, n_total)
+    ordered by the chosen count desc, ngram asc (deterministic ties).
+
+    Scale shape: one explode of per-doc n-grams (distinct within doc when
+    ``by_docs`` ranks by document frequency), a map-side-partial count per
+    gram, and a TakeOrdered top-k — the only driver-bound data is k rows.
+    Unlike the dedup paths this keeps gram TEXT (the user wants readable
+    output), so k and n bound the memory, not the corpus.
+    """
+    # gram construction via iterated zip_with, never slice-inside-a-
+    # transform-lambda: a subtree referenced inside a HOF lambda
+    # re-evaluates PER ELEMENT (the split would run once per gram —
+    # quadratic per doc), while zip_with's array ARGUMENTS evaluate once
+    # per row. CollapseProject inlining therefore costs O(n) extra split
+    # evaluations per row, not O(words).
+    ws_tbl = df.select(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "\\s+"), lambda w: w != ""
+        ).alias("__ws")
+    )
+    ws = F.col("__ws")
+    size_ws = F.size(ws)
+    g = ws
+    for j in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(ws, j + 1, F.greatest(size_ws - j, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    grams_tbl = ws_tbl.select(
+        F.when(size_ws >= n, F.slice(g, 1, size_ws - n + 1))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__grams")
+    )
+    per_doc = grams_tbl.select(F.explode("__grams").alias("ngram"))
+    per_doc_distinct = grams_tbl.select(
+        F.explode(F.array_distinct("__grams")).alias("ngram")
+    )
+    counts = (
+        per_doc_distinct.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(
+            per_doc.groupBy("ngram").agg(F.count(F.lit(1)).alias("n_total")),
+            "ngram",
+        )
+    )
+    rank_col = "n_docs" if by_docs else "n_total"
+    return counts.orderBy(F.col(rank_col).desc(), F.col("ngram").asc()).limit(k)

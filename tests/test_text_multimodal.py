@@ -349,3 +349,23 @@ def test_compression_ratio_orders_repetitive_prose_random(spark):
     again = {r["doc_id"]: r["compression_ratio"]
              for r in compression_ratio(df).collect()}
     assert again == got
+
+
+def test_top_ngrams_matches_python_counter(spark):
+    from collections import Counter
+
+    from feature_extractor_spark.functions.text import top_ngrams
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = top_ngrams(docs, n=2, k=20).collect()
+
+    total, by_doc = Counter(), Counter()
+    for (t,) in docs.select("text").collect():
+        w = [x for x in t.lower().split() if x]
+        gs = [" ".join(w[i : i + 2]) for i in range(len(w) - 1)]
+        total.update(gs)
+        by_doc.update(set(gs))
+    exp = sorted(by_doc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r["ngram"], r["n_docs"]) for r in got] == exp
+    for r in got:
+        assert r["n_total"] == total[r["ngram"]]
