@@ -27,3 +27,4 @@ from feature_extractor_spark.functions.decompose import (  # noqa: F401
 from feature_extractor_spark.functions.text import compression_ratio  # noqa: F401
 from feature_extractor_spark.functions.decompose import spectral_features  # noqa: F401
 from feature_extractor_spark.functions.text import top_ngrams  # noqa: F401
+from feature_extractor_spark.functions.lm import lm_buckets  # noqa: F401

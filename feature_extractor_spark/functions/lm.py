@@ -188,3 +188,49 @@ def lm_score(
             yield pdf
 
     return df.mapInPandas(score, schema)
+
+
+def lm_buckets(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    quantiles: tuple = (1.0 / 3.0, 2.0 / 3.0),
+    score_col: str = "lm_bits_per_char",
+    out_col: str = "lm_bucket",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3 — public
+    method): score every doc (``lm_score``), cut the corpus at the given
+    score ``quantiles`` (default terciles), and label each doc's bucket —
+    'head' (most in-domain) through 'tail'. Real CCNet trains on head,
+    often keeps middle, drops tail; the label keeps that choice
+    downstream instead of hard-coding a threshold.
+
+    Cost shape: one scoring pass + ONE bounded extra job (a
+    percentile_approx t-digest aggregate over the scores — map-side
+    partials, a few-KB sketch to the driver); the cut points then fold
+    into the plan as literals. Buckets: 2 quantiles -> head/middle/tail;
+    k quantiles -> 'b0'..'bk' labels for other splits. Null scores
+    (empty docs) label null.
+    """
+    scored = lm_score(df, model, text_col, out_col=score_col).persist()
+    qs = [float(q) for q in quantiles]
+    cuts = scored.agg(
+        F.percentile_approx(score_col, qs, accuracy).alias("c")
+    ).first()["c"]
+    names = (
+        ["head", "middle", "tail"]
+        if len(qs) == 2
+        else [f"b{i}" for i in range(len(qs) + 1)]
+    )
+    expr = F.when(F.col(score_col).isNull(), F.lit(None).cast("string"))
+    prev_clause = None
+    for i, cut in enumerate(cuts):
+        cond = F.col(score_col) <= F.lit(float(cut))
+        expr = expr.when(cond if prev_clause is None else cond, F.lit(names[i]))
+        prev_clause = cond
+    expr = expr.otherwise(F.lit(names[-1]))
+    out = scored.withColumn(out_col, expr)
+    out = out.localCheckpoint(eager=True)
+    scored.unpersist()
+    return out

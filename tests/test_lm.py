@@ -117,3 +117,39 @@ def test_lm_score_edge_cases(spark):
     got = {r["doc_id"]: r["lm_bits_per_char"] for r in lm_score(df, model).collect()}
     assert got["a"] is None and got["b"] is None
     assert got["c"] is not None and got["c"] > 0
+
+
+def test_lm_buckets_ccnet_terciles(spark):
+    """Terciles over the score distribution: every doc labeled, bucket
+    populations roughly balanced, bucket order matches score order, and
+    the head bucket is more in-domain than the tail on a mixed corpus."""
+    import random
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = train_char_lm(docs, sample_size=200)
+
+    rnd = random.Random(11)
+    gib = [(f"g{i}", "".join(rnd.choice("qxzj#@%~^|{}") for _ in range(300)))
+           for i in range(100)]
+    mixed = docs.limit(200).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).unionByName(spark.createDataFrame(gib, "doc_id string, text string"))
+
+    from feature_extractor_spark.functions.lm import lm_buckets
+
+    out = lm_buckets(mixed, model).collect()
+    assert len(out) == 300
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["lm_bucket"], []).append(r)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    # rough balance (terciles of 300 docs)
+    for b, rows in by_bucket.items():
+        assert 60 <= len(rows) <= 140, (b, len(rows))
+    # score order respects bucket order
+    mx_head = max(r["lm_bits_per_char"] for r in by_bucket["head"])
+    mn_tail = min(r["lm_bits_per_char"] for r in by_bucket["tail"])
+    assert mx_head <= mn_tail
+    # gibberish concentrates in the tail
+    gib_tail = sum(1 for r in by_bucket["tail"] if r["doc_id"].startswith("g"))
+    assert gib_tail >= 90
