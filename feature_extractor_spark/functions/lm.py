@@ -206,14 +206,18 @@ def lm_buckets(
     often keeps middle, drops tail; the label keeps that choice
     downstream instead of hard-coding a threshold.
 
-    Cost shape: one scoring pass + ONE bounded extra job (a
-    percentile_approx t-digest aggregate over the scores — map-side
-    partials, a few-KB sketch to the driver); the cut points then fold
-    into the plan as literals. Buckets: 2 quantiles -> head/middle/tail;
-    k quantiles -> 'b0'..'bk' labels for other splits. Null scores
-    (empty docs) label null.
+    Cost shape: TWO scoring passes, ZERO caching — deliberately. The
+    quantile job (percentile_approx t-digest, map-side partials, a
+    few-KB sketch to the driver) must see every score before the cut
+    points can fold into the labeling plan as literals, so either the
+    scored frame is cached/checkpointed (corpus-sized memory pinned at
+    exactly the scale where memory is scarce) or scoring runs again in
+    the caller's action. Scoring is one cheap map pass, so recompute
+    wins — the same cache-vs-rescan trade as line_dedup_corpus. Buckets:
+    2 quantiles -> head/middle/tail; k quantiles -> 'b0'..'bk' labels
+    for other splits. Null scores (empty docs) label null.
     """
-    scored = lm_score(df, model, text_col, out_col=score_col).persist()
+    scored = lm_score(df, model, text_col, out_col=score_col)
     qs = [float(q) for q in quantiles]
     cuts = scored.agg(
         F.percentile_approx(score_col, qs, accuracy).alias("c")
@@ -223,14 +227,11 @@ def lm_buckets(
         if len(qs) == 2
         else [f"b{i}" for i in range(len(qs) + 1)]
     )
+    # first matching WHEN wins, so ascending cuts label ascending buckets
     expr = F.when(F.col(score_col).isNull(), F.lit(None).cast("string"))
-    prev_clause = None
     for i, cut in enumerate(cuts):
-        cond = F.col(score_col) <= F.lit(float(cut))
-        expr = expr.when(cond if prev_clause is None else cond, F.lit(names[i]))
-        prev_clause = cond
+        expr = expr.when(
+            F.col(score_col) <= F.lit(float(cut)), F.lit(names[i])
+        )
     expr = expr.otherwise(F.lit(names[-1]))
-    out = scored.withColumn(out_col, expr)
-    out = out.localCheckpoint(eager=True)
-    scored.unpersist()
-    return out
+    return scored.withColumn(out_col, expr)
