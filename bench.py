@@ -148,10 +148,16 @@ def main() -> None:
     n_runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        t0 = time.time()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (plan + JIT)
+        warm_sec = time.time() - t0
+        # expensive queries (composed pipelines) get ONE timed run: their
+        # relative noise is small, and repeating them would push the whole
+        # bench past an external time budget for little variance reduction
+        reps = 1 if warm_sec > 5.0 else n_runs - 1
         samples = []
-        for _ in range(n_runs - 1):  # warm run excluded from samples
+        for _ in range(reps):  # warm run excluded from samples
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
