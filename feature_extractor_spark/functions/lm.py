@@ -222,6 +222,13 @@ def lm_buckets(
     cuts = scored.agg(
         F.percentile_approx(score_col, qs, accuracy).alias("c")
     ).first()["c"]
+    if cuts is None:
+        # percentile_approx over zero non-null scores returns NULL (every
+        # doc empty/null) — fail with the real cause, not a TypeError
+        raise ValueError(
+            "lm_buckets: no non-null scores to bucket (all documents "
+            f"empty or null in column {text_col!r})"
+        )
     names = (
         ["head", "middle", "tail"]
         if len(qs) == 2

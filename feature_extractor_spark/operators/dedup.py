@@ -756,7 +756,8 @@ def line_dedup_corpus(
     Reconstruction keeps each doc's original line text and order
     (group-max over pos), so untouched docs round-trip byte-identical.
     Empty lines are preserved verbatim (never counted, never removed) —
-    paragraph structure is not boilerplate.
+    paragraph structure is not boilerplate. NULL-text docs pass through
+    unchanged (n_removed_lines=0) rather than being dropped.
 
     Deliberate two-scan shape: the exploded line frame feeds both the
     df-count branch and the removal join, so the corpus is read (and
@@ -816,13 +817,18 @@ def line_dedup_corpus(
             ),
         )
     )
-    keep_cols = [c for c in docs.columns if c != out_col]
-    return (
-        docs.select(*keep_cols)
-        .join(rebuilt, id_col)
-        .withColumn(out_col, F.coalesce(F.col("__clean"), F.lit("")))
-        .drop("__clean")
+    # LEFT join: a NULL-text doc never reaches `rebuilt` (split(NULL) is
+    # NULL, posexplode emits nothing) — an inner join would silently drop
+    # the row from the corpus; instead it passes through unchanged with
+    # n_removed_lines=0. Non-null docs always have a non-null __clean
+    # (array_join of a possibly-empty array), so the coalesce only fires
+    # for the NULL-text passthrough.
+    joined = docs.join(rebuilt, id_col, "left").withColumn(
+        "n_removed_lines", F.coalesce(F.col("n_removed_lines"), F.lit(0))
     )
+    return joined.withColumn(
+        out_col, F.coalesce(F.col("__clean"), F.col(text_col))
+    ).drop("__clean")
 
 
 def contamination_flags(

@@ -992,11 +992,12 @@ def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 16,
+    n_clusters: int | None = 16,
     threshold: float = 0.95,
     sample_size: int = 4096,
     seed: int = 23,
-    max_cluster_rows: int = 200_000,
+    max_cluster_rows: int = 20_000,
+    pair_block_rows: int = 2_048,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -1005,17 +1006,27 @@ def semantic_dedup(
     ``threshold``), take the transitive closure, keep one canonical
     survivor per semantic group. Returns (id_col, canonical_id, cell).
 
+    ``n_clusters=None`` auto-sizes: one count job, then C = ceil(N /
+    (max_cluster_rows/8)) — the mean cell lands at cap/8 so only ~8x
+    cell skew can trip the backstop RAISE.
+
     Scale shape: centroids come from the bounded seeded sample
     (``kmeans_centroids``); cell assignment is one Arrow map pass with the
     centroid matrix broadcast; the quadratic term is bounded per cell —
     with C clusters over N rows the pair work is ~N^2/C instead of N^2,
-    and each cell's GEMM runs inside one ``applyInPandas`` group (cells
-    shuffle once on the cell key). A cell larger than ``max_cluster_rows``
-    RAISES rather than silently attempting an executor-OOM GEMM — the fix
-    is more clusters, exactly as the paper scales (50k clusters for
-    LAION). Closure + canonical labeling reuse the star-contraction
-    component machinery (``near_dup_clusters``), so survivors are
-    deterministic component minima.
+    and each cell's similarity runs inside one ``applyInPandas`` group
+    (cells shuffle once on the cell key). The in-cell GEMM is BLOCKWISE:
+    peak similarity-matrix memory is ``pair_block_rows * n * 8`` bytes
+    (block x n float64), NOT ``n^2 * 8`` — at the default cap of 20k rows
+    and 2,048-row blocks that is ~330 MB per group, vs the ~3.2 GB a
+    dense 20k x 20k matrix would need (and ~320 GB at 200k). A cell
+    larger than ``max_cluster_rows`` still RAISES rather than silently
+    attempting quadratic pair WORK — the fix is more clusters, exactly as
+    the paper scales (50k clusters for LAION); the cap bounds compute and
+    the emitted-pair count, the blocking bounds memory. Closure +
+    canonical labeling reuse the star-contraction component machinery
+    (``near_dup_clusters``), so survivors are deterministic component
+    minima.
     """
     from typing import Iterator
 
@@ -1023,6 +1034,12 @@ def semantic_dedup(
     import pandas as pd
     from pyspark.sql import types as T
 
+    if n_clusters is None:
+        # auto-size: target a MEAN cell of max_cluster_rows/8 so the RAISE
+        # backstop only fires on ~8x skew, not on the expected cell size;
+        # one count job, driver-side arithmetic only
+        n_rows = corpus.count()
+        n_clusters = max(1, -(-n_rows // max(1, int(max_cluster_rows) // 8)))
     cents, _ = kmeans_centroids(
         corpus, id_col, vec_col, n_clusters, sample_size, seed=seed
     )
@@ -1067,6 +1084,7 @@ def semantic_dedup(
     )
     thr = float(threshold)
     cap = int(max_cluster_rows)
+    blk = max(1, int(pair_block_rows))
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
@@ -1076,7 +1094,8 @@ def semantic_dedup(
             raise ValueError(
                 f"semantic_dedup: cell with {n} rows exceeds max_cluster_rows="
                 f"{cap}; raise n_clusters (pair work within a cell is "
-                f"quadratic by design)"
+                f"quadratic by design; memory is bounded at "
+                f"pair_block_rows*n*8 = {blk * n * 8} bytes)"
             )
         ids = pdf[id_col].to_numpy()
         order = np.argsort(ids)
@@ -1086,11 +1105,25 @@ def semantic_dedup(
         )
         norms = np.linalg.norm(X, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0
-        S = (X / norms) @ (X / norms).T
-        ia, ib = np.triu_indices(n, k=1)
-        keep = S[ia, ib] >= thr
+        Xn = X / norms
+        # blockwise upper triangle: each pass materializes only a
+        # (block x n) similarity slab, never the full n x n matrix
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, n - 1, blk):
+            hi = min(lo + blk, n)
+            S = Xn[lo:hi] @ Xn.T  # (hi-lo) x n
+            ia, ib = np.nonzero(S >= thr)
+            ia = ia + lo
+            keep = ib > ia  # strict upper triangle in global coords
+            out_a.append(ids[ia[keep]])
+            out_b.append(ids[ib[keep]])
+            out_c.append(S[ia[keep] - lo, ib[keep]])
         return pd.DataFrame(
-            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": S[ia, ib][keep]}
+            {
+                "id_a": np.concatenate(out_a) if out_a else [],
+                "id_b": np.concatenate(out_b) if out_b else [],
+                "cosine": np.concatenate(out_c) if out_c else [],
+            }
         )
 
     # two consumers read `assigned` (the in-cell pair stage and the final

@@ -288,6 +288,15 @@ def compact_index(spark, index_dir: str, target_partitions: int | None = None) -
         bak = f"{index_dir}/{sub}__pre_compact"
         fs = jvm.org.apache.hadoop.fs.Path(cur).getFileSystem(conf)
         P = jvm.org.apache.hadoop.fs.Path
+        if not fs.exists(P(cur)) and fs.exists(P(bak)):
+            # a prior run crashed inside the swap window (cur renamed to
+            # bak, replacement not yet renamed in): complete the documented
+            # recovery by restoring the intact pre-compact copy, then
+            # re-compact normally — this is what makes re-runs idempotent
+            if not fs.rename(P(bak), P(cur)):
+                raise IOError(
+                    f"compact_index: could not restore {bak} to {cur}"
+                )
         if not fs.exists(P(cur)):
             raise FileNotFoundError(f"compact_index: missing {cur}")
         for stale in (tmp, bak):  # recover from a previous crash

@@ -851,3 +851,79 @@ def test_c4_clean_line_and_page_rules(spark):
     assert got["lorem"]["c4_has_lorem"] and not got["lorem"]["c4_keep"]
     assert got["brace"]["c4_has_brace"] and not got["brace"]["c4_keep"]
     assert got["short"]["c4_too_short"] and not got["short"]["c4_keep"]
+
+
+def test_semantic_dedup_blockwise_and_autosize(spark):
+    """ADVICE r5 fixes: (a) the in-cell pair stage is blockwise — a tiny
+    pair_block_rows that forces many slabs per cell must give byte-equal
+    results to one big block; (b) n_clusters=None auto-sizes from the
+    corpus count and max_cluster_rows so every cell stays under the cap
+    even on a skewed blob corpus."""
+    import numpy as np
+
+    from feature_extractor_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(31)
+    centers = rng.normal(size=(4, 12))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    # skewed: cluster 0 has 60 rows, the rest 10 each
+    for ci, c in enumerate(centers):
+        for j in range(60 if ci == 0 else 10):
+            v = c + (0.001 if j % 2 else 0.4) * rng.normal(size=12)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    base = {
+        r["vec_id"]: r["canonical_id"]
+        for r in semantic_dedup(
+            emb, n_clusters=4, threshold=0.999, sample_size=200
+        ).collect()
+    }
+    blocked = {
+        r["vec_id"]: r["canonical_id"]
+        for r in semantic_dedup(
+            emb, n_clusters=4, threshold=0.999, sample_size=200,
+            pair_block_rows=3,
+        ).collect()
+    }
+    assert blocked == base
+    assert len(set(base.values())) < len(rows)  # it deduplicates
+
+    # auto-sizing: cap=80 -> target mean cell 10 -> C=ceil(90/10)=9 cells;
+    # must complete WITHOUT tripping the oversized-cell RAISE despite the
+    # 60-row skewed blob, and still dedup within blobs
+    auto = semantic_dedup(
+        emb, n_clusters=None, threshold=0.999, sample_size=200,
+        max_cluster_rows=80,
+    )
+    got = {r["vec_id"]: r["canonical_id"] for r in auto.collect()}
+    assert len(got) == len(rows)
+    assert len(set(got.values())) < len(rows)
+
+
+def test_line_dedup_corpus_null_text_passthrough(spark):
+    """ADVICE r5: NULL-text docs must survive line_dedup_corpus unchanged
+    (n_removed_lines=0), not silently vanish via the rebuild join."""
+    from feature_extractor_spark.operators.dedup import line_dedup_corpus
+
+    banner = "Accept our cookies to continue"
+    rows = [
+        ("d1", f"{banner}\nkeep me"),
+        ("d2", f"{banner}\nother body"),
+        ("d3", f"{banner}\nthird body"),
+        ("dnull", None),
+        ("dempty", ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in line_dedup_corpus(docs, min_docs=3).collect()}
+
+    assert set(got) == {"d1", "d2", "d3", "dnull", "dempty"}
+    assert got["d1"]["text"] == "keep me"
+    assert got["dnull"]["text"] is None
+    assert got["dnull"]["n_removed_lines"] == 0
+    assert got["dempty"]["text"] == ""
+    assert got["dempty"]["n_removed_lines"] == 0

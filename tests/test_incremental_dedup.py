@@ -202,3 +202,42 @@ def test_compact_index_preserves_dedup_and_reduces_files(spark, tmp_path):
     # idempotent re-compaction
     stats2 = compact_index(spark, idx, target_partitions=1)
     assert stats2["bands_files"] == 1
+
+
+def test_compact_index_crash_recovery_restores_pre_compact(spark, tmp_path):
+    """ADVICE r5: a crash in the swap window (cur renamed to __pre_compact,
+    replacement not yet renamed in) must be recoverable by simply re-running
+    compact_index — it restores the intact backup and re-compacts, and the
+    index answers identically afterwards."""
+    import os
+    import pathlib
+
+    from feature_extractor_spark.streaming.incremental_dedup import compact_index
+
+    idx = str(tmp_path / "idx")
+    acc = str(tmp_path / "acc")
+    for i, row in enumerate([("a1", A), ("b1", B)]):
+        ingest_batch(_df(spark, [row]), i, idx, acc, threshold=0.5)
+
+    def decisions():
+        return {
+            r["doc_id"]: r["is_dup"]
+            for r in flag_against_index(
+                _df(spark, [("x1", A_NEAR), ("x2", C)]),
+                spark.read.parquet(f"{idx}/bands"),
+                spark.read.parquet(f"{idx}/shingles"),
+                threshold=0.5,
+            ).collect()
+        }
+
+    pre = decisions()
+    assert pre == {"x1": True, "x2": False}
+
+    # simulate the exact crash window: cur moved aside, nothing swapped in
+    os.rename(f"{idx}/bands", f"{idx}/bands__pre_compact")
+
+    stats = compact_index(spark, idx, target_partitions=1)
+    assert stats["bands_files"] == 1 and stats["shingles_files"] == 1
+    assert pathlib.Path(idx, "bands").exists()
+    assert not pathlib.Path(idx, "bands__pre_compact").exists()
+    assert decisions() == pre

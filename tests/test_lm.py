@@ -153,3 +153,22 @@ def test_lm_buckets_ccnet_terciles(spark):
     # gibberish concentrates in the tail
     gib_tail = sum(1 for r in by_bucket["tail"] if r["doc_id"].startswith("g"))
     assert gib_tail >= 90
+
+
+def test_lm_buckets_all_null_scores_raises(spark):
+    """ADVICE r5: an all-empty corpus gives percentile_approx -> NULL;
+    lm_buckets must raise a meaningful ValueError, not a TypeError."""
+    import pytest
+
+    from feature_extractor_spark.functions.lm import lm_buckets
+
+    train = spark.createDataFrame(
+        [("t1", "some ordinary training text for the model")],
+        "doc_id string, text string",
+    )
+    model = train_char_lm(train, sample_size=10)
+    empty = spark.createDataFrame(
+        [("e1", ""), ("e2", None), ("e3", "")], "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="no non-null scores"):
+        lm_buckets(empty, model)
