@@ -7,12 +7,16 @@ the encoder. The plugin code itself is not in the repo, so this module
 provides the engine's clean-room equivalents of the two public methods
 those knobs name:
 
-- ``seasonal_decompose``: the classic moving-average additive
-  decomposition (the method statsmodels.seasonal_decompose implements —
-  public textbook algorithm): centered (period-weighted) moving-average
-  trend, per-phase mean seasonal (centered to zero), residual. Expressed
-  entirely with per-entity window functions — JVM-side, one shuffle on
-  the entity key, no Python in the plan.
+- ``seasonal_decompose``: two methods behind one API. ``method="ma"``
+  (default) is the classic moving-average additive decomposition (the
+  method statsmodels.seasonal_decompose implements — public textbook
+  algorithm): centered (period-weighted) moving-average trend, per-phase
+  mean seasonal (centered to zero), residual — expressed entirely with
+  per-entity window functions, JVM-side, one shuffle on the entity key,
+  no Python in the plan. ``method="stl"`` is the actual loess-based STL
+  (Cleveland et al. 1990 — what the ``use_stl`` knob names): loess
+  cycle-subseries smoothing + loess trend, run per entity as one Arrow
+  applyInPandas group (whole-series algorithm; same entity shuffle).
 - ``haar_wavelet_features``: per-window multi-level orthonormal Haar DWT
   producing the deepest approximation coefficients plus per-level detail
   energies — the standard cheap wavelet channel. One Arrow-batched pass
@@ -29,6 +33,114 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _loess(y, q: int, ext: int = 0, degree: int = 1):
+    """Loess smooth of an evenly spaced series, evaluated at every grid
+    point (and, with ``ext`` > 0, extrapolated ``ext`` points past each
+    end — STL's cycle-subseries step needs one period of extension).
+
+    Local weighted linear fit (tricube weights over the ``q`` nearest
+    neighbours, Cleveland 1979 — public method), fully vectorized: one
+    (n_eval, q) gather + closed-form weighted-least-squares, O(n*q), no
+    Python loop over points. ``degree`` 0 gives the weighted-mean
+    (Nadaraya-Watson) variant used for STL's low-pass stage when q is
+    tiny. An exact line is reproduced exactly (the linear fit is
+    unbiased on linear signals) — pinned in tests.
+    """
+    import numpy as np
+
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    if n == 0:
+        return np.empty(0)
+    q = int(max(min(q, n), degree + 1, 1))
+    xs = np.arange(-ext, n + ext)  # eval grid
+    lo = np.clip(xs - (q - 1) // 2, 0, n - q)  # window starts (n_eval,)
+    idx = lo[:, None] + np.arange(q)[None, :]  # (n_eval, q)
+    t = idx - xs[:, None]  # local coordinate, eval point at t=0
+    d = np.abs(t).astype(np.float64)
+    dmax = d.max(axis=1, keepdims=True)
+    dmax[dmax == 0] = 1.0
+    w = np.clip(1.0 - (d / dmax) ** 3, 0.0, None) ** 3
+    # the farthest point gets weight 0; with q <= 2 that degenerates —
+    # keep it strictly positive the way STL implementations do
+    w[w <= 0] = 1e-9
+    Y = y[idx]
+    sw = w.sum(axis=1)
+    swy = (w * Y).sum(axis=1)
+    if degree == 0:
+        return swy / sw
+    swt = (w * t).sum(axis=1)
+    swt2 = (w * t * t).sum(axis=1)
+    swty = (w * t * Y).sum(axis=1)
+    den = sw * swt2 - swt * swt
+    safe = np.abs(den) > 1e-12 * np.maximum(sw * swt2, 1e-300)
+    beta0 = np.where(safe, (swt2 * swy - swt * swty) / np.where(safe, den, 1.0), swy / sw)
+    return beta0
+
+
+def _ma(x, k: int):
+    """Length-k moving average, valid mode (len shrinks by k-1)."""
+    import numpy as np
+
+    return np.convolve(np.asarray(x, dtype=np.float64), np.full(k, 1.0 / k), mode="valid")
+
+
+def _stl_1d(
+    y,
+    period: int,
+    seasonal_len: int = 7,
+    trend_len: int | None = None,
+    low_pass_len: int | None = None,
+    inner_iters: int = 2,
+):
+    """Cleveland STL inner loop (STL: A Seasonal-Trend decomposition
+    procedure based on Loess, Cleveland et al. 1990 — public textbook
+    algorithm; same defaults as statsmodels.tsa.STL with robust=False):
+
+    repeat ``inner_iters`` times:
+      1. detrend: y - T
+      2. cycle-subseries smoothing: loess(seasonal_len) per phase,
+         extended one period past each end (the ext=1 evaluation)
+      3. low-pass of the extended seasonal: MA(p) -> MA(p) -> MA(3)
+         -> loess(low_pass_len, degree=1); the three valid-mode MAs
+         shrink n+2p back to exactly n
+      4. seasonal S = C - L  (detrended of the low-pass keeps S free of
+         drift the trend should own)
+      5. trend T = loess(y - S, trend_len)
+
+    No robustness (outer) iterations — n_o=0, the statsmodels default.
+    Returns (trend, seasonal, resid) arrays of len(y). NaNs propagate.
+    """
+    import numpy as np
+
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    p = int(period)
+    if seasonal_len % 2 == 0:
+        seasonal_len += 1
+    if low_pass_len is None:
+        low_pass_len = p + (1 - p % 2)  # next odd >= p
+    if trend_len is None:
+        # Cleveland's recommendation: smallest odd >= 1.5p/(1-1.5/n_s)
+        t = int(np.ceil(1.5 * p / (1.0 - 1.5 / seasonal_len)))
+        trend_len = t + (1 - t % 2)
+    if n < 2 * p:
+        # too short for a seasonal estimate: trend-only fallback
+        T = _loess(y, trend_len)
+        return T, np.zeros(n), y - T
+    T = np.zeros(n)
+    S = np.zeros(n)
+    for _ in range(max(1, int(inner_iters))):
+        detr = y - T
+        C = np.empty(n + 2 * p)
+        for ph in range(p):
+            C[ph::p] = _loess(detr[ph::p], seasonal_len, ext=1)
+        L = _loess(_ma(_ma(_ma(C, p), p), 3), low_pass_len)
+        S = C[p : n + p] - L
+        T = _loess(y - S, trend_len)
+    return T, S, y - T - S
+
+
 def seasonal_decompose(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -36,6 +148,8 @@ def seasonal_decompose(
     value_col: str = "value",
     period: int = 24,
     out_prefix: str | None = None,
+    method: str = "ma",
+    seasonal_smoother: int = 7,
 ) -> DataFrame:
     """Additive seasonal decomposition: value = trend + seasonal + resid.
 
@@ -57,11 +171,32 @@ def seasonal_decompose(
     order, so ts gaps shift phase exactly as a positional index would —
     the same convention the reference's hourly data uses (period 24 ==
     one day at 1h cadence, config stl_period).
+
+    ``method="stl"`` runs the actual loess-based STL instead (Cleveland
+    et al. 1990 — the method the reference's ``use_stl`` knob names,
+    /root/reference/app/config.py:89): loess-smoothed cycle-subseries
+    (span ``seasonal_smoother``) let the seasonal component's shape and
+    amplitude drift over time, and the loess trend follows curvature the
+    centered MA biases. Same output columns. STL is a whole-series
+    algorithm, so it runs per entity as one Arrow ``applyInPandas``
+    group — one shuffle on the entity key (the same partitioning every
+    window stage uses) and O(n * trend_len) NumPy per entity; the
+    per-entity series must fit an executor, the contract every
+    per-entity stage here shares (the reference processes one file per
+    entity, so parity holds by construction).
     """
     p = int(period)
     if p < 2:
         raise ValueError(f"seasonal_decompose: period must be >= 2, got {p}")
     pre = f"{out_prefix}_" if out_prefix else ""
+    if method == "stl":
+        return _seasonal_decompose_stl(
+            df, id_col, ts_col, value_col, p, pre, seasonal_smoother
+        )
+    if method != "ma":
+        raise ValueError(
+            f"seasonal_decompose: method must be 'ma' or 'stl', got {method!r}"
+        )
     w_ord = Window.partitionBy(id_col).orderBy(ts_col)
 
     if p % 2 == 0:
@@ -104,6 +239,44 @@ def seasonal_decompose(
         F.col(value_col) - F.col(f"{pre}trend") - F.col(f"{pre}seasonal"),
     )
     return out.drop("__phase")
+
+
+def _seasonal_decompose_stl(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int,
+    pre: str,
+    seasonal_smoother: int,
+) -> DataFrame:
+    """applyInPandas twin of seasonal_decompose for method='stl': sorts
+    each entity's series by ts and runs the NumPy STL inner loop."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField(f"{pre}trend", T.DoubleType()),
+            T.StructField(f"{pre}seasonal", T.DoubleType()),
+            T.StructField(f"{pre}resid", T.DoubleType()),
+        ]
+    )
+
+    def per_entity(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        t, s, r = _stl_1d(
+            pdf[value_col].to_numpy(dtype="float64"),
+            period,
+            seasonal_len=seasonal_smoother,
+        )
+        pdf[f"{pre}trend"] = t
+        pdf[f"{pre}seasonal"] = s
+        pdf[f"{pre}resid"] = r
+        return pdf
+
+    return df.groupBy(id_col).applyInPandas(per_entity, schema)
 
 
 def haar_wavelet_features(
@@ -187,18 +360,45 @@ def haar_wavelet_features(
     return df.mapInPandas(run, schema)
 
 
+def _dpss_tapers(n: int, nw: float, k: int):
+    """First ``k`` discrete prolate spheroidal (Slepian) tapers of length
+    ``n`` at time-bandwidth product ``nw`` — computed from the classic
+    symmetric tridiagonal commuting matrix (Slepian 1978; Percival &
+    Walden 1993 §8.3 — public method), whose eigenvectors ARE the DPSS,
+    ordered by eigenvalue. Pure NumPy (no scipy in the container): the
+    dense symmetric eigendecomposition is O(n^3) but runs ONCE per
+    distinct window length and is cached by the caller. Tapers are
+    scaled to ||v||^2 = n so a white-noise multitaper spectrum matches
+    the boxcar periodogram's scale. Signs are irrelevant downstream
+    (|fft|^2)."""
+    import numpy as np
+
+    w = nw / n
+    t = np.arange(n)
+    diag = ((n - 1 - 2.0 * t) / 2.0) ** 2 * np.cos(2 * np.pi * w)
+    off = np.arange(1, n) * (n - np.arange(1, n)) / 2.0
+    A = np.diag(diag) + np.diag(off, 1) + np.diag(off, -1)
+    _, vecs = np.linalg.eigh(A)
+    tapers = vecs[:, ::-1][:, :k].T  # (k, n), unit norm from eigh
+    return tapers * np.sqrt(n)
+
+
 def spectral_features(
     df: DataFrame,
     window_col: str = "window",
     n_bands: int = 4,
     out_prefix: str = "sp",
+    method: str = "periodogram",
+    nw: float = 4.0,
+    k_tapers: int | None = None,
 ) -> DataFrame:
-    """Per-window periodogram features — the third channel of the
+    """Per-window spectral features — the third channel of the
     reference's preprocessing trio (its stl_preprocessor plugin family
     names STL, wavelets, and multitaper spectral estimation; the plugin
-    code is external, so this is the clean-room spectral channel: the
-    plain periodogram, the single-taper special case every multitaper
-    method averages over).
+    code is external, so both estimators here are clean-room from the
+    public methods): ``method="periodogram"`` (default) is the plain
+    single-taper spectrum; ``method="multitaper"`` is Thomson's DPSS
+    multitaper estimate.
 
     Per row (array-typed window of length W):
     - ``{prefix}_band_power``: array<double>, ``n_bands`` equal slices of
@@ -212,12 +412,29 @@ def spectral_features(
     One Arrow-batched pass; same-length windows batch into a single
     ``np.fft.rfft`` over a (rows, W) matrix — no per-row FFT calls.
     Windows shorter than 4 samples emit nulls.
+
+    ``method="multitaper"`` computes the proper Thomson multitaper
+    estimate instead (the method the reference's ``use_multi_tapper``
+    knob names, /root/reference/app/config.py:91): the spectrum is the
+    mean of ``k_tapers`` (default 2*nw - 1) eigenspectra, each the
+    periodogram of the window multiplied by one DPSS (Slepian) taper —
+    variance shrinks ~1/K at equal bandwidth (pinned in tests). Tapers
+    depend only on (window length, nw, K), so they are computed once per
+    distinct length per Python worker and cached; the per-row cost stays
+    one batched rfft per taper.
     """
     from typing import Iterator
 
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
+
+    if method not in ("periodogram", "multitaper"):
+        raise ValueError(
+            f"spectral_features: method must be 'periodogram' or "
+            f"'multitaper', got {method!r}"
+        )
+    k = int(k_tapers) if k_tapers is not None else max(1, int(2 * nw - 1))
 
     schema = T.StructType(
         list(df.schema.fields)
@@ -229,6 +446,19 @@ def spectral_features(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        taper_cache: dict[int, np.ndarray] = {}
+
+        def spectrum(X: np.ndarray) -> np.ndarray:
+            if method == "periodogram":
+                return np.abs(np.fft.rfft(X, axis=1)) ** 2
+            L = X.shape[1]
+            if L not in taper_cache:
+                taper_cache[L] = _dpss_tapers(L, nw, min(k, L))
+            tapers = taper_cache[L]
+            # mean over K eigenspectra: (K, rows, nf) -> (rows, nf)
+            eig = np.abs(np.fft.rfft(X[None, :, :] * tapers[:, None, :], axis=2)) ** 2
+            return eig.mean(axis=0)  # ||v||^2 = n makes this boxcar-scaled
+
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -242,7 +472,7 @@ def spectral_features(
                 if L < 4:
                     continue
                 X = np.stack([arrs[i] for i in idx])
-                spec = np.abs(np.fft.rfft(X, axis=1)) ** 2  # (rows, L//2+1)
+                spec = spectrum(X)  # (rows, L//2+1)
                 pos = spec[:, 1:]  # drop DC
                 nf = pos.shape[1]
                 freqs = np.arange(1, nf + 1) / L

@@ -935,3 +935,120 @@ def shared_ngram_pairs(
     out = out.localCheckpoint(eager=True)
     wh_tbl.unpersist()
     return out
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 20,
+    min_count: int = 2,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Exact-substring span removal — the removal stage of Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better",
+    §4.1 ExactSubstr — public method): any word span of at least
+    ``min_len`` tokens that occurs at least ``min_count`` times in the
+    corpus (across OR within documents) is removed from every document.
+    This completes the machinery ``shared_ngram_pairs`` only finds
+    candidates for: a duplicated substring of length M >= L contains
+    M-L+1 duplicated L-grams, so marking every position covered by a
+    duplicated L-gram and merging overlapping marks reconstructs exactly
+    the maximal duplicated spans (the standard n-gram formulation of the
+    suffix-array algorithm).
+
+    Returns the input rows plus ``out_col`` (default: replaces
+    ``text_col``) with the surviving words joined by single spaces,
+    ``n_removed_tokens`` and ``n_dup_spans``. Documents with no
+    duplicated span keep their ORIGINAL text byte-identical (they never
+    reach the rebuild join); whitespace is normalized only in documents
+    that actually lost a span. Case-sensitive on purpose: "exact
+    substring" means verbatim.
+
+    Scale shape: grams cross the shuffle only as 64-bit combines of
+    word hashes (the minhash machinery); the duplicated-gram set is the
+    repeated MINORITY, so the mark join is AQE-broadcastable; span
+    merging is the classic gaps-and-islands window over (doc, pos) —
+    one shuffle on the doc key the rebuild groupBy reuses; the rebuild
+    touches only marked docs. No all-pairs stage exists at any size.
+    """
+    from pyspark.sql import Window
+
+    out_col = out_col or text_col
+    L = int(min_len)
+    if L < 2:
+        raise ValueError(f"remove_duplicate_spans: min_len must be >= 2, got {L}")
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # persist at the word level: the array feeds gram hashing AND the
+    # rebuild, and the barrier stops CollapseProject from re-tokenizing
+    # per element (same reasoning as _hashed_shingle_table)
+    wh_tbl = (
+        df.select(id_col, text_col)
+        .repartition(par)
+        .select(
+            F.col(id_col),
+            words(F.col(text_col)).alias("__ws"),
+        )
+        .withColumn("__wh", word_hashes(F.col("__ws")))
+        .persist()
+    )
+    pos_grams = wh_tbl.select(
+        F.col(id_col),
+        F.posexplode(combine_word_hashes(F.col("__wh"), L)).alias("__pos", "__g"),
+    )
+    dup = (
+        pos_grams.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_count)
+        .select("__g")
+    )
+    marked = pos_grams.join(dup, "__g").select(id_col, "__pos")
+    # gaps-and-islands: a mark starts a new span iff it begins past the
+    # running max end of all earlier marks in the doc
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    prev_end = F.max(F.col("__pos") + L).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_end.isNull() | (F.col("__pos") >= prev_end), 1
+    ).otherwise(0)
+    islands = marked.withColumn(
+        "__isl",
+        F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy(id_col, "__isl").agg(
+        F.min("__pos").alias("__s"), (F.max("__pos") + L).alias("__e")
+    )
+    span_arr = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("__s", "__e")).alias("__spans"),
+        F.count(F.lit(1)).alias("n_dup_spans"),
+    )
+    rebuilt = wh_tbl.join(span_arr, id_col).select(
+        F.col(id_col),
+        F.array_join(
+            F.filter(
+                F.col("__ws"),
+                lambda word, i: ~F.exists(
+                    F.col("__spans"),
+                    lambda s: (i >= s.getField("__s")) & (i < s.getField("__e")),
+                ),
+            ),
+            " ",
+        ).alias("__clean"),
+        F.aggregate(
+            F.col("__spans"),
+            F.lit(0),
+            lambda acc, s: acc + (s.getField("__e") - s.getField("__s")),
+        ).alias("n_removed_tokens"),
+        "n_dup_spans",
+    )
+    joined = (
+        df.join(rebuilt, id_col, "left")
+        .withColumn(out_col, F.coalesce(F.col("__clean"), F.col(text_col)))
+        .withColumn("n_removed_tokens", F.coalesce("n_removed_tokens", F.lit(0)))
+        .withColumn("n_dup_spans", F.coalesce("n_dup_spans", F.lit(0)))
+        .drop("__clean")
+    )
+    joined = joined.localCheckpoint(eager=True)
+    wh_tbl.unpersist()
+    return joined

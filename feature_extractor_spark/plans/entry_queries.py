@@ -21,16 +21,16 @@ from pyspark.sql import functions as F
 from feature_extractor_spark.functions.aggregates import kl_divergence, mmd_rbf
 from feature_extractor_spark.functions.conditions import cyclical_datetime_features
 from feature_extractor_spark.functions.text import (
-    fingerprint,
+    c4_clean,
     language_id,
     quality_score,
-    token_counts,
 )
 from feature_extractor_spark.functions.transforms import returns
 from feature_extractor_spark.operators.asof import asof_join
 from feature_extractor_spark.operators.dedup import (
-    exact_dedup,
+    contamination_flags,
     jaccard_pairs,
+    line_dedup_corpus,
     minhash_lsh_pairs,
     simhash,
 )
@@ -727,16 +727,63 @@ def a7_unwindow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "dedup_exact",
+    "line_dedup",
     """
-    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest,
-           min(doc_id) AS canonical_id, count(*)::BIGINT AS n_dups
-    FROM documents GROUP BY 1
+    WITH lined AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0
+                   THEN 'nav: home | about | contact' || chr(10) ELSE '' END)
+             || regexp_replace(text, ' merge ', chr(10), 'g')
+             || (CASE WHEN doc_id % 3 = 0
+                      THEN chr(10) || 'copyright footer 2020' ELSE '' END)
+               AS t
+      FROM documents
+    ), ex AS (
+      SELECT doc_id,
+             unnest(string_split(t, chr(10))) AS line,
+             unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+      FROM lined
+    ), cnt AS (
+      SELECT trim(line) AS k, count(DISTINCT doc_id) AS n_docs
+      FROM ex WHERE trim(line) <> '' GROUP BY 1
+    ), flagged AS (
+      SELECT e.doc_id, e.pos, e.line,
+             coalesce(trim(e.line) <> '' AND c.n_docs >= 3, FALSE) AS rm
+      FROM ex e LEFT JOIN cnt c ON trim(e.line) = c.k
+    )
+    SELECT doc_id,
+           coalesce(string_agg(line, chr(10) ORDER BY pos)
+                      FILTER (WHERE NOT rm), '') AS clean_text,
+           sum(CASE WHEN rm THEN 1 ELSE 0 END)::BIGINT AS n_removed_lines
+    FROM flagged GROUP BY doc_id
     """,
 )
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 corpus-wide line dedup (operators/dedup.py line_dedup_corpus):
+    the testdata has no newlines, so the query synthesizes deterministic
+    line structure — a nav banner on even doc_ids, a footer on doc_id%3,
+    body lines split at ' merge ' — then removes every line occurring in
+    >= 3 distinct docs. The DuckDB oracle recomputes the full rule
+    (distinct-doc counts on trimmed lines, order-preserving rebuild,
+    removed-line count), so this value-checks the operator that MUTATES
+    the training text corpus-wide (VERDICT r5 item 1)."""
     docs = _t(spark, sf_dir, "documents")
-    return exact_dedup(docs, "doc_id", "text")
+    lined = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("nav: home | about | contact\n"))
+            .otherwise(F.lit("")),
+            F.regexp_replace(F.col("text"), " merge ", "\n"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\ncopyright footer 2020"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = line_dedup_corpus(lined, "doc_id", "text", min_docs=3)
+    return out.select(
+        "doc_id",
+        F.col("text").alias("clean_text"),
+        F.col("n_removed_lines").cast("long").alias("n_removed_lines"),
+    )
 
 
 @_q(
@@ -993,21 +1040,82 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "text_token_counts",
+    "c4_clean_page",
     """
-    SELECT doc_id,
-           len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> ''))::BIGINT AS n_words,
-           len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]'))::BIGINT AS n_bpe_tokens
-    FROM documents
+    WITH lined AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 7 = 0
+                   THEN 'please enable javascript to view this site.' || chr(10)
+                   ELSE '' END)
+             || regexp_replace(text, ' merge ', '.' || chr(10), 'g') || '.'
+             || (CASE WHEN doc_id % 11 = 0
+                      THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END)
+             || (CASE WHEN doc_id % 13 = 0
+                      THEN chr(10) || 'var f = function() { return 1; };'
+                      ELSE '' END)
+               AS t
+      FROM documents
+    ), cleaned AS (
+      SELECT doc_id, t,
+             array_to_string(
+               list_filter(string_split(t, chr(10)),
+                 l -> regexp_matches(trim(l), '[.!?"'']$')
+                      AND len(string_split_regex(trim(l), '\\s+')) >= 3
+                      AND NOT contains(lower(l), 'javascript')),
+               chr(10)) AS clean_text
+      FROM lined
+    ), flags AS (
+      SELECT doc_id, clean_text,
+             (len(list_filter(string_split_regex(clean_text, '[.!?]+'),
+                              s -> trim(s) <> '')) < 3) AS too_short,
+             contains(lower(t), 'lorem ipsum') AS has_lorem,
+             contains(t, '{') AS has_brace
+      FROM cleaned
+    )
+    SELECT doc_id, clean_text,
+           too_short::INT AS c4_too_short,
+           has_lorem::INT AS c4_has_lorem,
+           has_brace::INT AS c4_has_brace,
+           (NOT too_short AND NOT has_lorem AND NOT has_brace)::INT AS c4_keep
+    FROM flags
     """,
 )
-def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c4_clean_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 per-page cleaning (functions/text.py c4_clean): synthesizes
+    line/sentence structure the testdata lacks — body lines split at
+    ' merge ' each ending in '.', a javascript notice on doc_id%7, a
+    lorem-ipsum line on doc_id%11, a brace line on doc_id%13 — then runs
+    the full Raffel §2.2 rule set (terminal-punct + min-words line keep,
+    javascript drop, too-short/lorem/brace page flags). The DuckDB oracle
+    recomputes every predicate from the same constructed text (VERDICT r5
+    item 2)."""
     docs = _t(spark, sf_dir, "documents")
-    out = token_counts(docs, "text")
+    lined = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("please enable javascript to view this site.\n"),
+            ).otherwise(F.lit("")),
+            F.regexp_replace(F.col("text"), " merge ", ".\n"),
+            F.lit("."),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit("\nlorem ipsum dolor sit amet.")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.lit("\nvar f = function() { return 1; };"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = c4_clean(lined, "text", min_line_words=3, min_sentences=3)
     return out.select(
         "doc_id",
-        F.col("n_words").cast("long").alias("n_words"),
-        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.col("text_clean").alias("clean_text"),
+        F.col("c4_too_short").cast("int").alias("c4_too_short"),
+        F.col("c4_has_lorem").cast("int").alias("c4_has_lorem"),
+        F.col("c4_has_brace").cast("int").alias("c4_has_brace"),
+        F.col("c4_keep").cast("int").alias("c4_keep"),
     )
 
 
@@ -1047,23 +1155,54 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "text_fingerprint",
+    "contamination",
     """
-    WITH norm AS (
-      SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS ws
       FROM documents
+    ), bench AS (
+      SELECT DISTINCT array_to_string(ws[5:17], ' ') AS g
+      FROM w WHERE doc_id % 17 = 0 AND len(ws) >= 17
+    ), pos AS (
+      SELECT doc_id, ws,
+             unnest(range(1, greatest(len(ws) - 12, 0) + 1)) AS i
+      FROM w
+    ), doc_g AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+12], ' ') AS g FROM pos
+    ), hits AS (
+      SELECT d.doc_id, count(*)::BIGINT AS n
+      FROM doc_g d JOIN bench b USING (g) GROUP BY 1
     )
-    SELECT doc_id, md5(n) AS fp_md5,
-           list_reduce(
-             list_prepend(0::BIGINT, list_transform(string_split(n, ''), ch -> ascii(ch)::BIGINT)),
-             (acc, x) -> (acc * 31 + x) % 2147483647
-           ) AS fp_rolling
-    FROM norm
+    SELECT w.doc_id,
+           coalesce(n, 0)::BIGINT AS n_contaminated_grams,
+           (coalesce(n, 0) >= 1)::INT AS is_contaminated
+    FROM w LEFT JOIN hits USING (doc_id)
     """,
 )
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py contamination_flags,
+    GPT-3 13-gram rule): the benchmark set is synthesized from the corpus
+    itself — every doc_id%17 doc contributes its words[5..17] slice as one
+    13-word eval question — so the planted leaks are exact and the DuckDB
+    oracle can recompute the distinct-gram collision count per training
+    doc from gram STRINGS while the engine matches on the xxhash64 shingle
+    pipeline (VERDICT r5 item 2)."""
     docs = _t(spark, sf_dir, "documents")
-    return fingerprint(docs, "text").select("doc_id", "fp_md5", "fp_rolling")
+    ws = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda w: w != ""
+    )
+    bench = docs.filter((F.col("doc_id") % 17 == 0) & (F.size(ws) >= 17)).select(
+        F.col("doc_id"),
+        F.array_join(F.slice(ws, 5, 13), " ").alias("text"),
+    )
+    out = contamination_flags(docs, bench, n=13, min_hits=1)
+    return out.select(
+        "doc_id",
+        F.col("n_contaminated_grams").cast("long").alias("n_contaminated_grams"),
+        F.col("is_contaminated").cast("int").alias("is_contaminated"),
+    )
 
 
 @_q(

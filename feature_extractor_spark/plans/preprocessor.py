@@ -81,3 +81,57 @@ def _detrend_rolling_mean(df: DataFrame, config: dict) -> DataFrame:
         return pdf
 
     return df.groupBy(entity_col).applyInPandas(per_entity, schema)
+
+
+@register_preprocessor("stl_preprocessor")
+def _stl_preprocessor(df: DataFrame, config: dict) -> DataFrame:
+    """Engine-side twin of the reference's external ``stl_preprocessor``
+    plugin, driven by the SAME config knobs the reference's config names
+    (/root/reference/app/config.py:89-92 — ``use_stl``, ``stl_period``,
+    ``use_wavelets``, ``use_multi_tapper``):
+
+    - always decomposes ``value_col`` into trend/seasonal/resid channels;
+      ``use_stl: True`` (default) runs the loess-based Cleveland STL,
+      ``False`` the moving-average method — both in functions/decompose.
+    - ``use_wavelets`` adds the Haar approximation/detail-energy channels
+      over ``window_col`` (requires an array-typed window column, i.e.
+      run after the W1 sliding-window stage).
+    - ``use_multi_tapper`` selects Thomson DPSS multitaper for the
+      spectral channel over ``window_col`` (plain periodogram otherwise;
+      ``use_spectral: False`` drops the channel entirely).
+    """
+    from feature_extractor_spark.functions.decompose import (
+        haar_wavelet_features,
+        seasonal_decompose,
+        spectral_features,
+    )
+
+    entity_col = config.get("entity_col", "doc_id")
+    ts_col = config.get("ts_col", "ts")
+    value_col = config.get("value_col", "value")
+    period = int(config.get("stl_period", 24))
+    out = seasonal_decompose(
+        df,
+        id_col=entity_col,
+        ts_col=ts_col,
+        value_col=value_col,
+        period=period,
+        method="stl" if config.get("use_stl", True) else "ma",
+        seasonal_smoother=int(config.get("stl_seasonal_smoother", 7)),
+    )
+    window_col = config.get("window_col")
+    if window_col is not None:
+        if config.get("use_wavelets", True):
+            out = haar_wavelet_features(out, window_col=window_col)
+        if config.get("use_spectral", True):
+            out = spectral_features(
+                out,
+                window_col=window_col,
+                method=(
+                    "multitaper"
+                    if config.get("use_multi_tapper", False)
+                    else "periodogram"
+                ),
+                nw=float(config.get("multitaper_nw", 4.0)),
+            )
+    return out

@@ -65,6 +65,7 @@ def curate(
     decontam_n: int = 13,
     c4_rules: bool = False,
     line_dedup_min_docs: int | None = None,
+    exact_span_min_len: int | None = None,
     stage_counts: dict | None = None,
 ) -> DataFrame:
     """The curation dataflow as ONE composable lazy plan (no actions except
@@ -112,6 +113,15 @@ def curate(
             .drop(text_col, "c4_too_short", "c4_has_lorem", "c4_has_brace", "c4_keep")
             .withColumnRenamed(f"__{text_col}_c4", text_col)
         )
+    if exact_span_min_len is not None:
+        # Lee et al. ExactSubstr removal — also BEFORE dedup identity, so
+        # removing a big shared span can legitimately turn two docs into
+        # exact/near dups that the dedup stages then collapse
+        from feature_extractor_spark.operators.dedup import remove_duplicate_spans
+
+        docs = remove_duplicate_spans(
+            docs, id_col, text_col, min_len=exact_span_min_len
+        ).drop("n_removed_tokens", "n_dup_spans")
 
     from pyspark.sql import Observation
 

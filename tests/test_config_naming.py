@@ -152,8 +152,12 @@ def test_preprocessor_extension_point(spark, sf_small):
     assert "value_detrended" in pdf.columns
     assert abs(pdf["value_detrended"].mean()) < abs(pdf["value"].mean())
 
+    # round 6: stl_preprocessor is now a REGISTERED engine preprocessor
+    # (clean-room loess-STL/Haar/multitaper — tests/test_decompose.py);
+    # unknown names still raise with the registry listed
+    assert "stl_preprocessor" in PREPROCESSORS
     with _pytest.raises(KeyError, match="unknown preprocessor"):
-        run_preprocessing("stl_preprocessor", ev)
+        run_preprocessing("no_such_preprocessor", ev)
 
     @register_preprocessor("t_double")
     def _d(df, config):

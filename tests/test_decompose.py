@@ -180,3 +180,197 @@ def test_spectral_features_sinusoid_noise_and_edge_cases(spark):
     pos = (np.abs(np.fft.rfft(tone)) ** 2)[1:]
     # bands are MEANS over equal slices; their mean * nf == total power
     assert abs(np.mean(bp) * len(pos) - pos.sum()) / pos.sum() < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# round 6: loess-STL (VERDICT r5 item 3) + DPSS multitaper (item 4)
+
+
+def test_loess_kernel_reproduces_exact_line():
+    """A local LINEAR fit is unbiased on linear signals, so loess must
+    reproduce an exact line bit-near-exactly at every point INCLUDING the
+    ext extrapolation STL's cycle-subseries step uses."""
+    from feature_extractor_spark.functions.decompose import _loess
+
+    t = np.arange(50, dtype=float)
+    got = _loess(2.5 * t - 7.0, 11, ext=1)
+    want = 2.5 * np.arange(-1, 51) - 7.0
+    assert np.abs(got - want).max() < 1e-10
+
+
+def test_stl_exact_recovery_and_spark_path_matches_kernel(spark):
+    """On an exactly additive series (linear trend + constant periodic
+    seasonal, no noise) STL must recover both components to float
+    precision — loess reproduces the line exactly and loess of a constant
+    subseries is that constant. The Spark applyInPandas path must equal
+    the NumPy kernel row-for-row (shuffled input order)."""
+    from feature_extractor_spark.functions.decompose import _stl_1d
+
+    p, n = 12, 240
+    t = np.arange(n, dtype=float)
+    trend = 0.05 * t + 3.0
+    seasonal = np.sin(2 * np.pi * t / p)
+    y = trend + seasonal
+    T, S, R = _stl_1d(y, p)
+    assert np.abs(T - trend).max() < 1e-9
+    assert np.abs(S - seasonal).max() < 1e-9
+    assert np.abs(R).max() < 1e-9
+
+    rows = [("a", int(i), float(y[i])) for i in range(n)]
+    rng = np.random.default_rng(3)
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "doc_id string, ts long, value double")
+    out = (
+        seasonal_decompose(df, period=p, method="stl")
+        .orderBy("ts")
+        .collect()
+    )
+    got_t = np.array([r["trend"] for r in out])
+    got_s = np.array([r["seasonal"] for r in out])
+    got_r = np.array([r["resid"] for r in out])
+    assert np.abs(got_t - T).max() < 1e-12
+    assert np.abs(got_s - S).max() < 1e-12
+    assert np.abs(got_r - R).max() < 1e-12
+
+
+def test_stl_beats_ma_on_modulated_seasonal_curved_trend(spark):
+    """The case the verdict prescribed: a curving trend plus a seasonal
+    whose amplitude drifts. The MA method forces a per-phase-CONSTANT
+    seasonal, so the drift leaks into its residual; loess-STL's smoothed
+    cycle-subseries track it, leaving residual ~ the injected noise."""
+    p, n = 12, 240
+    t = np.arange(n, dtype=float)
+    rng = np.random.default_rng(0)
+    y = (
+        0.02 * t
+        + 3.0 * np.sin(2 * np.pi * t / n)  # curved trend
+        + (0.5 + t / n) * np.sin(2 * np.pi * t / p)  # drifting seasonal
+        + 0.02 * rng.standard_normal(n)
+    )
+    df = spark.createDataFrame(
+        [("a", int(i), float(y[i])) for i in range(n)],
+        "doc_id string, ts long, value double",
+    )
+    interior = f"ts >= {p} AND ts < {n - p}"
+    ma_res = np.array(
+        [
+            r["resid"]
+            for r in seasonal_decompose(df, period=p, method="ma")
+            .filter(interior)
+            .collect()
+        ]
+    )
+    stl_res = np.array(
+        [
+            r["resid"]
+            for r in seasonal_decompose(df, period=p, method="stl")
+            .filter(interior)
+            .collect()
+        ]
+    )
+    ma_rms = float(np.sqrt(np.mean(ma_res**2)))
+    stl_rms = float(np.sqrt(np.mean(stl_res**2)))
+    assert ma_rms > 5 * 0.02  # the leak is real
+    assert stl_rms < 0.3 * ma_rms  # and STL removes it
+    assert stl_rms < 2.5 * 0.02  # residual ~ noise floor
+
+
+def test_dpss_multitaper_variance_reduction_and_tone(spark):
+    """Thomson multitaper vs single periodogram through the public API:
+    per-frequency-bin estimates on white noise keep the same mean scale
+    (equal bias on a flat spectrum) but shrink in relative std by
+    ~sqrt(K); a noisy tone's dominant frequency stays exact. n_bands =
+    nf makes each band one bin, so band_power exposes raw bins."""
+    from feature_extractor_spark.functions.decompose import spectral_features
+
+    L, n_win = 64, 300
+    rng = np.random.default_rng(1)
+    W = rng.standard_normal((n_win, L))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in W[i]]) for i in range(n_win)],
+        "id long, window array<double>",
+    )
+    nf = L // 2  # positive-frequency bins (DC dropped)
+
+    def band_matrix(method):
+        out = (
+            spectral_features(df, n_bands=nf, method=method, nw=4.0)
+            .orderBy("id")
+            .collect()
+        )
+        return np.array([r["sp_band_power"] for r in out])  # (n_win, nf)
+
+    per = band_matrix("periodogram")
+    mt = band_matrix("multitaper")
+    mid = slice(8, 24)  # away from DC/Nyquist edge bias
+    rel_per = (per[:, mid].std(axis=0) / per[:, mid].mean(axis=0)).mean()
+    rel_mt = (mt[:, mid].std(axis=0) / mt[:, mid].mean(axis=0)).mean()
+    assert rel_per / rel_mt > 1.8  # ~sqrt(7)=2.6 in theory
+    # equal scale (bias) on the flat spectrum
+    scale = mt[:, mid].mean() / per[:, mid].mean()
+    assert 0.9 < scale < 1.1
+
+    tone = np.sin(2 * np.pi * 8 * np.arange(L) / L)
+    X = tone[None, :] + 0.5 * rng.standard_normal((50, L))
+    df_tone = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(50)],
+        "id long, window array<double>",
+    )
+    doms = np.array(
+        [
+            r["sp_dom_freq"]
+            for r in spectral_features(df_tone, method="multitaper").collect()
+        ]
+    )
+    # multitaper smears the tone over its +-nw/L bandwidth by design, so
+    # the per-window argmax may land on an adjacent in-lobe bin; every
+    # window must stay inside the lobe and the typical window within one
+    # bin of the true frequency
+    assert np.abs(doms - 8 / L).max() <= 4.0 / L + 1e-12
+    assert abs(float(np.median(doms)) - 8 / L) <= 1.0 / L + 1e-12
+
+
+def test_stl_preprocessor_extension_point_honors_reference_knobs(spark):
+    """run_preprocessing('stl_preprocessor', ...) consumes the reference's
+    literal config keys (use_stl / stl_period / use_wavelets /
+    use_multi_tapper) and wires the matching channels."""
+    from feature_extractor_spark.plans.preprocessor import run_preprocessing
+
+    p, n = 12, 96
+    t = np.arange(n, dtype=float)
+    y = 0.1 * t + np.sin(2 * np.pi * t / p)
+    df = spark.createDataFrame(
+        [("a", int(i), float(y[i])) for i in range(n)],
+        "doc_id string, ts long, value double",
+    )
+    cfg = {"stl_period": p, "use_stl": True}
+    stl = run_preprocessing("stl_preprocessor", df, cfg).orderBy("ts").collect()
+    ma = (
+        run_preprocessing("stl_preprocessor", df, {**cfg, "use_stl": False})
+        .orderBy("ts")
+        .collect()
+    )
+    assert {"trend", "seasonal", "resid"} <= set(stl[0].asDict())
+    # STL trend is defined at the edges where the centered MA is null
+    assert stl[0]["trend"] is not None and ma[0]["trend"] is None
+
+    win = df.groupBy("doc_id").agg(
+        F.collect_list(F.struct("ts", "value")).alias("s")
+    ).select(
+        "doc_id",
+        F.transform(F.array_sort("s"), lambda x: x.getField("value")).alias(
+            "window"
+        ),
+        F.lit(0).alias("ts"),
+        F.lit(0.0).alias("value"),
+    )
+    out = run_preprocessing(
+        "stl_preprocessor",
+        win,
+        {"stl_period": p, "use_wavelets": True, "use_multi_tapper": True,
+         "window_col": "window"},
+    )
+    cols = set(out.columns)
+    assert {"wv_approx", "wv_detail_energy", "sp_band_power"} <= cols
+    row = out.collect()[0]
+    assert row["sp_dom_freq"] is not None

@@ -927,3 +927,83 @@ def test_line_dedup_corpus_null_text_passthrough(spark):
     assert got["dnull"]["n_removed_lines"] == 0
     assert got["dempty"]["text"] == ""
     assert got["dempty"]["n_removed_lines"] == 0
+
+
+def test_remove_duplicate_spans_exact_substr(spark):
+    """Lee et al. ExactSubstr removal (round 6): a verbatim >= min_len
+    word span shared by two otherwise Jaccard-dissimilar docs is removed
+    from BOTH; the dissimilar remainders survive; a within-doc repeat is
+    removed at every occurrence; untouched docs round-trip byte-identical
+    (original whitespace included); spans shorter than min_len stay."""
+    from feature_extractor_spark.operators.dedup import remove_duplicate_spans
+
+    span = " ".join(f"S{i}" for i in range(25))
+    short_span = " ".join(f"T{i}" for i in range(10))  # < min_len: stays
+    rep = " ".join(f"R{i}" for i in range(22))
+    rows = [
+        (1, f"alpha beta gamma {span} delta epsilon {short_span}"),
+        (2, f"one two three four five {span} six seven {short_span}"),
+        (3, "totally  unrelated\twords nothing shared here at all"),
+        (4, f"repeat {rep} middle {rep} end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(df, min_len=20).collect()
+    }
+    assert got[1]["text"] == f"alpha beta gamma delta epsilon {short_span}"
+    assert got[2]["text"] == f"one two three four five six seven {short_span}"
+    assert got[1]["n_dup_spans"] == 1 and got[1]["n_removed_tokens"] == 25
+    # untouched doc keeps its exact original bytes (double space + tab)
+    assert got[3]["text"] == rows[2][1] and got[3]["n_removed_tokens"] == 0
+    # within-doc duplication: both occurrences removed
+    assert got[4]["text"] == "repeat middle end"
+    assert got[4]["n_dup_spans"] == 2 and got[4]["n_removed_tokens"] == 44
+
+    # the remainders are Jaccard-dissimilar -> near-dup dedup would have
+    # missed this pair entirely (the gap this operator closes)
+    a = set(got[1]["text"].split())
+    b = set(got[2]["text"].split())
+    jacc = len(a & b) / len(a | b)
+    assert jacc < 0.5
+
+    # overlapping duplicated grams merge into ONE maximal span, not many:
+    # a 40-word shared span at min_len=20 yields exactly 1 span of 40
+    long_span = " ".join(f"L{i}" for i in range(40))
+    df2 = spark.createDataFrame(
+        [(1, f"x {long_span} y"), (2, f"p q {long_span} r")],
+        "doc_id long, text string",
+    )
+    got2 = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(df2, min_len=20).collect()
+    }
+    assert got2[1]["n_dup_spans"] == 1 and got2[1]["n_removed_tokens"] == 40
+    assert got2[1]["text"] == "x y" and got2[2]["text"] == "p q r"
+
+
+def test_curate_exact_span_stage(spark):
+    """exact_span_min_len wires span removal into curate() BEFORE dedup
+    identity: two docs sharing a big span but nothing else both survive
+    dedup (their cleaned texts differ), with the span gone from the
+    packed corpus."""
+    from feature_extractor_spark.plans.tokens_pipeline import curate
+
+    span = " ".join(f"S{i}" for i in range(30))
+    rows = [
+        ("a", f"alpha beta gamma delta epsilon {span}", "web"),
+        ("b", f"one two three four five six {span}", "web"),
+        ("c", "plain document with enough words to pass the filters", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, source string")
+    out = curate(
+        docs,
+        near_dup_threshold=0.9,
+        context_len=64,
+        exact_span_min_len=20,
+    ).collect()
+    ids = {r["doc_id"] for r in out}
+    assert ids == {"a", "b", "c"}  # nothing dropped: remainders dissimilar
+    texts = {r["doc_id"]: r["text"] for r in out}
+    for t in texts.values():
+        assert "S0" not in t and "S29" not in t  # the span is gone

@@ -369,3 +369,35 @@ def test_top_ngrams_matches_python_counter(spark):
     assert [(r["ngram"], r["n_docs"]) for r in got] == exp
     for r in got:
         assert r["n_total"] == total[r["ngram"]]
+
+
+def test_compression_ratio_overhead_is_zlib_bound():
+    """The documented exception to the no-per-row rule: the loop body is
+    one C zlib.compress call, so the Python loop must cost < 2x the raw
+    zlib work (measured ~1.06x on an idle box; the slack absorbs CI
+    load). If this ever fails, the loop gained real interpreter weight."""
+    import time
+    import zlib
+
+    texts = ["the quick brown fox jumps over the lazy dog " * 10] * 5000
+    raws = [t.encode("utf-8", errors="replace") for t in texts]
+
+    def timed(fn):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_zlib = timed(lambda: [len(zlib.compress(r, 6)) for r in raws])
+
+    def full():
+        return [
+            len(zlib.compress(t[:65536].encode("utf-8", errors="replace"), 6))
+            / len(t)
+            for t in texts
+        ]
+
+    t_full = timed(full)
+    assert t_full < 2.0 * t_zlib, (t_full, t_zlib)
