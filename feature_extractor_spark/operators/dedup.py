@@ -937,6 +937,45 @@ def shared_ngram_pairs(
     return out
 
 
+def _duplicate_span_arrays(
+    pos_grams: DataFrame, id_col: str, L: int, min_count: int
+) -> DataFrame:
+    """(id, __spans:array<struct<__s,__e>>, n_dup_spans) of merged maximal
+    duplicated spans from a (id, __pos, __g) positional-gram frame: grams
+    occurring >= min_count times corpus-wide mark positions; overlapping
+    marks merge via the gaps-and-islands window (one shuffle on the doc
+    key). Shared by the text and tokens span-removal variants."""
+    from pyspark.sql import Window
+
+    dup = (
+        pos_grams.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_count)
+        .select("__g")
+    )
+    marked = pos_grams.join(dup, "__g").select(id_col, "__pos")
+    # gaps-and-islands: a mark starts a new span iff it begins past the
+    # running max end of all earlier marks in the doc
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    prev_end = F.max(F.col("__pos") + L).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_end.isNull() | (F.col("__pos") >= prev_end), 1
+    ).otherwise(0)
+    islands = marked.withColumn(
+        "__isl",
+        F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy(id_col, "__isl").agg(
+        F.min("__pos").alias("__s"), (F.max("__pos") + L).alias("__e")
+    )
+    return spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("__s", "__e")).alias("__spans"),
+        F.count(F.lit(1)).alias("n_dup_spans"),
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -972,8 +1011,6 @@ def remove_duplicate_spans(
     one shuffle on the doc key the rebuild groupBy reuses; the rebuild
     touches only marked docs. No all-pairs stage exists at any size.
     """
-    from pyspark.sql import Window
-
     out_col = out_col or text_col
     L = int(min_len)
     if L < 2:
@@ -996,33 +1033,7 @@ def remove_duplicate_spans(
         F.col(id_col),
         F.posexplode(combine_word_hashes(F.col("__wh"), L)).alias("__pos", "__g"),
     )
-    dup = (
-        pos_grams.groupBy("__g")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") >= min_count)
-        .select("__g")
-    )
-    marked = pos_grams.join(dup, "__g").select(id_col, "__pos")
-    # gaps-and-islands: a mark starts a new span iff it begins past the
-    # running max end of all earlier marks in the doc
-    w = Window.partitionBy(id_col).orderBy("__pos")
-    prev_end = F.max(F.col("__pos") + L).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    new_island = F.when(
-        prev_end.isNull() | (F.col("__pos") >= prev_end), 1
-    ).otherwise(0)
-    islands = marked.withColumn(
-        "__isl",
-        F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    spans = islands.groupBy(id_col, "__isl").agg(
-        F.min("__pos").alias("__s"), (F.max("__pos") + L).alias("__e")
-    )
-    span_arr = spans.groupBy(id_col).agg(
-        F.collect_list(F.struct("__s", "__e")).alias("__spans"),
-        F.count(F.lit(1)).alias("n_dup_spans"),
-    )
+    span_arr = _duplicate_span_arrays(pos_grams, id_col, L, min_count)
     rebuilt = wh_tbl.join(span_arr, id_col).select(
         F.col(id_col),
         F.array_join(
@@ -1049,6 +1060,84 @@ def remove_duplicate_spans(
         .withColumn("n_dup_spans", F.coalesce("n_dup_spans", F.lit(0)))
         .drop("__clean")
     )
+    joined = joined.localCheckpoint(eager=True)
+    wh_tbl.unpersist()
+    return joined
+
+
+def remove_duplicate_spans_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    min_len: int = 50,
+    min_count: int = 2,
+    n_tok_col: str | None = "n_tok",
+) -> DataFrame:
+    """Exact-substring span removal over PRE-TOKENIZED sequences — the
+    input_hint payload (doc_id, tokens:array<int32>, n_tok). Lee et al.
+    2022 run ExactSubstr on token streams with a 50-token threshold
+    (§4.1), which is exactly this variant: any token span of >= min_len
+    occurring >= min_count times corpus-wide is cut from every sequence.
+    No text anywhere: token ids map to [0, 2^31) via the same fixed
+    affine hash as minhash_lsh_pairs_tokens, n-grams combine like the
+    hashed shingles, and the mark/merge/rebuild plan is shared
+    (_duplicate_span_arrays).
+
+    Returns the input rows with ``tokens_col`` rebuilt (element type
+    preserved), ``n_removed_tokens``, ``n_dup_spans``, and ``n_tok_col``
+    recomputed when present (pass None to skip). Sequences without a
+    duplicated span pass through with their original array untouched.
+    """
+    L = int(min_len)
+    if L < 2:
+        raise ValueError(
+            f"remove_duplicate_spans_tokens: min_len must be >= 2, got {L}"
+        )
+    th = F.transform(
+        F.col(tokens_col),
+        lambda tok: F.pmod(
+            tok.cast("long") * F.lit(2654435761) + F.lit(40503), F.lit(_M31)
+        ),
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    wh_tbl = (
+        df.select(id_col, tokens_col)
+        .repartition(par)
+        .select(F.col(id_col), F.col(tokens_col), th.alias("__wh"))
+        .persist()
+    )
+    pos_grams = wh_tbl.select(
+        F.col(id_col),
+        F.posexplode(combine_word_hashes(F.col("__wh"), L)).alias("__pos", "__g"),
+    )
+    span_arr = _duplicate_span_arrays(pos_grams, id_col, L, min_count)
+    rebuilt = wh_tbl.join(span_arr, id_col).select(
+        F.col(id_col),
+        F.filter(
+            F.col(tokens_col),
+            lambda tok, i: ~F.exists(
+                F.col("__spans"),
+                lambda s: (i >= s.getField("__s")) & (i < s.getField("__e")),
+            ),
+        ).alias("__clean"),
+        F.aggregate(
+            F.col("__spans"),
+            F.lit(0),
+            lambda acc, s: acc + (s.getField("__e") - s.getField("__s")),
+        ).alias("n_removed_tokens"),
+        "n_dup_spans",
+    )
+    joined = (
+        df.join(rebuilt, id_col, "left")
+        .withColumn(tokens_col, F.coalesce(F.col("__clean"), F.col(tokens_col)))
+        .withColumn("n_removed_tokens", F.coalesce("n_removed_tokens", F.lit(0)))
+        .withColumn("n_dup_spans", F.coalesce("n_dup_spans", F.lit(0)))
+        .drop("__clean")
+    )
+    if n_tok_col is not None and n_tok_col in df.columns:
+        joined = joined.withColumn(
+            n_tok_col, F.size(tokens_col).cast(df.schema[n_tok_col].dataType)
+        )
     joined = joined.localCheckpoint(eager=True)
     wh_tbl.unpersist()
     return joined

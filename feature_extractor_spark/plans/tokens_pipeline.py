@@ -250,6 +250,7 @@ def curate_tokens(
     sample_fractions: dict[str, float] | None = None,
     context_len: int = 2048,
     seed: int = 0,
+    exact_span_min_len: int | None = None,
     stage_counts: dict | None = None,
 ) -> DataFrame:
     """Curation twin for the PRE-TOKENIZED input (BASELINE.json
@@ -281,6 +282,24 @@ def curate_tokens(
     seqs = tokens_df.withColumn(
         "seq_id", F.xxhash64(F.col(doc_col), F.col(ts_col))
     )
+    if exact_span_min_len is not None:
+        # Lee et al. ExactSubstr on the token stream, BEFORE dedup
+        # identity (cutting a big shared span can make two sequences
+        # exact dups the next stage collapses) — same discipline as the
+        # text path's pre-cleaning. Keyed on seq_id: doc_id repeats
+        # across a doc's sequences, and the rebuild join needs the
+        # unique per-row key.
+        from feature_extractor_spark.operators.dedup import (
+            remove_duplicate_spans_tokens,
+        )
+
+        seqs = remove_duplicate_spans_tokens(
+            seqs,
+            "seq_id",
+            tokens_col,
+            min_len=exact_span_min_len,
+            n_tok_col=n_tok_col,
+        ).drop("n_removed_tokens", "n_dup_spans")
     seqs = _count(seqs, "input")
 
     # 1. exact dedup: identical token arrays -> min-seq_id survivor

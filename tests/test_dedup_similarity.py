@@ -1007,3 +1007,43 @@ def test_curate_exact_span_stage(spark):
     texts = {r["doc_id"]: r["text"] for r in out}
     for t in texts.values():
         assert "S0" not in t and "S29" not in t  # the span is gone
+
+
+def test_remove_duplicate_spans_tokens_payload(spark):
+    """ExactSubstr over the input_hint payload (tokens:array<int32>): a
+    duplicated >= min_len token span is cut from every sequence (element
+    type preserved, n_tok recomputed); clean sequences keep their exact
+    original arrays; min_len=50 default matches Lee et al. §4.1."""
+    import numpy as np
+
+    from feature_extractor_spark.operators.dedup import (
+        remove_duplicate_spans_tokens,
+    )
+
+    rng = np.random.default_rng(7)
+    span = [int(x) for x in rng.integers(10_000, 50_000, size=30)]
+    a = [1, 2, 3] + span + [4, 5]
+    b = [9, 8, 7, 6] + span + [11]
+    c = [int(x) for x in rng.integers(0, 9_000, size=60)]
+    rows = [
+        ("a", a, len(a), "web"),
+        ("b", b, len(b), "web"),
+        ("c", c, len(c), "web"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans_tokens(df, min_len=20).collect()
+    }
+    assert got["a"]["tokens"] == [1, 2, 3, 4, 5]
+    assert got["b"]["tokens"] == [9, 8, 7, 6, 11]
+    assert got["a"]["n_removed_tokens"] == 30 and got["a"]["n_dup_spans"] == 1
+    assert got["a"]["n_tok"] == 5 and got["b"]["n_tok"] == 5
+    assert got["c"]["tokens"] == c and got["c"]["n_tok"] == 60
+    assert got["c"]["n_removed_tokens"] == 0
+    # dtype preserved through the rebuild
+    assert dict(remove_duplicate_spans_tokens(df, min_len=20).dtypes)[
+        "tokens"
+    ] == "array<int>"

@@ -238,3 +238,36 @@ def test_curate_tokens_stage_counts(spark):
     order = ["input", "near_dup_dedup", "token_filters", "output"]
     vals = [got[k] for k in order]
     assert all(a + 20 >= b for a, b in zip(vals, vals[1:])), vals
+
+
+def test_curate_tokens_exact_span_stage(spark):
+    """exact_span_min_len in curate_tokens cuts a duplicated token span
+    before dedup identity — both host sequences survive (remainders
+    differ) with the span gone and n_tok recomputed."""
+    import numpy as np
+
+    from feature_extractor_spark.plans.tokens_pipeline import curate_tokens
+
+    rng = np.random.default_rng(11)
+    span = [int(x) for x in rng.integers(10_000, 50_000, size=25)]
+    mk = lambda pre, post: pre + span + post
+    rows = [
+        ("a", 1, mk([1, 2, 3, 4, 5, 6, 7, 8], [9, 10]), "web"),
+        ("b", 2, mk([20, 21, 22, 23, 24, 25, 26], [27, 28, 29]), "web"),
+        ("c", 3, [int(x) for x in rng.integers(0, 9_000, size=40)], "web"),
+    ]
+    df = spark.createDataFrame(
+        [(d, t, tok, len(tok), s) for d, t, tok, s in rows],
+        "doc_id string, ts long, tokens array<int>, n_tok int, source string",
+    )
+    out = curate_tokens(
+        df, context_len=32, min_tok=2, exact_span_min_len=20
+    ).collect()
+    ids = {r["doc_id"] for r in out}
+    assert ids == {"a", "b", "c"}
+    toks = {r["doc_id"]: r["tokens"] for r in out}
+    assert toks["a"] == [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+    assert toks["b"] == [20, 21, 22, 23, 24, 25, 26, 27, 28, 29]
+    assert len(toks["c"]) == 40
+    ntoks = {r["doc_id"]: r["n_tok"] for r in out}
+    assert ntoks["a"] == 10 and ntoks["b"] == 10 and ntoks["c"] == 40
