@@ -1010,6 +1010,11 @@ def remove_duplicate_spans(
     merging is the classic gaps-and-islands window over (doc, pos) —
     one shuffle on the doc key the rebuild groupBy reuses; the rebuild
     touches only marked docs. No all-pairs stage exists at any size.
+
+    One pass, not a fixpoint (matching the paper's practice): stitching
+    the text around a removed span can in principle create a NEW
+    duplicated >= min_len span; rerun the operator if that matters for a
+    given corpus.
     """
     out_col = out_col or text_col
     L = int(min_len)

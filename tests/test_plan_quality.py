@@ -216,3 +216,35 @@ def test_seasonal_decompose_single_entity_shuffle(spark):
     )
     plan = _plan(seasonal_decompose(df, period=24))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_duplicate_span_machinery_plan_shape(spark):
+    """ExactSubstr span removal (r6): the shared mark/merge plan must be
+    all-JVM (no Python stages), shuffle grams only as 64-bit hashes, and
+    reuse ONE doc-key hash exchange across the island window and both
+    span groupBys."""
+    from feature_extractor_spark.functions.text import words
+    from feature_extractor_spark.operators.dedup import (
+        _duplicate_span_arrays,
+        combine_word_hashes,
+        word_hashes,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    wh = docs.select(
+        "doc_id", words(F.col("text")).alias("__ws")
+    ).withColumn("__wh", word_hashes(F.col("__ws")))
+    pos = wh.select(
+        "doc_id",
+        F.posexplode(combine_word_hashes(F.col("__wh"), 20)).alias(
+            "__pos", "__g"
+        ),
+    )
+    out = _duplicate_span_arrays(pos, "doc_id", 20, 2)
+    plan = _plan(out)
+    assert "EvalPython" not in plan
+    # ONE doc-key exchange: window sort partitioning satisfies both the
+    # (doc, island) and (doc) groupBys downstream
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
+    # the dup-gram aggregate shuffles on the 64-bit gram hash only
+    assert plan.count("Exchange hashpartitioning(__g") == 1
