@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "dedup_exact",  # driver row retired r6 (slot ceded to line_dedup); kept
     # here as a raw-operator timing for cross-round comparability
     "line_dedup",
+    "span_removal",
     "dedup_minhash_lsh",
     "text_quality",
     "ann_cosine_topk",

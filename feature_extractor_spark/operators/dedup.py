@@ -201,10 +201,21 @@ def word_hashes(words_col):
     return F.transform(words_col, lambda w: F.pmod(F.xxhash64(w), F.lit(_M31)))
 
 
-def combine_word_hashes(wh_col, n: int = 3):
+_COMBINE_MULTS = {
+    0: [536870909, 402653171, 268435399, 134217689, 67108859],
+    # independent second family (variant=1): pairing two 31-bit combines
+    # gives an effective ~62-bit gram key for consumers that act on hash
+    # equality WITHOUT a verify stage (span removal) — a single 31-bit
+    # space false-marks at ~1-in-250-docs even on the sf0.01 testdata
+    1: [715827883, 479001599, 999999937, 998244353, 805306457],
+}
+
+
+def combine_word_hashes(wh_col, n: int = 3, variant: int = 0):
     """n-gram shingle hashes from a column of PRE-HASHED words: combine the
     n word hashes of each shingle with odd multipliers (wrapping long
-    arithmetic), folded into [0, 2^31-1).
+    arithmetic), folded into [0, 2^31-1). ``variant`` selects an
+    independent multiplier family (see _COMBINE_MULTS).
 
     ``wh_col`` MUST be a reference to a materialized column (F.col), never
     the word-hash subtree inline: every ``element_at`` below re-evaluates
@@ -218,7 +229,7 @@ def combine_word_hashes(wh_col, n: int = 3):
     # word hashes folded to [0, 2^31), odd multipliers < 2^30 (each product
     # < 2^61), and each product reduced mod 2^31-1 BEFORE the sum (so the
     # sum stays < n * 2^31 for any shingle width)
-    mults = [536870909, 402653171, 268435399, 134217689, 67108859]
+    mults = list(_COMBINE_MULTS[variant])
     while len(mults) < n:
         mults.append(mults[len(mults) % 5] ^ (len(mults) * 2654435761 % (1 << 29)))
     count = F.size(wh_col) - (n - 1)
@@ -1036,7 +1047,16 @@ def remove_duplicate_spans(
     )
     pos_grams = wh_tbl.select(
         F.col(id_col),
-        F.posexplode(combine_word_hashes(F.col("__wh"), L)).alias("__pos", "__g"),
+        # gram key = PAIR of independent 31-bit combines (~62-bit): span
+        # marking removes on hash equality with NO verify stage, so the
+        # single 31-bit combine the verified minhash path uses would
+        # false-remove at scale (observed 2 collisions in 500 docs)
+        F.posexplode(
+            F.arrays_zip(
+                combine_word_hashes(F.col("__wh"), L).alias("g1"),
+                combine_word_hashes(F.col("__wh"), L, variant=1).alias("g2"),
+            )
+        ).alias("__pos", "__g"),
     )
     span_arr = _duplicate_span_arrays(pos_grams, id_col, L, min_count)
     rebuilt = wh_tbl.join(span_arr, id_col).select(
@@ -1113,7 +1133,16 @@ def remove_duplicate_spans_tokens(
     )
     pos_grams = wh_tbl.select(
         F.col(id_col),
-        F.posexplode(combine_word_hashes(F.col("__wh"), L)).alias("__pos", "__g"),
+        # gram key = PAIR of independent 31-bit combines (~62-bit): span
+        # marking removes on hash equality with NO verify stage, so the
+        # single 31-bit combine the verified minhash path uses would
+        # false-remove at scale (observed 2 collisions in 500 docs)
+        F.posexplode(
+            F.arrays_zip(
+                combine_word_hashes(F.col("__wh"), L).alias("g1"),
+                combine_word_hashes(F.col("__wh"), L, variant=1).alias("g2"),
+            )
+        ).alias("__pos", "__g"),
     )
     span_arr = _duplicate_span_arrays(pos_grams, id_col, L, min_count)
     rebuilt = wh_tbl.join(span_arr, id_col).select(

@@ -20,11 +20,7 @@ from pyspark.sql import functions as F
 
 from feature_extractor_spark.functions.aggregates import kl_divergence, mmd_rbf
 from feature_extractor_spark.functions.conditions import cyclical_datetime_features
-from feature_extractor_spark.functions.text import (
-    c4_clean,
-    language_id,
-    quality_score,
-)
+from feature_extractor_spark.functions.text import c4_clean, quality_score
 from feature_extractor_spark.functions.transforms import returns
 from feature_extractor_spark.operators.asof import asof_join
 from feature_extractor_spark.operators.dedup import (
@@ -32,6 +28,7 @@ from feature_extractor_spark.operators.dedup import (
     jaccard_pairs,
     line_dedup_corpus,
     minhash_lsh_pairs,
+    remove_duplicate_spans,
     simhash,
 )
 from feature_extractor_spark.operators.sessionize import session_bounds, sessionize
@@ -1120,37 +1117,81 @@ def c4_clean_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "text_lang_id",
+    "span_removal",
     """
     WITH w AS (
-      SELECT doc_id,
-             list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
-                            x -> lower(x)) AS ws
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws
       FROM documents
-    ), hits AS (
-      SELECT doc_id,
-        len(list_intersect(ws, ['the','and','of','to','in','is','that','for','with','as'])) AS hits_en,
-        len(list_intersect(ws, ['el','la','de','que','y','en','un','por','con','para'])) AS hits_es,
-        len(list_intersect(ws, ['der','die','und','das','ist','von','mit','ein','für','auf'])) AS hits_de,
-        len(list_intersect(ws, ['le','la','et','les','des','en','un','que','pour','dans'])) AS hits_fr
+    ), pos AS (
+      SELECT doc_id, ws,
+             unnest(range(1, greatest(len(ws) - 19, 0) + 1)) AS i
       FROM w
+    ), grams AS (
+      SELECT doc_id, i - 1 AS p, array_to_string(ws[i:i+19], chr(1)) AS g
+      FROM pos
+    ), dup AS (
+      SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+    ), marked AS (
+      SELECT doc_id, p FROM grams JOIN dup USING (g)
+    ), isl AS (
+      SELECT doc_id, p,
+             coalesce(p >= max(p + 20) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), TRUE)::INT AS ni
+      FROM marked
+    ), isl2 AS (
+      SELECT doc_id, p,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY p) AS island
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, min(p) AS s, max(p) + 20 AS e
+      FROM isl2 GROUP BY doc_id, island
+    ), stats AS (
+      SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
+             sum(e - s)::BIGINT AS n_removed_tokens
+      FROM spans GROUP BY doc_id
+    ), wordpos AS (
+      SELECT doc_id, unnest(ws) AS word, unnest(range(0, len(ws))) AS wp FROM w
+    ), kept AS (
+      SELECT wp.doc_id, wp.word, wp.wp
+      FROM wordpos wp
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = wp.doc_id AND wp.wp >= s.s AND wp.wp < s.e
+      )
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(word, ' ' ORDER BY wp) AS ct
+      FROM kept GROUP BY doc_id
     )
-    SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
-           CASE WHEN hits_en = 0 AND hits_es = 0 AND hits_de = 0 AND hits_fr = 0 THEN 'und'
-                WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
-                WHEN hits_es >= hits_de AND hits_es >= hits_fr THEN 'es'
-                WHEN hits_de >= hits_fr THEN 'de'
-                ELSE 'fr' END AS lang_pred
-    FROM hits
+    SELECT w.doc_id,
+           CASE WHEN st.doc_id IS NULL THEN w.text
+                ELSE coalesce(r.ct, '') END AS clean_text,
+           coalesce(st.n_removed_tokens, 0)::BIGINT AS n_removed_tokens,
+           coalesce(st.n_dup_spans, 0)::BIGINT AS n_dup_spans
+    FROM w
+    LEFT JOIN stats st USING (doc_id)
+    LEFT JOIN rebuilt r ON w.doc_id = r.doc_id AND st.doc_id IS NOT NULL
     """,
 )
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span removal (operators/dedup.py
+    remove_duplicate_spans, Lee et al. 2022 ExactSubstr): the synthetic
+    corpus's small vocabulary yields real duplicated 20-grams (~45 docs
+    at sf0.01), so no structure needs planting. The DuckDB oracle
+    recomputes the ENTIRE algorithm from gram strings — occurrence
+    counts, position marks, gaps-and-islands span merge, ordered word
+    rebuild — while the engine runs it on 64-bit gram hashes, so the
+    value hash checks mark/merge/rebuild end-to-end (continues VERDICT
+    r5 item 1's direction: corpus-mutating operators get the hard
+    signal). Untouched docs must round-trip byte-identical on both
+    sides."""
     docs = _t(spark, sf_dir, "documents")
-    out = language_id(docs, "text")
+    out = remove_duplicate_spans(docs, "doc_id", "text", min_len=20)
     return out.select(
         "doc_id",
-        *[F.col(f"hits_{lang}").cast("int").alias(f"hits_{lang}") for lang in ("en", "es", "de", "fr")],
-        "lang_pred",
+        F.col("text").alias("clean_text"),
+        F.col("n_removed_tokens").cast("long").alias("n_removed_tokens"),
+        F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
     )
 
 

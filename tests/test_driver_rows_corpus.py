@@ -17,7 +17,7 @@ from feature_extractor_spark.plans.entry_queries import ENTRY_QUERIES, ORACLE_SQ
 
 TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
 SF = f"{TESTDATA}/sf0.001"
-ROWS = ["line_dedup", "c4_clean_page", "contamination"]
+ROWS = ["line_dedup", "c4_clean_page", "contamination", "span_removal"]
 
 
 def _oracle(name: str):
@@ -92,3 +92,27 @@ def test_line_dedup_row_perturbation_flips_red(spark):
         .toPandas()
     )
     assert not _canon(pert).equals(_canon(_oracle("line_dedup")))
+
+
+def test_span_removal_row_non_vacuous_and_perturbation_flips(spark):
+    """The synthetic corpus carries real duplicated 20-grams, so the row
+    must remove spans from a meaningful doc subset AND leave most docs
+    byte-identical; min_len=25 instead of the row's 20 must diverge."""
+    from feature_extractor_spark.operators.dedup import remove_duplicate_spans
+
+    o = _oracle("span_removal")
+    assert (o.n_dup_spans > 0).sum() >= 10
+    assert (o.n_dup_spans == 0).sum() > 300
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pert = (
+        remove_duplicate_spans(docs, "doc_id", "text", min_len=25)
+        .select(
+            "doc_id",
+            F.col("text").alias("clean_text"),
+            F.col("n_removed_tokens").cast("long").alias("n_removed_tokens"),
+            F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+        )
+        .toPandas()
+    )
+    assert not _canon(pert).equals(_canon(o))

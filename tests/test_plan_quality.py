@@ -236,9 +236,12 @@ def test_duplicate_span_machinery_plan_shape(spark):
     ).withColumn("__wh", word_hashes(F.col("__ws")))
     pos = wh.select(
         "doc_id",
-        F.posexplode(combine_word_hashes(F.col("__wh"), 20)).alias(
-            "__pos", "__g"
-        ),
+        F.posexplode(
+            F.arrays_zip(
+                combine_word_hashes(F.col("__wh"), 20).alias("g1"),
+                combine_word_hashes(F.col("__wh"), 20, variant=1).alias("g2"),
+            )
+        ).alias("__pos", "__g"),
     )
     out = _duplicate_span_arrays(pos, "doc_id", 20, 2)
     plan = _plan(out)
