@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 
 from feature_extractor_spark.functions.aggregates import kl_divergence, mmd_rbf
 from feature_extractor_spark.functions.conditions import cyclical_datetime_features
-from feature_extractor_spark.functions.text import c4_clean, quality_score
+from feature_extractor_spark.functions.decompose import seasonal_decompose
+from feature_extractor_spark.functions.text import c4_clean, quality_score, top_ngrams
 from feature_extractor_spark.functions.transforms import returns
 from feature_extractor_spark.operators.asof import asof_join
 from feature_extractor_spark.operators.dedup import (
@@ -29,9 +30,9 @@ from feature_extractor_spark.operators.dedup import (
     line_dedup_corpus,
     minhash_lsh_pairs,
     remove_duplicate_spans,
-    simhash,
 )
-from feature_extractor_spark.operators.sessionize import session_bounds, sessionize
+from feature_extractor_spark.operators.sampling import mixture_fractions
+from feature_extractor_spark.operators.sessionize import sessionize
 from feature_extractor_spark.operators.similarity import cosine_topk
 from feature_extractor_spark.operators.unwindow import unwindow
 from feature_extractor_spark.operators.windows import (
@@ -591,24 +592,57 @@ def w6_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "w6_session_bounds",
+    "seasonal_decompose_ma",
     """
-    SELECT user_id, session_id,
-           min(ts) AS session_start, max(ts) AS session_end, count(*)::BIGINT AS n_events
-    FROM (
-      SELECT user_id, ts,
-             sum(CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
-                      THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
-               AS session_id
-      FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events)
+    WITH l1 AS (
+      SELECT event_id, user_id, ts, floor(value) AS v,
+             CASE WHEN count(value) OVER wa = 32 AND count(value) OVER wb = 32
+                  THEN (avg(floor(value)) OVER wa + avg(floor(value)) OVER wb) / 2.0 END AS trend,
+             (row_number() OVER wo - 1) % 32 AS phase
+      FROM events
+      WINDOW wo AS (PARTITION BY user_id ORDER BY ts),
+             wa AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 16 PRECEDING AND 15 FOLLOWING),
+             wb AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 15 PRECEDING AND 16 FOLLOWING)
+    ), l2 AS (
+      SELECT *, avg(v - trend) OVER (PARTITION BY user_id, phase) AS raw_seasonal,
+             row_number() OVER (PARTITION BY user_id, phase ORDER BY ts) AS rnp
+      FROM l1
+    ), l3 AS (
+      SELECT *, raw_seasonal
+               - avg(CASE WHEN rnp = 1 THEN raw_seasonal END) OVER (PARTITION BY user_id)
+               AS seasonal
+      FROM l2
     )
-    GROUP BY user_id, session_id
+    SELECT event_id, trend, seasonal, v - trend - seasonal AS resid
+    FROM l3
     """,
 )
-def w6_session_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
-    return session_bounds(ev, "user_id", "ts", gap_seconds=1800)
+def seasonal_decompose_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic moving-average additive decomposition (the reference's
+    stl_preprocessor channels, /root/reference/app/config.py:89-91;
+    functions/decompose.py seasonal_decompose method='ma'): 2xMA centered
+    trend, per-phase centered seasonal, residual, per user over the
+    events series. The DuckDB oracle recomputes every stage — trend
+    windows, phase indexing, per-phase means, mean-of-phase-means
+    centering. Cross-engine float determinism is by construction, not
+    luck: the input is floored to integers and the period is 32 (a power
+    of two), so window sums are exact in IEEE in ANY summation order
+    (integer addends), avg = exact_sum/2^5 is exact, trend is an exact
+    multiple of 2^-6 (emitted UNROUNDED — a bit-exact check of the MA
+    stage), and per-phase sums of 2^-6-multiples stay order-free. All
+    three components verified bit-identical across engines UNROUNDED at
+    sf0.01 — rounding would actually BREAK parity here (the exact
+    2^-k-multiple values land on decimal half-way points where Spark's
+    repr-HALF_UP round() and DuckDB's numeric round() disagree — the
+    documented round() trap). (user_id, ts) is unique in the testdata,
+    so row_number phase order is deterministic."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.floor("value").cast("double").alias("v")
+    )
+    out = seasonal_decompose(
+        ev, id_col="user_id", ts_col="ts", value_col="v", period=32
+    )
+    return out.select("event_id", "trend", "seasonal", "resid")
 
 
 @_q(
@@ -920,34 +954,38 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "simhash_fingerprints",
+    "corpus_top_ngrams",
     """
-    WITH toks AS (
+    WITH w AS (
       SELECT doc_id,
-             unnest(list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
-                                   x -> lower(x))) AS w
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
       FROM documents
-    ), h AS (
-      SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM toks
-    ), bitsum AS (
-      SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-      FROM h CROSS JOIN (SELECT unnest(range(60))::INT AS b) bs
-      GROUP BY doc_id, b
-    ), fp AS (
-      SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
-      FROM bitsum GROUP BY doc_id
+    ), g AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS ngram
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)
+    ), counts AS (
+      SELECT ngram,
+             count(DISTINCT doc_id)::BIGINT AS n_docs,
+             count(*)::BIGINT AS n_total
+      FROM g GROUP BY ngram
     )
-    SELECT d.doc_id, coalesce(f.simhash, 0)::BIGINT AS simhash
-    FROM documents d LEFT JOIN fp f USING (doc_id)
+    SELECT ngram, n_docs, n_total
+    FROM counts
+    ORDER BY n_docs DESC, ngram ASC
+    LIMIT 100
     """,
 )
-def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints with the engine-portable md5_60 hash so DuckDB
-    recomputes the identical 60-bit fingerprint (xxhash64 does not exist in
-    DuckDB; the xxhash64 scale path is pytest-verified against this one —
-    same Hamming structure, cheaper hash)."""
+def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-100 bigrams by document frequency
+    (functions/text.py top_ngrams) — the boilerplate-discovery query
+    line/n-gram dedup thresholds get tuned against. Total order
+    (n_docs DESC, ngram ASC) is unique, so both engines select the
+    identical 100 rows; the oracle recomputes gram construction and both
+    counts from scratch. simhash fingerprints (the previous occupant)
+    stay fully exercised inside the still-green simhash_near_dup row and
+    the md5_60/xxhash64 parity pytest."""
     docs = _t(spark, sf_dir, "documents")
-    return simhash(docs, "doc_id", "text", bits=60, hash_fn="md5_60")
+    return top_ngrams(docs, "text", n=2, k=100, by_docs=True)
 
 
 @_q(
@@ -2036,18 +2074,54 @@ def p6_positional_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "p7_weekday_filter",
+    "domain_mixture_plan",
     """
-    SELECT event_id, ts FROM events
-    WHERE dayofweek(ts) NOT IN (0, 6)
+    WITH m AS (
+      SELECT source, sum(n_chars)::DOUBLE AS observed_mass
+      FROM documents GROUP BY source
+    ), tgt(source, t) AS (
+      VALUES ('src0', 25.0/100.0), ('src1', 25.0/100.0),
+             ('src2', 30.0/100.0), ('src3', 20.0/100.0)
+    ), j AS (
+      SELECT m.source, m.observed_mass, coalesce(tgt.t, 0.0) AS t
+      FROM m LEFT JOIN tgt USING (source)
+    ), tot AS (
+      SELECT min(observed_mass / t) AS T FROM j WHERE t > 0.0
+    )
+    SELECT source, observed_mass,
+           CASE WHEN t > 0.0 THEN least(1.0, (t * (SELECT T FROM tot)) / observed_mass)
+                ELSE 0.0 END AS fraction
+    FROM j
     """,
 )
-def p7_weekday_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P7 weekend filter (reference app/REFERENCE_Functionality.md:185)."""
-    from feature_extractor_spark.functions.conditions import weekday_filter
-
-    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
-    return weekday_filter(ev, "ts")
+def domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture planner (operators/sampling.py mixture_fractions):
+    char-mass-weighted downsample-only fractions hitting a 25/25/30/20
+    target over src0-3 (untargeted sources keep fraction 0.0, the binding
+    source exactly 1.0). The oracle recomputes the whole rule — observed
+    mass, T = min(c/t), f = min(1, t*T/c) — with the identical IEEE
+    operation order, so the doubles match bit-for-bit unrounded (target
+    shares spelled as double expressions per the DECIMAL-literal trap).
+    The weekday filter (previous occupant) stays pytest-covered
+    (tests/test_conditions_tokens.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    target = {
+        "src0": 25.0 / 100.0,
+        "src1": 25.0 / 100.0,
+        "src2": 30.0 / 100.0,
+        "src3": 20.0 / 100.0,
+    }
+    mass_rows = (
+        docs.groupBy("source")
+        .agg(F.sum("n_chars").cast("double").alias("observed_mass"))
+        .collect()
+    )
+    observed = {r["source"]: r["observed_mass"] for r in mass_rows}
+    fractions = mixture_fractions(docs, target, "source", weight_col="n_chars")
+    return spark.createDataFrame(
+        [(s, observed[s], fractions[s]) for s in observed],
+        "source string, observed_mass double, fraction double",
+    )
 
 
 # 23 deterministic multipliers, one per reference target name. The oracle
