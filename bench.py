@@ -37,7 +37,7 @@ BENCH_QUERIES = [
     "line_dedup",
     "span_removal",
     "dedup_minhash_lsh",
-    "text_quality",
+    "tokens_chunking",  # replaced text_quality r6 (slot ceded in the registry)
     "ann_cosine_topk",
     "encoder_latents",  # raw builder (fixture-compare form is sf0.01-only)
     "encoder_vae_small_latents",  # raw builder, same reason

@@ -496,3 +496,135 @@ def top_ngrams(
     )
     rank_col = "n_docs" if by_docs else "n_total"
     return counts.orderBy(F.col(rank_col).desc(), F.col("ngram").asc()).limit(k)
+
+
+def token_freq_topk(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    k: int = 100,
+) -> DataFrame:
+    """Corpus-wide top-``k`` token ids by total occurrence count over a
+    pre-tokenized table — the token-space twin of ``top_ngrams`` and the
+    first query run when auditing a tokenizer against a corpus (unigram
+    frequency spectrum; its slope is the Zipf sanity check). Returns
+    (token int, n_docs, n_total) ordered n_total desc, token asc
+    (deterministic ties).
+
+    Scale shape: one explode (a narrow flatMap), a hash aggregate with
+    map-side partials keyed on an int (at most |vocab| groups — bounded
+    regardless of corpus size), and a TakeOrdered top-k; only k rows
+    reach the driver.
+    """
+    toks = df.select(F.col(tokens_col).alias("__t"))
+    per_occ = toks.select(F.explode("__t").alias("token"))
+    per_doc = toks.select(F.explode(F.array_distinct("__t")).alias("token"))
+    counts = (
+        per_doc.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(
+            per_occ.groupBy("token").agg(F.count(F.lit(1)).alias("n_total")),
+            "token",
+        )
+    )
+    return counts.orderBy(F.col("n_total").desc(), F.col("token").asc()).limit(k)
+
+
+def vocab_coverage(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    vocab_size: int = 32768,
+) -> DataFrame:
+    """One-row corpus summary against a declared vocabulary size:
+    total/distinct token counts, coverage (distinct ids seen / vocab_size),
+    and out-of-range occurrences (id < 0 or >= vocab_size — corrupt rows
+    or a tokenizer/vocab mismatch, the thing to gate an ingest on).
+
+    Two aggregates: a map-side-only pass for totals/OOV (per-row
+    expressions, no shuffle beyond the final 1-row combine) plus a
+    distinct-id count over the exploded ids (shuffle bounded by |vocab|,
+    not corpus size). Cross-joining two 1-row frames is free.
+    """
+    t = F.col(tokens_col)
+    oov = F.size(F.filter(t, lambda x: (x < 0) | (x >= F.lit(vocab_size))))
+    totals = df.select(
+        F.coalesce(F.sum(F.size(t)), F.lit(0)).cast("long").alias("n_total"),
+        F.coalesce(F.sum(oov), F.lit(0)).cast("long").alias("n_oov"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    distinct = df.select(F.explode(t).alias("__tok")).agg(
+        F.count_distinct("__tok").cast("long").alias("n_distinct"),
+        F.count_distinct(
+            F.when(
+                (F.col("__tok") >= 0) & (F.col("__tok") < F.lit(vocab_size)),
+                F.col("__tok"),
+            )
+        )
+        .cast("long")
+        .alias("n_distinct_in_vocab"),
+    )
+    return totals.crossJoin(distinct).select(
+        "n_docs",
+        "n_total",
+        "n_distinct",
+        "n_distinct_in_vocab",
+        (F.col("n_distinct_in_vocab") / F.lit(float(vocab_size))).alias("coverage"),
+        "n_oov",
+        F.when(
+            F.col("n_total") > 0, F.col("n_oov") / F.col("n_total").cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("oov_frac"),
+    )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    form: str = "NFC",
+    collapse_whitespace: bool = False,
+) -> DataFrame:
+    """Unicode hygiene for web text (the CCNet/C4-style pre-cleaning step
+    that runs BEFORE dedup keying, like ``c4_clean``): canonical
+    normalization to ``form`` (NFC default — composed accents, so visually
+    identical strings hash identically), removal of C0/C1 control
+    characters (keeping tab/newline/CR) and zero-width code points
+    (ZWSP/ZWNJ/ZWJ/word-joiner/BOM — invisible dedup poison), and
+    optionally collapsing whitespace runs to single spaces (for building
+    dedup keys, not for the stored text). NULL passes through as NULL.
+
+    Normalization tables aren't in Spark's expression library, so this is
+    the documented Arrow-batch exception: one ``mapInPandas`` pass using
+    pandas' vectorized ``.str.normalize`` (CPython's C unicodedata) and
+    vectorized regex replaces — no per-row Python in the loop body, no
+    shuffle.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"normalize_unicode: bad form {form!r}")
+    dst = out_col or text_col
+    fields = list(df.schema.fields)
+    if dst != text_col:
+        fields = fields + [T.StructField(dst, T.StringType())]
+    schema = T.StructType(fields)
+    # C0 minus \t\n\r, DEL, C1, zero-widths, word-joiner, BOM
+    strip_re = (
+        "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f"
+        "\\u200b-\\u200d\\u2060\\ufeff]"
+    )
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            s = pdf[text_col].str.normalize(form).str.replace(
+                strip_re, "", regex=True
+            )
+            if collapse_whitespace:
+                s = s.str.replace(r"\s+", " ", regex=True).str.strip()
+            pdf[dst] = s
+            yield pdf
+
+    return df.mapInPandas(run, schema)

@@ -93,6 +93,57 @@ def pack_sequences(
     )
 
 
+def chunk_tokens(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    max_len: int = 2048,
+    overlap: int = 0,
+    min_tail: int = 1,
+    out_tokens_col: str = "chunk_tokens",
+) -> DataFrame:
+    """Fixed-context chunking of pre-tokenized sequences — the OTHER
+    standard way (besides ``pack_sequences``) training examples are cut
+    from a tokens table: each document's array is split into windows of
+    ``max_len`` tokens starting every ``max_len - overlap`` positions, so
+    consecutive chunks share ``overlap`` tokens of context (BERT/GPT
+    fine-tuning style striding). Emits one row per chunk with
+    ``chunk_id`` (0-based within the doc), ``chunk_start`` (0-based token
+    offset), the chunk array, and its length ``chunk_n_tok``.
+
+    Tail handling: a trailing chunk shorter than ``min_tail`` tokens is
+    dropped UNLESS it is the document's only chunk (``chunk_id == 0``), so
+    every non-empty document survives chunking. Empty/NULL token arrays
+    emit no rows (count them upstream if loss matters).
+
+    Scale shape: pure per-row expressions (sequence + posexplode + slice)
+    — a narrow map with no shuffle and no Python; output size is
+    input_tokens × (1 + overlap/(max_len-overlap)) by construction. At
+    10^12 rows this parallelizes embarrassingly and chains into
+    ``pack_sequences`` or a direct write without a repartition.
+    """
+    if not 0 <= overlap < max_len:
+        raise ValueError(
+            f"chunk_tokens: need 0 <= overlap < max_len, got "
+            f"overlap={overlap} max_len={max_len}"
+        )
+    step = max_len - overlap
+    t = F.col(tokens_col)
+    n = F.size(t)
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(step))).otherwise(
+        F.array().cast("array<int>")
+    )
+    exploded = df.select(
+        "*", F.posexplode(starts).alias("chunk_id", "chunk_start")
+    )
+    chunk = F.slice(t, F.col("chunk_start") + 1, max_len)
+    out = exploded.withColumn(out_tokens_col, chunk).withColumn(
+        "chunk_n_tok", F.size(out_tokens_col)
+    )
+    return out.where(
+        (F.col("chunk_id") == 0) | (F.col("chunk_n_tok") >= F.lit(min_tail))
+    )
+
+
 def packing_stats(packed: DataFrame, n_tok_col: str = "n_tok") -> DataFrame:
     """Per-bin summary: sequence count, token count, boundary crossings.
     (Interior bins of contiguous packing are exactly full by construction;

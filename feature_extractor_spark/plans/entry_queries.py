@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from feature_extractor_spark.functions.aggregates import kl_divergence, mmd_rbf
 from feature_extractor_spark.functions.conditions import cyclical_datetime_features
 from feature_extractor_spark.functions.decompose import seasonal_decompose
-from feature_extractor_spark.functions.text import c4_clean, quality_score, top_ngrams
+from feature_extractor_spark.functions.text import c4_clean, top_ngrams
 from feature_extractor_spark.functions.transforms import returns
 from feature_extractor_spark.operators.asof import asof_join
 from feature_extractor_spark.operators.dedup import (
@@ -1029,48 +1029,69 @@ def simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "text_quality",
+    "tokens_chunking",
     """
     WITH base AS (
-      SELECT doc_id, text,
-             string_split_regex(trim(text), '\\s+') AS ws,
-             length(text) AS n_chars_calc,
-             len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
-      FROM documents
-    ), feats AS (
-      SELECT doc_id, n_chars_calc,
-             len(ws)::BIGINT AS n_words,
-             CASE WHEN n_chars_calc > 0 THEN n_punct / n_chars_calc::DOUBLE ELSE 0.0 END AS punct_ratio,
-             CASE WHEN len(ws) > 0 THEN
-               len(list_intersect(list_transform(ws, w -> lower(w)),
-                   ['the','and','of','to','in','is','that','for','with','as'])) / len(ws)::DOUBLE
-             ELSE 0.0 END AS stopword_ratio,
-             CASE WHEN len(ws) > 0 THEN
-               list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws)
-             ELSE 0.0 END AS mean_word_len
+      SELECT i::BIGINT AS id,
+        CASE WHEN i % 5 = 0 THEN 0
+             ELSE ((i::BIGINT*2654435761 + 40503) % 2147483647) % 49 + 1
+        END AS doc_idx,
+        (((i::BIGINT*2654435761 + 2*40503) % 2147483647) % 57 + 8) AS n_tok,
+        (1704067200 + i::BIGINT*60 + (i // 50)*3600)::BIGINT AS unix_ts
+      FROM range(4000) t(i)
+    ), chunks AS (
+      SELECT id, doc_idx, n_tok, unix_ts,
+             unnest(range(0, n_tok, 20)) AS chunk_start
       FROM base
+    ), keep AS (
+      SELECT *, least(24, n_tok - chunk_start) AS chunk_n
+      FROM chunks
+      WHERE chunk_start = 0 OR least(24, n_tok - chunk_start) >= 6
     )
-    SELECT doc_id, n_chars_calc, n_words,
-           round(punct_ratio, 6) AS punct_ratio,
-           round(stopword_ratio, 6) AS stopword_ratio,
-           round(mean_word_len, 6) AS mean_word_len,
-           round(least(n_words / 100.0, 1.0) * 0.4
-                 + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
-                 + least(stopword_ratio * 5.0, 1.0) * 0.3, 6) AS quality
-    FROM feats
+    SELECT 'doc_' || lpad(doc_idx::VARCHAR, 6, '0') AS doc_id,
+           unix_ts,
+           (chunk_start // 20)::INT AS chunk_id,
+           chunk_start::INT AS chunk_start,
+           chunk_n::INT AS chunk_n_tok,
+           ((id*2654435761 + chunk_start*40503) % 50257)::INT AS first_token,
+           ((id*2654435761 + (chunk_start + chunk_n - 1)*40503) % 50257)::INT
+             AS last_token,
+           list_sum(list_transform(range(chunk_start, chunk_start + chunk_n),
+                                   i -> (id*2654435761 + i*40503) % 50257)
+                   )::BIGINT AS token_sum
+    FROM keep
     """,
 )
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    out = quality_score(docs, "text")
-    return out.select(
+def tokens_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-context chunking over the input-hint tokens table
+    (operators/packing.py chunk_tokens): max_len=24, overlap=4 (stride
+    20), tails < 6 tokens dropped unless they are the doc's only chunk.
+    The oracle re-derives the generator's token formula per position and
+    recomputes every chunk boundary, the tail-drop rule, and per-chunk
+    token-array equality probes (first/last token + checksum over exactly
+    the chunk's positions) — so a hash match verifies both the chunk
+    GEOMETRY and the chunk CONTENT against an independent implementation.
+    text_quality (the previous occupant) stays pytest-covered
+    (tests/test_text_multimodal.py) and drives the curation rows'
+    min_quality stage."""
+    from feature_extractor_spark.operators.packing import chunk_tokens
+    from feature_extractor_spark.sources.tokens import synth_tokens
+
+    tok = synth_tokens(spark, n_rows=4000, n_docs=50, heavy_share=5)
+    ch = chunk_tokens(tok, max_len=24, overlap=4, min_tail=6)
+    return ch.select(
         "doc_id",
-        "n_chars_calc",
-        F.col("n_words").cast("long").alias("n_words"),
-        F.round("punct_ratio", 6).alias("punct_ratio"),
-        F.round("stopword_ratio", 6).alias("stopword_ratio"),
-        F.round("mean_word_len", 6).alias("mean_word_len"),
-        F.round("quality", 6).alias("quality"),
+        F.unix_timestamp("ts").alias("unix_ts"),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("chunk_start").cast("int").alias("chunk_start"),
+        F.col("chunk_n_tok").cast("int").alias("chunk_n_tok"),
+        F.element_at("chunk_tokens", 1).alias("first_token"),
+        F.element_at("chunk_tokens", -1).alias("last_token"),
+        F.aggregate(
+            "chunk_tokens",
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t.cast("long"),
+        ).alias("token_sum"),
     )
 
 

@@ -66,6 +66,7 @@ def curate(
     c4_rules: bool = False,
     line_dedup_min_docs: int | None = None,
     exact_span_min_len: int | None = None,
+    unicode_norm: str | None = None,
     stage_counts: dict | None = None,
 ) -> DataFrame:
     """The curation dataflow as ONE composable lazy plan (no actions except
@@ -95,9 +96,15 @@ def curate(
     ``bin_pos``/``spans_boundary``) in the shuffled training order.
     """
     # 0. optional C4 pre-cleaning, BEFORE dedup identity is computed:
+    #    unicode_norm first (composed accents + stripped zero-widths make
+    #    visually identical strings hash identically), then
     #    line_dedup_min_docs removes corpus-wide boilerplate lines
     #    (cookie banners make unrelated pages near-dups), then c4_rules
     #    applies the per-page line filters + page flags
+    if unicode_norm is not None:
+        from feature_extractor_spark.functions.text import normalize_unicode
+
+        docs = normalize_unicode(docs, text_col, form=unicode_norm)
     if line_dedup_min_docs is not None:
         from feature_extractor_spark.operators.dedup import line_dedup_corpus
 

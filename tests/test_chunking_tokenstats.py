@@ -1,0 +1,186 @@
+"""chunk_tokens (operators/packing.py), token_freq_topk / vocab_coverage /
+normalize_unicode (functions/text.py): Python oracles over hand-built and
+synthetic inputs, plus plan shape (chunking must stay a narrow map)."""
+
+import unicodedata
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_extractor_spark.functions.text import (
+    normalize_unicode,
+    token_freq_topk,
+    vocab_coverage,
+)
+from feature_extractor_spark.operators.packing import chunk_tokens
+from feature_extractor_spark.sources.tokens import synth_tokens
+
+
+def _py_chunks(tokens, max_len, overlap, min_tail):
+    if not tokens:
+        return []
+    step = max_len - overlap
+    out = []
+    for cid, start in enumerate(range(0, len(tokens), step)):
+        chunk = tokens[start : start + max_len]
+        if cid > 0 and len(chunk) < min_tail:
+            continue
+        out.append((cid, start, chunk, len(chunk)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("empty", []),
+        ("null", None),
+        ("short", [1, 2, 3]),
+        ("exact", list(range(8))),
+        ("long", list(range(100, 127))),
+        ("tail1", list(range(9))),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+
+
+def test_chunk_tokens_matches_python_oracle(spark, docs):
+    got = (
+        chunk_tokens(docs, max_len=8, overlap=2, min_tail=3)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    pdf = {r["doc_id"]: r["tokens"] for r in docs.collect()}
+    exp = []
+    for did in sorted(pdf):
+        for cid, start, chunk, n in _py_chunks(pdf[did] or [], 8, 2, 3):
+            exp.append((did, cid, start, chunk, n))
+    assert [
+        (r["doc_id"], r["chunk_id"], r["chunk_start"], r["chunk_tokens"], r["chunk_n_tok"])
+        for r in got
+    ] == exp
+
+
+def test_chunk_tokens_overlap_and_coverage(spark, docs):
+    # every input token position is covered by >=1 chunk; consecutive
+    # chunks of the same doc share exactly `overlap` tokens (interior)
+    out = chunk_tokens(docs, max_len=8, overlap=2, min_tail=1)
+    rows = out.where(F.col("doc_id") == "long").orderBy("chunk_id").collect()
+    toks = list(range(100, 127))
+    seen = []
+    for r in rows:
+        assert r["chunk_tokens"] == toks[r["chunk_start"] : r["chunk_start"] + 8]
+        seen.extend(r["chunk_tokens"])
+    assert set(seen) == set(toks)
+    for a, b in zip(rows, rows[1:]):
+        if b["chunk_n_tok"] >= 2:
+            assert a["chunk_tokens"][-2:] == b["chunk_tokens"][:2]
+
+
+def test_chunk_tokens_no_overlap_roundtrip(spark):
+    # (doc_id, ts) is the unique row key — doc_id repeats across sequences
+    tok = synth_tokens(spark, n_rows=500, n_docs=20).select(
+        "doc_id", "ts", "tokens"
+    )
+    out = chunk_tokens(tok, max_len=16, overlap=0, min_tail=1)
+    rebuilt = (
+        out.groupBy("doc_id", "ts")
+        .agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_id", "chunk_tokens"))
+                ).getField("chunk_tokens")
+            ).alias("rebuilt")
+        )
+    )
+    diff = (
+        tok.join(rebuilt, ["doc_id", "ts"])
+        .where(F.col("tokens") != F.col("rebuilt"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_chunk_tokens_rejects_bad_overlap(spark, docs):
+    with pytest.raises(ValueError):
+        chunk_tokens(docs, max_len=8, overlap=8)
+
+
+def test_chunk_tokens_plan_is_narrow(spark, docs):
+    plan = (
+        chunk_tokens(docs, max_len=8, overlap=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure map: chunking must never shuffle
+
+
+def test_token_freq_topk_matches_counter(spark):
+    tok = synth_tokens(spark, n_rows=800, n_docs=25).select("tokens")
+    rows = [r["tokens"] for r in tok.collect()]
+    total = Counter()
+    ndocs = Counter()
+    for ts in rows:
+        total.update(ts)
+        ndocs.update(set(ts))
+    exp = sorted(
+        ((t, ndocs[t], c) for t, c in total.items()),
+        key=lambda x: (-x[2], x[0]),
+    )[:50]
+    got = [
+        (r["token"], r["n_docs"], r["n_total"])
+        for r in token_freq_topk(tok, "tokens", k=50).collect()
+    ]
+    assert got == exp
+
+
+def test_vocab_coverage_exact(spark):
+    rows = [
+        ("a", [0, 1, 2, 2, 5]),
+        ("b", [1, 7, -1, 9]),  # 9 and -1 out of range for vocab_size=9
+        ("c", []),
+        ("d", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = vocab_coverage(df, "tokens", vocab_size=9).collect()[0]
+    assert got["n_docs"] == 4
+    assert got["n_total"] == 9
+    assert got["n_distinct"] == 7  # {0,1,2,5,7,9,-1}
+    assert got["n_distinct_in_vocab"] == 5  # {0,1,2,5,7}
+    assert got["coverage"] == 5 / 9.0
+    assert got["n_oov"] == 2
+    assert got["oov_frac"] == 2 / 9.0
+
+
+def test_normalize_unicode_nfc_and_strips(spark):
+    decomposed = "cafe\u0301"  # e + combining acute
+    rows = [
+        ("d", decomposed),
+        ("ctl", "a\x00b\x1fc\tkeep\nlines"),
+        ("zw", "zero\u200bwidth\ufeffgone"),
+        ("ok", "plain"),
+        ("nul", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in normalize_unicode(df, "text").collect()
+    }
+    assert got["d"] == unicodedata.normalize("NFC", decomposed) == "caf\u00e9"
+    assert got["ctl"] == "abc\tkeep\nlines"
+    assert got["zw"] == "zerowidthgone"
+    assert got["ok"] == "plain"
+    assert got["nul"] is None
+
+
+def test_normalize_unicode_collapse_and_out_col(spark):
+    df = spark.createDataFrame(
+        [("a", "two   spaces\n\nand  tabs\t!")], "doc_id string, text string"
+    )
+    out = normalize_unicode(
+        df, "text", out_col="key", collapse_whitespace=True
+    ).collect()[0]
+    assert out["text"] == "two   spaces\n\nand  tabs\t!"  # original kept
+    assert out["key"] == "two spaces and tabs !"
+    with pytest.raises(ValueError):
+        normalize_unicode(df, "text", form="NFX")

@@ -196,6 +196,29 @@ def test_curate_c4_and_line_dedup_options(spark):
         assert banner not in r["text"]
 
 
+def test_curate_unicode_norm_changes_dedup_identity(spark):
+    """unicode_norm runs before dedup keying: a composed-vs-decomposed +
+    zero-width-polluted twin of a doc is an exact dup after NFC cleanup
+    and must collapse to the min-id survivor; without the option both
+    survive (the failure mode the stage exists to prevent)."""
+    body = " ".join(
+        f"caf\u00e9 menu word{j} and the sentence continues here."
+        for j in range(12)
+    )
+    twin = "\u200b" + body.replace("caf\u00e9", "cafe\u0301")
+    rows = [("a1", body, "web"), ("a2", twin, "web"),
+            ("b1", "completely different text about other things entirely "
+                   "with many distinct words in this sentence.", "web")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, source string")
+
+    kept_raw = {r["doc_id"] for r in curate(docs, context_len=128).collect()}
+    assert {"a1", "a2"} <= kept_raw  # invisible bytes defeat exact dedup
+
+    kept = {r["doc_id"] for r in
+            curate(docs, context_len=128, unicode_norm="NFC").collect()}
+    assert "a1" in kept and "a2" not in kept and "b1" in kept
+
+
 def test_curate_stage_counts_observability(spark):
     """stage_counts rides the single caller action (observe, no extra
     jobs) and reports a monotone non-increasing survivor funnel whose
