@@ -93,6 +93,33 @@ def pack_sequences(
     )
 
 
+def append_eos(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    eos_id: int = 50256,
+    n_tok_col: str | None = "n_tok",
+) -> DataFrame:
+    """Append the end-of-sequence token to every sequence — the GPT-style
+    document separator that contiguous packing relies on to mark doc
+    boundaries inside a training example. ``n_tok_col`` (if present) is
+    incremented so downstream packing coordinates count the EOS slot.
+    NULL arrays stay NULL (concat propagates null — count such rows
+    upstream if loss matters). Pure narrow map, no shuffle, no Python.
+    """
+    out = df.withColumn(
+        tokens_col,
+        F.concat(F.col(tokens_col), F.array(F.lit(int(eos_id)).cast("int"))),
+    )
+    if n_tok_col and n_tok_col in df.columns:
+        out = out.withColumn(
+            n_tok_col,
+            F.when(
+                F.col(tokens_col).isNotNull(), F.col(n_tok_col) + F.lit(1)
+            ).otherwise(F.col(n_tok_col)).cast("int"),
+        )
+    return out
+
+
 def chunk_tokens(
     df: DataFrame,
     tokens_col: str = "tokens",

@@ -87,6 +87,38 @@ def deterministic_shuffle(
     return df.withColumn(key_col, hash_uniform(id_col, seed, hash_fn))
 
 
+def sample_n_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    n: int,
+    seed: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Exactly-min(n, |group|) deterministic rows per group: rank by the
+    same partitioning-independent ``hash_uniform`` (id ties broken by the
+    id itself) and keep the ``n`` smallest ranks — i.e. a uniform
+    without-replacement sample whose membership is a pure function of
+    (id, seed), stable across partitioning, cluster size, and reruns
+    (fraction-based ``stratified_sample`` cannot promise an exact count).
+
+    Scale shape: one hash-partitioned window sort per group. Each group
+    sorts in parallel across its partitions' spilled runs, but a single
+    pathological group is one task's sort — for heavy-hitter strata at
+    the 10^12-row scale prefer ``stratified_sample`` (map-side, no
+    shuffle) unless the exact count is the requirement.
+    """
+    from pyspark.sql import Window
+
+    u = hash_uniform(id_col, seed, hash_fn)
+    w = Window.partitionBy(group_col).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.lit(int(n)))
+        .drop("__rk")
+    )
+
+
 def mixture_fractions(
     docs: DataFrame,
     target: dict[str, float],

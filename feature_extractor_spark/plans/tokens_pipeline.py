@@ -258,6 +258,7 @@ def curate_tokens(
     context_len: int = 2048,
     seed: int = 0,
     exact_span_min_len: int | None = None,
+    eos_id: int | None = None,
     stage_counts: dict | None = None,
 ) -> DataFrame:
     """Curation twin for the PRE-TOKENIZED input (BASELINE.json
@@ -342,6 +343,14 @@ def curate_tokens(
         ).filter(F.col("dup_gram_frac") <= F.lit(float(max_dup_gram_frac)))
 
     filtered = _count(filtered, "token_filters")
+
+    # 3b. optional EOS doc-separator, AFTER dedup/filters (it would be a
+    #     no-op for identity anyway) and BEFORE packing, so packing
+    #     coordinates count the EOS slot
+    if eos_id is not None:
+        from feature_extractor_spark.operators.packing import append_eos
+
+        filtered = append_eos(filtered, tokens_col, eos_id, n_tok_col)
 
     # 4./5. deterministic per-source sampling + stable shuffle + packing
     if sample_fractions:

@@ -173,6 +173,63 @@ def test_normalize_unicode_nfc_and_strips(spark):
     assert got["nul"] is None
 
 
+def test_append_eos(spark):
+    from feature_extractor_spark.operators.packing import append_eos
+
+    rows = [("a", [1, 2, 3], 3), ("b", [], 0), ("n", None, None)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, n_tok int")
+    got = {r["doc_id"]: r for r in append_eos(df, eos_id=50256).collect()}
+    assert got["a"]["tokens"] == [1, 2, 3, 50256] and got["a"]["n_tok"] == 4
+    assert got["b"]["tokens"] == [50256] and got["b"]["n_tok"] == 1
+    assert got["n"]["tokens"] is None and got["n"]["n_tok"] is None
+
+
+def test_curate_tokens_eos_option(spark):
+    from feature_extractor_spark.plans.tokens_pipeline import curate_tokens
+    from feature_extractor_spark.sources.tokens import synth_tokens
+
+    df = synth_tokens(spark, n_rows=200, n_docs=20)
+    out = curate_tokens(df, context_len=256, eos_id=50256).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["tokens"][-1] == 50256
+        assert r["n_tok"] == len(r["tokens"])
+    # packing contiguity still holds with the extra slot counted
+    pdf = sorted(out, key=lambda r: (r["shuffle_key"], r["seq_id"]))
+    for a, b in zip(pdf, pdf[1:]):
+        assert b["tok_start"] == a["tok_start"] + a["n_tok"]
+
+
+def test_sample_n_per_group_exact_and_stable(spark):
+    from feature_extractor_spark.operators.sampling import sample_n_per_group
+    from feature_extractor_spark.sources.tokens import synth_tokens
+
+    df = synth_tokens(spark, n_rows=600, n_docs=6).select("doc_id", "ts")
+    df = df.withColumn("rid", F.concat("doc_id", F.lit("#"), F.col("ts").cast("string")))
+    out = sample_n_per_group(df, "rid", "doc_id", n=7, seed=3)
+    sizes = {r["doc_id"]: r["n"] for r in
+             out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    full = {r["doc_id"]: r["n"] for r in
+            df.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    for d, n_full in full.items():
+        assert sizes.get(d, 0) == min(7, n_full)
+    # partitioning-independent: same membership after a repartition
+    a = sorted(r["rid"] for r in out.collect())
+    b = sorted(
+        r["rid"]
+        for r in sample_n_per_group(
+            df.repartition(13), "rid", "doc_id", n=7, seed=3
+        ).collect()
+    )
+    assert a == b
+    # different seed -> (almost surely) different membership
+    c = sorted(
+        r["rid"]
+        for r in sample_n_per_group(df, "rid", "doc_id", n=7, seed=4).collect()
+    )
+    assert a != c
+
+
 def test_normalize_unicode_collapse_and_out_col(spark):
     df = spark.createDataFrame(
         [("a", "two   spaces\n\nand  tabs\t!")], "doc_id string, text string"
