@@ -259,6 +259,8 @@ def curate_tokens(
     seed: int = 0,
     exact_span_min_len: int | None = None,
     eos_id: int | None = None,
+    chunk_max_len: int | None = None,
+    chunk_overlap: int = 0,
     stage_counts: dict | None = None,
 ) -> DataFrame:
     """Curation twin for the PRE-TOKENIZED input (BASELINE.json
@@ -343,6 +345,33 @@ def curate_tokens(
         ).filter(F.col("dup_gram_frac") <= F.lit(float(max_dup_gram_frac)))
 
     filtered = _count(filtered, "token_filters")
+
+    # 3a. optional fixed-context chunking of long sequences, AFTER dedup
+    #     (dedup identity is the whole sequence) and BEFORE EOS/packing:
+    #     each chunk becomes its own training row with a derived seq_id
+    #     (xxhash64 of parent seq_id + chunk index — deterministic, so
+    #     sampling/shuffle/resume stay stable); tails shorter than
+    #     min_tok are dropped, consistent with the min_tok filter above
+    if chunk_max_len is not None:
+        from feature_extractor_spark.operators.packing import (
+            chunk_tokens as _chunk_tokens,
+        )
+
+        filtered = (
+            _chunk_tokens(
+                filtered,
+                tokens_col,
+                max_len=chunk_max_len,
+                overlap=chunk_overlap,
+                min_tail=min_tok,
+            )
+            .drop(tokens_col, n_tok_col, "chunk_start")
+            .withColumnRenamed("chunk_tokens", tokens_col)
+            .withColumnRenamed("chunk_n_tok", n_tok_col)
+            .withColumn("seq_id", F.xxhash64(F.col("seq_id"), F.col("chunk_id")))
+            .drop("chunk_id")
+        )
+        filtered = _count(filtered, "chunking")
 
     # 3b. optional EOS doc-separator, AFTER dedup/filters (it would be a
     #     no-op for identity anyway) and BEFORE packing, so packing

@@ -116,3 +116,43 @@ def test_span_removal_row_non_vacuous_and_perturbation_flips(spark):
         .toPandas()
     )
     assert not _canon(pert).equals(_canon(o))
+
+
+def test_tokens_chunking_row_parity_and_perturbation(spark):
+    """The r6 tokens_chunking row: Spark chunking must match the DuckDB
+    oracle that re-derives chunk geometry AND content probes from the
+    generator formula; min_tail=7 instead of the row's 6 must diverge
+    (the synthetic n_tok distribution produces 6-token tails), proving
+    the hash checks the tail-drop rule, not just row shape."""
+    from feature_extractor_spark.operators.packing import chunk_tokens
+    from feature_extractor_spark.sources.tokens import synth_tokens
+
+    got = _canon(ENTRY_QUERIES["tokens_chunking"](spark, SF).toPandas())
+    want = _canon(_oracle("tokens_chunking"))
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want)
+    # non-vacuous: multi-chunk sequences occur, and the tail-drop rule
+    # keeps the total under the no-drop ceiling of 4 chunks/sequence
+    assert (want.chunk_id > 0).sum() > 500
+    assert 4000 < len(want) < 4000 * 4
+
+    tok = synth_tokens(spark, n_rows=4000, n_docs=50, heavy_share=5)
+    pert = (
+        chunk_tokens(tok, max_len=24, overlap=4, min_tail=7)
+        .select(
+            "doc_id",
+            F.unix_timestamp("ts").alias("unix_ts"),
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.col("chunk_start").cast("int").alias("chunk_start"),
+            F.col("chunk_n_tok").cast("int").alias("chunk_n_tok"),
+            F.element_at("chunk_tokens", 1).alias("first_token"),
+            F.element_at("chunk_tokens", -1).alias("last_token"),
+            F.aggregate(
+                "chunk_tokens",
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t.cast("long"),
+            ).alias("token_sum"),
+        )
+        .toPandas()
+    )
+    assert not _canon(pert).equals(want)

@@ -154,6 +154,43 @@ def test_curate_tokens_repetition_filter(spark):
     assert loose.filter(F.col("doc_id").startswith("loop_")).count() > 0
 
 
+def test_curate_tokens_chunking_option(spark):
+    """chunk_max_len splits long sequences into bounded training rows
+    (derived deterministic seq_ids), composing with eos_id and packing."""
+    from pyspark.sql import functions as F
+
+    from feature_extractor_spark.plans.tokens_pipeline import curate_tokens
+    from feature_extractor_spark.sources.tokens import synth_tokens
+
+    df = synth_tokens(spark, n_rows=300, n_docs=30, min_tok=8, max_tok=64)
+    out = curate_tokens(
+        df, context_len=256, min_tok=8, chunk_max_len=24, chunk_overlap=0,
+        eos_id=50256,
+    ).persist()
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_tok"] <= 24 + 1  # chunk bound + the EOS slot
+        assert r["tokens"][-1] == 50256
+        assert r["n_tok"] == len(r["tokens"])
+    # derived seq_ids stay unique
+    assert out.select("seq_id").distinct().count() == len(rows)
+
+    # with overlap=0 and no tails below min_tok=1... tails >= min_tok
+    # survive; chunking multiplies rows vs the unchunked run
+    base = curate_tokens(df, context_len=256, min_tok=8)
+    assert len(rows) > base.count()
+
+    # determinism across reruns (resume contract)
+    again = curate_tokens(
+        df, context_len=256, min_tok=8, chunk_max_len=24, chunk_overlap=0,
+        eos_id=50256,
+    ).select("seq_id", "tok_start")
+    prev = out.select("seq_id", "tok_start")
+    assert prev.exceptAll(again).count() == 0 and again.exceptAll(prev).count() == 0
+    out.unpersist()
+
+
 def test_curate_lm_filter(spark, docs):
     """lm_max_bits drops the least-corpus-like documents and keeps the
     pipeline schema intact."""
