@@ -87,6 +87,32 @@ def deterministic_shuffle(
     return df.withColumn(key_col, hash_uniform(id_col, seed, hash_fn))
 
 
+def temperature_targets(
+    observed: dict[str, float],
+    alpha: float = 0.7,
+) -> dict[str, float]:
+    """Temperature-smoothed mixture targets from observed masses:
+    t_s = c_s^alpha / sum_r c_r^alpha — the standard exponent-smoothing
+    rule multilingual/multi-domain training recipes use (public method:
+    exponentially smoothed sampling in multilingual BERT / XLM-R) to
+    upweight small sources without flattening the mix entirely.
+    ``alpha=1`` reproduces the observed proportions, ``alpha=0`` the
+    uniform mix. Feed the result to ``mixture_fractions`` (which resolves
+    the targets into downsample-only per-source fractions). Pure driver
+    arithmetic over the per-source aggregate dict — no Spark work here.
+    """
+    if alpha < 0:
+        raise ValueError(f"temperature_targets: alpha must be >= 0, got {alpha}")
+    pos = {s: c for s, c in observed.items() if c > 0}
+    if not pos:
+        raise ValueError("temperature_targets: no source with positive mass")
+    powed = {s: c**alpha for s, c in pos.items()}
+    z = sum(powed.values())
+    out = {s: p / z for s, p in powed.items()}
+    out.update({s: 0.0 for s in observed if s not in pos})
+    return out
+
+
 def sample_n_per_group(
     df: DataFrame,
     id_col: str,

@@ -104,3 +104,54 @@ def test_mixture_fractions_math_and_composition(spark):
 
     with _pytest.raises(ValueError, match="no observed mass"):
         mixture_fractions(docs, {"web": 0.5, "wikipedia": 0.5})
+
+
+def test_temperature_targets_math_and_composition():
+    import math
+
+    import pytest as _pytest
+
+    from feature_extractor_spark.operators.sampling import (
+        mixture_fractions,
+        temperature_targets,
+    )
+
+    obs = {"web": 8000.0, "code": 1000.0, "books": 125.0, "dead": 0.0}
+
+    # alpha=1 reproduces observed proportions; alpha=0 is uniform over
+    # positive-mass sources; zero-mass sources get target 0 either way
+    t1 = temperature_targets(obs, alpha=1.0)
+    tot = 8000 + 1000 + 125
+    assert abs(t1["web"] - 8000 / tot) < 1e-12 and t1["dead"] == 0.0
+    t0 = temperature_targets(obs, alpha=0.0)
+    assert abs(t0["web"] - 1 / 3) < 1e-12
+    assert abs(t0["books"] - 1 / 3) < 1e-12
+
+    # smoothing is monotone: alpha<1 raises small-source share, lowers big
+    t = temperature_targets(obs, alpha=0.5)
+    assert t["books"] > t1["books"] and t["web"] < t1["web"]
+    assert abs(sum(t.values()) - 1.0) < 1e-12
+    # exact closed form
+    z = math.sqrt(8000) + math.sqrt(1000) + math.sqrt(125)
+    assert abs(t["code"] - math.sqrt(1000) / z) < 1e-12
+
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_targets(obs, alpha=-0.1)
+    with _pytest.raises(ValueError, match="positive mass"):
+        temperature_targets({"a": 0.0})
+
+    # composes with mixture_fractions: the binding source keeps 1.0 and
+    # every kept fraction is <= 1 (downsample-only)
+    fr = mixture_fractions_from_dict(obs, t)
+    assert max(fr.values()) == 1.0 and all(0.0 <= f <= 1.0 for f in fr.values())
+
+
+def mixture_fractions_from_dict(observed, target):
+    """Driver-side twin of mixture_fractions' arithmetic for dict input
+    (the Spark function aggregates the corpus first)."""
+    total_out = min(observed[s] / t for s, t in target.items() if t > 0)
+    return {
+        s: (min(1.0, (target.get(s, 0.0) * total_out) / c) if target.get(s, 0.0) > 0 else 0.0)
+        for s, c in observed.items()
+        if c > 0
+    }
