@@ -36,7 +36,6 @@ from feature_extractor_spark.functions.text import (
     token_counts,
 )
 from feature_extractor_spark.operators.dedup import (
-    exact_dedup,
     minhash_lsh_pairs,
     near_dup_clusters,
 )
@@ -144,11 +143,22 @@ def curate(
 
     docs = _count(docs, "input")
 
-    # 1. exact dedup: identical normalized text -> keep min-id survivor
-    exact = exact_dedup(docs, id_col, text_col).select(
-        F.col("canonical_id").alias(id_col)
+    # 1. exact dedup: identical normalized text -> keep min-id survivor.
+    #    Same digest + survivor rule as operators/dedup.exact_dedup, but
+    #    as a rank-1 window instead of groupBy+self-join: ONE scan and
+    #    ONE digest-keyed shuffle where the join form re-scans the (by
+    #    now branched, pruned-differently, non-exchange-reusable) input
+    #    subtree twice and shuffles it again by id
+    from pyspark.sql import Window
+
+    from feature_extractor_spark.operators.dedup import _norm_text
+
+    w_exact = Window.partitionBy(F.md5(_norm_text(text_col))).orderBy(id_col)
+    survivors = (
+        docs.withColumn("__rn", F.row_number().over(w_exact))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
-    survivors = docs.join(exact, id_col)
     survivors = _count(survivors, "exact_dedup")
 
     # 2. transitive near-dup dedup: banded MinHash candidates -> verified
@@ -228,6 +238,20 @@ def curate(
             F.col(id_col).cast("string"),
         ),
     )
+    # barrier before the two-phase packing scan: pack_sequences' offsets
+    # branch is pruned to (pack_order, n_tok) so Catalyst plans it as a
+    # DIFFERENT exchange subtree than the full-width main branch — no
+    # ReuseExchange — and without a barrier each action executes the
+    # whole dedup/filter pipeline TWICE. persist(), not localCheckpoint:
+    # the InMemoryRelation stays INSIDE the query plan, so the funnel's
+    # observe() nodes still report through the caller's action (a
+    # checkpoint would orphan them), and the curated survivors (tiny
+    # relative to the input) materialize once with both branches reading
+    # the cache. The cache is owned by the returned plan; callers that
+    # materialize their own copy (run_curation) or finish their action
+    # leave it to LRU eviction / session teardown, the same lifetime the
+    # dedup word-hash cache documents.
+    ordered = ordered.persist()
     out = pack_sequences(
         ordered, order_col="pack_order", n_tok_col="n_tok",
         context_len=context_len,
@@ -313,12 +337,16 @@ def curate_tokens(
     seqs = _count(seqs, "input")
 
     # 1. exact dedup: identical token arrays -> min-seq_id survivor
-    exact = (
-        seqs.groupBy(tokens_col)
-        .agg(F.min("seq_id").alias("seq_id"))
-        .select("seq_id")
+    #    (rank-1 window, one shuffle keyed on the array hash — same
+    #    reasoning as the text path's exact stage)
+    from pyspark.sql import Window
+
+    w_exact = Window.partitionBy(tokens_col).orderBy("seq_id")
+    survivors = (
+        seqs.withColumn("__rn", F.row_number().over(w_exact))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
-    survivors = seqs.join(exact, "seq_id")
 
     # 2. transitive near-dup over token n-grams
     pairs = minhash_lsh_pairs_tokens(
@@ -396,6 +424,8 @@ def curate_tokens(
             F.col("seq_id").cast("string"),
         ),
     )
+    # same two-phase-scan barrier as the text path (see curate)
+    ordered = ordered.persist()
     out = pack_sequences(
         ordered, order_col="pack_order", n_tok_col=n_tok_col,
         context_len=context_len,
