@@ -744,12 +744,20 @@ def near_dup_clusters(
     return out
 
 
+def _re_escape(sep: str) -> str:
+    """Literal separator -> regex for F.split (split takes a pattern)."""
+    import re as _re
+
+    return _re.escape(sep)
+
+
 def line_dedup_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     min_docs: int = 3,
     out_col: str | None = None,
+    sep: str = "\n",
 ) -> DataFrame:
     """Corpus-wide line-level boilerplate removal (the C4 recipe, Raffel
     et al. 2020 "Exploring the Limits of Transfer Learning..." — public
@@ -770,6 +778,11 @@ def line_dedup_corpus(
     paragraph structure is not boilerplate. NULL-text docs pass through
     unchanged (n_removed_lines=0) rather than being dropped.
 
+    ``sep`` picks the dedup granularity: the default "\n" is C4's line
+    rule; sep="\n\n" runs the same machinery per PARAGRAPH (blocks that
+    repeat corpus-wide — license headers, bio boxes — without their
+    individual lines being common enough to trip the line rule).
+
     Deliberate two-scan shape: the exploded line frame feeds both the
     df-count branch and the removal join, so the corpus is read (and
     split) twice. Persisting the exploded lines instead would hold
@@ -780,7 +793,8 @@ def line_dedup_corpus(
     out_col = out_col or text_col
     lh = F.xxhash64(F.trim(F.col("__line")))
     exploded = docs.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n"))
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re_escape(sep))),
     ).select(
         id_col,
         F.col("pos").alias("__pos"),
@@ -821,7 +835,7 @@ def line_dedup_corpus(
                     ),
                     lambda s: s.getField("__line"),
                 ),
-                "\n",
+                sep,
             ).alias("__clean"),
             F.sum(F.when(F.col("__rm").isNotNull(), 1).otherwise(0)).alias(
                 "n_removed_lines"

@@ -1047,3 +1047,35 @@ def test_remove_duplicate_spans_tokens_payload(spark):
     assert dict(remove_duplicate_spans_tokens(df, min_len=20).dtypes)[
         "tokens"
     ] == "array<int>"
+
+
+def test_line_dedup_paragraph_granularity(spark):
+    """sep='\\n\\n' removes corpus-wide repeated PARAGRAPHS while leaving
+    lines inside unique paragraphs alone — even when one line of the
+    unique paragraph coincides with a line of the boilerplate block
+    (the case the line rule would over-remove)."""
+    from feature_extractor_spark.operators.dedup import line_dedup_corpus
+
+    license_block = "licensed under terms\nsee the file for details"
+    rows = []
+    for i in range(4):
+        body = f"unique paragraph {i} one\nsee the file for details"
+        rows.append((f"d{i}", f"{license_block}\n\n{body}", ))
+    rows.append(("solo", "standalone text\n\nno shared blocks here"))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup_corpus(
+            docs, "doc_id", "text", min_docs=3, sep="\n\n"
+        ).collect()
+    }
+    for i in range(4):
+        t = out[f"d{i}"]["text"]
+        assert license_block not in t
+        # the shared LINE inside the unique paragraph survives: paragraph
+        # granularity removes blocks, not lines
+        assert "see the file for details" in t
+        assert out[f"d{i}"]["n_removed_lines"] == 1
+    assert out["solo"]["text"] == "standalone text\n\nno shared blocks here"
+    assert out["solo"]["n_removed_lines"] == 0
