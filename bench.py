@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     # measures the vectorized lm_score stage (train + broadcast + one
     # Arrow scoring pass) inside the composition
     "curation_pipeline_lm",
+    # round-6: the composed INPUT-HINT payload path — token-gram dedup ->
+    # filters -> fixed-context chunking -> EOS -> shuffle -> packing
+    "curation_tokens_pipeline",
 ]
 
 
@@ -72,6 +75,27 @@ def _curation_lm_query(spark, sf_dir: str):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return curate(docs, context_len=2048, lm_max_bits=8.0)
+
+
+def _curation_tokens_query(spark, sf_dir: str):
+    """Composed curation over the INPUT-HINT tokens payload (synth table
+    scaled with sf): token-gram dedup -> filters -> fixed-context
+    chunking -> EOS -> shuffle -> packing."""
+    from feature_extractor_spark.plans.tokens_pipeline import curate_tokens
+    from feature_extractor_spark.sources.tokens import synth_tokens
+
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
+    n_rows = max(5_000, int(300_000 * sf))  # 30k rows at sf0.1
+    tok = synth_tokens(spark, n_rows=n_rows, n_docs=max(50, n_rows // 100))
+    # threshold 0.9: the affine generator's token sets are lattice shifts
+    # of one progression, so the similarity graph is systematically dense
+    # — at 0.6 the CC closure walks tens of thousands of verified pairs
+    # (a closure stress case, but it would drown the rest of the
+    # composition); 0.9 keeps every stage exercised at bounded density
+    return curate_tokens(
+        tok, context_len=2048, min_tok=8, near_dup_threshold=0.9,
+        chunk_max_len=48, chunk_overlap=8, eos_id=50256,
+    )
 
 
 def _force(df) -> int:
@@ -144,6 +168,7 @@ def main() -> None:
     qs["encoder_vae_small_latents"] = eq.encoder_vae_small_latents_raw
     qs["curation_pipeline"] = _curation_query
     qs["curation_pipeline_lm"] = _curation_lm_query
+    qs["curation_tokens_pipeline"] = _curation_tokens_query  # r6: payload path
 
     # retired driver row, kept as a bench series (same raw operator)
     from feature_extractor_spark.operators.dedup import exact_dedup

@@ -241,3 +241,48 @@ def test_normalize_unicode_collapse_and_out_col(spark):
     assert out["key"] == "two spaces and tabs !"
     with pytest.raises(ValueError):
         normalize_unicode(df, "text", form="NFX")
+
+
+# --- property test: chunk_tokens vs the plain-Python chunker -------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_chunk_cases = st.tuples(
+    st.lists(  # up to 6 docs of up to 40 tokens
+        st.lists(st.integers(min_value=0, max_value=999), max_size=40),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=2, max_value=12),  # max_len
+    st.integers(min_value=0, max_value=11),  # overlap (clamped < max_len)
+    st.integers(min_value=1, max_value=6),  # min_tail
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_chunk_cases)
+def test_chunk_tokens_property_matches_python(spark, case):
+    docs_tokens, max_len, overlap, min_tail = case
+    overlap = min(overlap, max_len - 1)
+    rows = [(f"d{i}", ts) for i, ts in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = [
+        (r["doc_id"], r["chunk_id"], r["chunk_start"], r["chunk_tokens"])
+        for r in chunk_tokens(
+            df, max_len=max_len, overlap=overlap, min_tail=min_tail
+        )
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    ]
+    exp = []
+    for i, ts in enumerate(rows):
+        for cid, start, chunk, _n in _py_chunks(
+            ts[1], max_len, overlap, min_tail
+        ):
+            exp.append((f"d{i}", cid, start, chunk))
+    assert got == exp
