@@ -28,3 +28,8 @@ from feature_extractor_spark.functions.text import compression_ratio  # noqa: F4
 from feature_extractor_spark.functions.decompose import spectral_features  # noqa: F401
 from feature_extractor_spark.functions.text import top_ngrams  # noqa: F401
 from feature_extractor_spark.functions.lm import lm_buckets  # noqa: F401
+from feature_extractor_spark.functions.text import (  # noqa: F401
+    normalize_unicode,
+    token_freq_topk,
+    vocab_coverage,
+)

@@ -19,3 +19,15 @@ from feature_extractor_spark.operators.similarity import (  # noqa: F401
     semantic_dedup,
 )
 from feature_extractor_spark.operators.dedup import line_dedup_corpus  # noqa: F401
+from feature_extractor_spark.operators.packing import (  # noqa: F401
+    append_eos,
+    chunk_tokens,
+    pack_sequences,
+    packing_stats,
+)
+from feature_extractor_spark.operators.sampling import (  # noqa: F401
+    mixture_fractions,
+    sample_n_per_group,
+    stratified_sample,
+    temperature_targets,
+)
