@@ -29,6 +29,8 @@ into their shuffle rather than adding one.
 
 from __future__ import annotations
 
+import functools as _functools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -360,17 +362,20 @@ def haar_wavelet_features(
     return df.mapInPandas(run, schema)
 
 
+@_functools.lru_cache(maxsize=64)
 def _dpss_tapers(n: int, nw: float, k: int):
     """First ``k`` discrete prolate spheroidal (Slepian) tapers of length
     ``n`` at time-bandwidth product ``nw`` — computed from the classic
     symmetric tridiagonal commuting matrix (Slepian 1978; Percival &
     Walden 1993 §8.3 — public method), whose eigenvectors ARE the DPSS,
     ordered by eigenvalue. Pure NumPy (no scipy in the container): the
-    dense symmetric eigendecomposition is O(n^3) but runs ONCE per
-    distinct window length and is cached by the caller. Tapers are
-    scaled to ||v||^2 = n so a white-noise multitaper spectrum matches
-    the boxcar periodogram's scale. Signs are irrelevant downstream
-    (|fft|^2)."""
+    dense symmetric eigendecomposition is O(n^3), so the module-level
+    ``lru_cache`` keyed on (n, nw, k) makes it run once per distinct
+    window length PER PYTHON WORKER PROCESS — a closure-level cache would
+    rerun it for every mapInPandas partition that sees the length.
+    Tapers are scaled to ||v||^2 = n so a white-noise multitaper spectrum
+    matches the boxcar periodogram's scale. Signs are irrelevant
+    downstream (|fft|^2)."""
     import numpy as np
 
     w = nw / n
@@ -420,8 +425,9 @@ def spectral_features(
     periodogram of the window multiplied by one DPSS (Slepian) taper —
     variance shrinks ~1/K at equal bandwidth (pinned in tests). Tapers
     depend only on (window length, nw, K), so they are computed once per
-    distinct length per Python worker and cached; the per-row cost stays
-    one batched rfft per taper.
+    distinct length per Python worker PROCESS (module-level lru_cache on
+    ``_dpss_tapers`` — it persists across mapInPandas partitions and
+    queries); the per-row cost stays one batched rfft per taper.
     """
     from typing import Iterator
 
@@ -446,15 +452,14 @@ def spectral_features(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        taper_cache: dict[int, np.ndarray] = {}
-
         def spectrum(X: np.ndarray) -> np.ndarray:
             if method == "periodogram":
                 return np.abs(np.fft.rfft(X, axis=1)) ** 2
             L = X.shape[1]
-            if L not in taper_cache:
-                taper_cache[L] = _dpss_tapers(L, nw, min(k, L))
-            tapers = taper_cache[L]
+            # module-level lru_cache: the O(L^3) eigendecomposition runs
+            # once per distinct (L, nw, k) per worker PROCESS, not per
+            # mapInPandas partition
+            tapers = _dpss_tapers(int(L), float(nw), int(min(k, L)))
             # mean over K eigenspectra: (K, rows, nf) -> (rows, nf)
             eig = np.abs(np.fft.rfft(X[None, :, :] * tapers[:, None, :], axis=2)) ** 2
             return eig.mean(axis=0)  # ||v||^2 = n makes this boxcar-scaled

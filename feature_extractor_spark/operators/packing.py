@@ -139,8 +139,14 @@ def chunk_tokens(
 
     Tail handling: a trailing chunk shorter than ``min_tail`` tokens is
     dropped UNLESS it is the document's only chunk (``chunk_id == 0``), so
-    every non-empty document survives chunking. Empty/NULL token arrays
-    emit no rows (count them upstream if loss matters).
+    every non-empty document survives chunking. With ``overlap > 0`` a
+    non-first chunk must also contribute at least one NEW token
+    (``chunk_n_tok > overlap``): when the document length satisfies
+    ``n % step <= overlap`` the final start position falls inside the
+    previous chunk's coverage, and the resulting suffix chunk would be a
+    pure duplicate of tokens the previous chunk already emitted —
+    duplicated training data, never useful. Empty/NULL token arrays emit
+    no rows (count them upstream if loss matters).
 
     Scale shape: pure per-row expressions (sequence + posexplode + slice)
     — a narrow map with no shuffle and no Python; output size is
@@ -167,7 +173,14 @@ def chunk_tokens(
         "chunk_n_tok", F.size(out_tokens_col)
     )
     return out.where(
-        (F.col("chunk_id") == 0) | (F.col("chunk_n_tok") >= F.lit(min_tail))
+        (F.col("chunk_id") == 0)
+        | (
+            (F.col("chunk_n_tok") >= F.lit(min_tail))
+            # a non-first chunk fully covered by its predecessor (all of
+            # its tokens are the predecessor's last `overlap` tokens) adds
+            # zero new tokens — drop it regardless of min_tail
+            & (F.col("chunk_n_tok") > F.lit(overlap))
+        )
     )
 
 

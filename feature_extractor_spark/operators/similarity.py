@@ -992,7 +992,7 @@ def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int | None = 16,
+    n_clusters: int | None = None,
     threshold: float = 0.95,
     sample_size: int = 4096,
     seed: int = 23,
@@ -1006,9 +1006,12 @@ def semantic_dedup(
     ``threshold``), take the transitive closure, keep one canonical
     survivor per semantic group. Returns (id_col, canonical_id, cell).
 
-    ``n_clusters=None`` auto-sizes: one count job, then C = ceil(N /
-    (max_cluster_rows/8)) — the mean cell lands at cap/8 so only ~8x
-    cell skew can trip the backstop RAISE.
+    ``n_clusters=None`` (the default — default invocations self-scale
+    instead of raising when a fixed cluster count meets a large corpus)
+    auto-sizes: one count job, then C = ceil(N / (max_cluster_rows/8)) —
+    the mean cell lands at cap/8 so only ~8x cell skew can trip the
+    backstop RAISE. Pass an explicit ``n_clusters`` to pin the cell
+    geometry (e.g. to reuse centroids across runs).
 
     Scale shape: centroids come from the bounded seeded sample
     (``kmeans_centroids``); cell assignment is one Arrow map pass with the

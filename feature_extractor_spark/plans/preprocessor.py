@@ -96,8 +96,9 @@ def _stl_preprocessor(df: DataFrame, config: dict) -> DataFrame:
     - ``use_wavelets`` adds the Haar approximation/detail-energy channels
       over ``window_col`` (requires an array-typed window column, i.e.
       run after the W1 sliding-window stage).
-    - ``use_multi_tapper`` selects Thomson DPSS multitaper for the
-      spectral channel over ``window_col`` (plain periodogram otherwise;
+    - ``use_multi_tapper`` (default True, the reference's default) selects
+      Thomson DPSS multitaper for the spectral channel over ``window_col``
+      (``use_multi_tapper: False`` falls back to the plain periodogram;
       ``use_spectral: False`` drops the channel entirely).
     """
     from feature_extractor_spark.functions.decompose import (
@@ -128,8 +129,11 @@ def _stl_preprocessor(df: DataFrame, config: dict) -> DataFrame:
                 out,
                 window_col=window_col,
                 method=(
+                    # default True matches the reference's config default
+                    # (/root/reference/app/config.py:92) — use_stl and
+                    # use_wavelets already default True for the same reason
                     "multitaper"
-                    if config.get("use_multi_tapper", False)
+                    if config.get("use_multi_tapper", True)
                     else "periodogram"
                 ),
                 nw=float(config.get("multitaper_nw", 4.0)),

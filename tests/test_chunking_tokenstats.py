@@ -24,7 +24,10 @@ def _py_chunks(tokens, max_len, overlap, min_tail):
     out = []
     for cid, start in enumerate(range(0, len(tokens), step)):
         chunk = tokens[start : start + max_len]
-        if cid > 0 and len(chunk) < min_tail:
+        # non-first chunks must meet min_tail AND contribute at least one
+        # NEW token (len > overlap) — a chunk fully covered by its
+        # predecessor duplicates training data (ADVICE r6)
+        if cid > 0 and (len(chunk) < min_tail or len(chunk) <= overlap):
             continue
         out.append((cid, start, chunk, len(chunk)))
     return out
