@@ -170,6 +170,9 @@ def main() -> None:
     qs["curation_pipeline_lm"] = _curation_lm_query
     qs["curation_tokens_pipeline"] = _curation_tokens_query  # r6: payload path
 
+    # driver row ceded r7 (slot to vocab_audit); kept as a bench series
+    qs["w3_lag_lead"] = eq.w3_lag_lead
+
     # retired driver row, kept as a bench series (same raw operator)
     from feature_extractor_spark.operators.dedup import exact_dedup
 

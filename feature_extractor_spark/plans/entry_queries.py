@@ -546,19 +546,12 @@ def w1_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "w3_lag_lead",
-    """
-    SELECT event_id, user_id, ts, value,
-           lag(value, 1)  OVER w AS value_lag_1,
-           lag(value, 3)  OVER w AS value_lag_3,
-           lead(value, 1) OVER w AS value_lead_1
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-    """,
-)
 def w3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3 explicit lag/lead features."""
+    """W3 explicit lag/lead features. Driver row ceded r7 to
+    ``vocab_audit`` (VERDICT r6 item 1 — a two-function window is
+    near-trivia next to an ingest-gating audit); stays DuckDB-checked in
+    pytest (tests/test_ceded_rows.py) and
+    benched by name in bench.py for cross-round comparability."""
     ev = _t(spark, sf_dir, "events")
     return lag_lead_features(
         ev.select("event_id", "user_id", "ts", "value"),
@@ -635,7 +628,21 @@ def seasonal_decompose_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^-k-multiple values land on decimal half-way points where Spark's
     repr-HALF_UP round() and DuckDB's numeric round() disagree — the
     documented round() trap). (user_id, ts) is unique in the testdata,
-    so row_number phase order is deterministic."""
+    so row_number phase order is deterministic.
+
+    Known residual order-dependence (documented, not constructed away):
+    the bit-exactness argument covers every stage EXCEPT the final
+    centering mean — per-phase sums of 2^-6 multiples are exact and each
+    phase mean is one rounding (exact_sum / m, identical in both
+    engines), but the mean-of-32-phase-means then sums 32 INEXACT
+    doubles, so cross-engine equality of seasonal/resid additionally
+    relies on Spark and DuckDB reducing those 32 addends in the same
+    order. Empirically true at sf0.01 across the tested engine versions;
+    if a future engine/partitioning flips a last-ulp here, the fix is to
+    round seasonal/resid in BOTH engines after a small epsilon shift
+    (e.g. round(x + 1e-9, 6) — the shift keeps the exact-half-way
+    2^-k-multiples off the HALF_UP/HALF_EVEN disagreement points), not
+    plain round()."""
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", F.floor("value").cast("double").alias("v")
     )
@@ -814,6 +821,149 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("text").alias("clean_text"),
         F.col("n_removed_lines").cast("long").alias("n_removed_lines"),
+    )
+
+
+@_q(
+    "paragraph_dedup",
+    """
+    WITH lined AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0
+                   THEN 'licensed under the synthetic license' || chr(10)
+                        || 'version 2.0 terms apply' || chr(10) || chr(10)
+                   ELSE '' END)
+             || regexp_replace(text, ' merge ', chr(10) || chr(10), 'g')
+             || (CASE WHEN doc_id % 3 = 0
+                      THEN chr(10) || chr(10) || 'author bio: a prolific writer'
+                           || chr(10) || 'of synthetic corpora'
+                      ELSE '' END)
+               AS t
+      FROM documents
+    ), ex AS (
+      SELECT doc_id,
+             unnest(string_split(t, chr(10) || chr(10))) AS para,
+             unnest(range(1, len(string_split(t, chr(10) || chr(10))) + 1)) AS pos
+      FROM lined
+    ), cnt AS (
+      SELECT trim(para) AS k, count(DISTINCT doc_id) AS n_docs
+      FROM ex WHERE trim(para) <> '' GROUP BY 1
+    ), flagged AS (
+      SELECT e.doc_id, e.pos, e.para,
+             coalesce(trim(e.para) <> '' AND c.n_docs >= 3, FALSE) AS rm
+      FROM ex e LEFT JOIN cnt c ON trim(e.para) = c.k
+    )
+    SELECT doc_id,
+           coalesce(string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                      FILTER (WHERE NOT rm), '') AS clean_text,
+           sum(CASE WHEN rm THEN 1 ELSE 0 END)::BIGINT AS n_removed_paragraphs
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAGRAPH-granularity corpus dedup — the ``sep="\\n\\n"`` mode of
+    operators/dedup.py line_dedup_corpus (VERDICT r6 item 1c): blocks
+    that repeat corpus-wide (license headers, bio boxes) are removed even
+    though their individual lines never trip the line rule. The query
+    synthesizes paragraph structure the testdata lacks — a two-line
+    license header on even doc_ids, a two-line author bio on doc_id%3,
+    body paragraphs split at ' merge ' — then removes every paragraph
+    occurring in >= 3 distinct docs. The DuckDB oracle recomputes the
+    whole rule from strings (distinct-doc counts on trimmed paragraphs,
+    order-preserving rebuild joined with blank lines, removed count)
+    while the engine runs 64-bit xxhash64 keys — same oracle shape as the
+    green ``line_dedup`` row, different granularity knob. Replaced
+    o4_ts_range_split (ceded; pytest tests/test_ceded_rows.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit(
+                    "licensed under the synthetic license\n"
+                    "version 2.0 terms apply\n\n"
+                ),
+            ).otherwise(F.lit("")),
+            F.regexp_replace(F.col("text"), " merge ", "\n\n"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\n\nauthor bio: a prolific writer\nof synthetic corpora"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = line_dedup_corpus(lined, "doc_id", "text", min_docs=3, sep="\n\n")
+    return out.select(
+        "doc_id",
+        F.col("text").alias("clean_text"),
+        F.col("n_removed_lines").cast("long").alias("n_removed_paragraphs"),
+    )
+
+
+@_q(
+    "unicode_normalize",
+    """
+    WITH lined AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN chr(65279) ELSE '' END)
+             || (CASE WHEN doc_id % 2 = 0
+                      THEN 'Cafe' || chr(769) || ': ' ELSE '' END)
+             || regexp_replace(text, ' merge ',
+                               ' me' || chr(8203) || 'rge' || chr(1) || ' ', 'g')
+               AS t
+      FROM documents
+    ), normed AS (
+      SELECT doc_id,
+             regexp_replace(
+               nfc_normalize(t),
+               '[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f\\x{200b}-\\x{200d}\\x{2060}\\x{feff}]',
+               '', 'g') AS clean_text
+      FROM lined
+    )
+    SELECT doc_id, clean_text, length(clean_text)::BIGINT AS n_chars
+    FROM normed
+    """,
+)
+def unicode_normalize_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode hygiene pre-cleaning (functions/text.py normalize_unicode,
+    VERDICT r6 item 1b): the testdata is plain ASCII, so the query plants
+    the exact pathologies the operator exists for — a BOM (U+FEFF) prefix
+    on doc_id%3, a decomposed 'Cafe' + COMBINING ACUTE (U+0301) header on
+    even doc_ids (NFC must compose it to 'Café'), and a ZWSP (U+200B) +
+    control byte (U+0001) spliced inside every ' merge ' — then runs
+    NFC + control/zero-width stripping. The DuckDB oracle recomputes with
+    its own independent unicode tables (``nfc_normalize`` + RE2
+    regexp_replace), so a hash match proves the engine's pandas
+    ``.str.normalize``/regex path agrees with a second implementation
+    byte-for-byte, including the n_chars codepoint counts. Docs hitting
+    no plant rule must round-trip identically (the ZWSP/control splice
+    reverts to ' merge '). Replaced p1_target_selection (ceded; pytest
+    tests/test_ceded_rows.py)."""
+    from feature_extractor_spark.functions.text import normalize_unicode
+
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.concat(
+            # BOM prefix (U+FEFF)
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\ufeff")).otherwise(
+                F.lit("")
+            ),
+            # DECOMPOSED e + COMBINING ACUTE (U+0301) — NFC must compose
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("Cafe\u0301: ")
+            ).otherwise(F.lit("")),
+            # ZWSP (U+200B) + control (U+0001) inside every ' merge '
+            F.regexp_replace(
+                F.col("text"), " merge ", " me\u200brge\u0001 "
+            ),
+        ).alias("text"),
+    )
+    out = normalize_unicode(lined, "text", out_col="clean_text", form="NFC")
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.length("clean_text").cast("long").alias("n_chars"),
     )
 
 
@@ -1092,6 +1242,86 @@ def tokens_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, t: acc + t.cast("long"),
         ).alias("token_sum"),
+    )
+
+
+@_q(
+    "vocab_audit",
+    """
+    WITH base AS (
+      SELECT i::BIGINT AS id,
+             (((i::BIGINT*2654435761 + 2*40503) % 2147483647) % 57 + 8) AS n_tok
+      FROM range(4000) t(i)
+    ), occ AS (
+      SELECT id, ((id*2654435761 + j*40503) % 50257)::INT AS token
+      FROM (SELECT id, unnest(range(0, n_tok)) AS j FROM base)
+    ), per_tok AS (
+      SELECT token, count(DISTINCT id)::BIGINT AS n_docs,
+             count(*)::BIGINT AS n_total
+      FROM occ GROUP BY token
+    ), topk AS (
+      SELECT token, n_docs, n_total FROM per_tok
+      ORDER BY n_total DESC, token ASC LIMIT 50
+    ), cov AS (
+      SELECT (SELECT count(*) FROM base)::BIGINT AS corpus_n_seqs,
+             count(*)::BIGINT AS corpus_n_tok,
+             count(DISTINCT token)::BIGINT AS n_distinct,
+             count(DISTINCT CASE WHEN token >= 0 AND token < 32768
+                                 THEN token END)::BIGINT AS n_distinct_in_vocab,
+             count(DISTINCT CASE WHEN token >= 0 AND token < 32768
+                                 THEN token END) / 32768.0 AS coverage,
+             sum(CASE WHEN token < 0 OR token >= 32768
+                      THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+             sum(CASE WHEN token < 0 OR token >= 32768 THEN 1 ELSE 0 END)
+               / count(*)::DOUBLE AS oov_frac
+      FROM occ
+    )
+    SELECT token, n_docs, n_total, corpus_n_seqs, corpus_n_tok, n_distinct,
+           n_distinct_in_vocab, coverage, n_oov, oov_frac
+    FROM topk CROSS JOIN cov
+    """,
+)
+def vocab_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer/corpus audit over the input-hint tokens table (VERDICT
+    r6 item 1a): ``token_freq_topk`` (top-50 token ids by occurrence,
+    ties broken token-asc — a unique total order both engines resolve
+    identically) cross-joined with the one-row ``vocab_coverage``
+    summary against a DELIBERATELY small vocab_size=32768, so the OOV
+    path is exercised for real (~35% of ids land out of range — the
+    condition an ingest actually gates on). The DuckDB oracle re-derives
+    every token id from the generator formula (same discipline as
+    tokens_chunking) and recomputes both aggregates via unnest/groupBy —
+    pure SQL, no fixture. coverage and oov_frac are single divisions of
+    exact integers, bit-identical across engines. Replaced w3_lag_lead
+    (ceded; pytest tests/test_ceded_rows.py, still benched by name)."""
+    from feature_extractor_spark.functions.text import (
+        token_freq_topk,
+        vocab_coverage,
+    )
+    from feature_extractor_spark.sources.tokens import synth_tokens
+
+    tok = synth_tokens(spark, n_rows=4000, n_docs=50, heavy_share=5)
+    topk = token_freq_topk(tok, "tokens", k=50)
+    cov = vocab_coverage(tok, "tokens", vocab_size=32768).select(
+        F.col("n_docs").alias("corpus_n_seqs"),
+        F.col("n_total").alias("corpus_n_tok"),
+        "n_distinct",
+        "n_distinct_in_vocab",
+        "coverage",
+        "n_oov",
+        "oov_frac",
+    )
+    return topk.crossJoin(cov).select(
+        F.col("token").cast("int").alias("token"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_total").cast("long").alias("n_total"),
+        "corpus_n_seqs",
+        "corpus_n_tok",
+        "n_distinct",
+        "n_distinct_in_vocab",
+        "coverage",
+        "n_oov",
+        "oov_frac",
     )
 
 
@@ -2161,9 +2391,13 @@ def _p1_target_sql() -> str:
     return f"SELECT event_id,\n           {cols}\n    FROM events"
 
 
-@_q("p1_target_selection", _p1_target_sql())
 def p1_target_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1 with the reference's DEFAULT target list: a 24-column frame
+    """Driver row ceded r7 to ``unicode_normalize`` (VERDICT r6 item 1 —
+    a projection is near-trivia next to a corpus-mutating operator);
+    stays DuckDB-checked in pytest
+    (tests/test_ceded_rows.py) via the same ``_p1_target_sql()`` oracle.
+
+    P1 with the reference's DEFAULT target list: a 24-column frame
     carrying all 23 ``cvae_target_feature_names``
     (/root/reference/app/config.py:36-43, incl. the '-'/'&' names) plus a
     decoy column; ``select_targets`` with no explicit list must resolve
@@ -2185,20 +2419,23 @@ def p1_target_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_targets(wide, keep_cols=["event_id"])
 
 
-@_q(
-    "o4_ts_range_split",
-    """
+# o4's DuckDB oracle, kept for the pytest twin of the ceded driver row
+O4_SPLIT_ORACLE_SQL = """
     SELECT CASE WHEN ts < TIMESTAMP '2024-01-10 00:00:00' THEN 'train'
                 WHEN ts < TIMESTAMP '2024-01-13 00:00:00' THEN 'val'
                 ELSE 'test' END AS split,
            count(*)::BIGINT AS n_rows,
            round(sum(value), 4) AS sum_value
     FROM events GROUP BY 1
-    """,
-)
+    """
+
+
 def o4_ts_range_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4 train/val/test split as partition-prunable ts-range predicates on
-    ONE table (the reference splits by separate files, app/config.py:5-10)."""
+    ONE table (the reference splits by separate files, app/config.py:5-10).
+    Driver row ceded r7 to ``paragraph_dedup`` (VERDICT r6 item 1); stays
+    DuckDB-checked in pytest
+    (tests/test_ceded_rows.py) via ``O4_SPLIT_ORACLE_SQL``."""
     ev = _t(spark, sf_dir, "events")
     split = (
         F.when(F.col("ts") < "2024-01-10", F.lit("train"))

@@ -1,0 +1,77 @@
+"""DuckDB oracle parity for driver rows CEDED in round 7 (VERDICT r6
+item 1): w3_lag_lead, p1_target_selection and o4_ts_range_split gave
+their registry slots to vocab_audit / unicode_normalize /
+paragraph_dedup, so this module keeps the exact same Spark-vs-DuckDB
+value check alive in pytest — same sf0.01 data, same oracle SQL, same
+exactness — per the r5/r6 convention that ceded rows remain
+oracle-covered (see e.g. tests/test_driver_rows_corpus.py)."""
+
+import os
+
+import duckdb
+import pandas as pd
+
+from feature_extractor_spark.plans.entry_queries import (
+    O4_SPLIT_ORACLE_SQL,
+    _p1_target_sql,
+    o4_ts_range_split,
+    p1_target_selection,
+    w3_lag_lead,
+)
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+SF = f"{TESTDATA}/sf0.01"
+
+# w3's oracle, verbatim from its (now ceded) registry entry
+W3_ORACLE_SQL = """
+    SELECT event_id, user_id, ts, value,
+           lag(value, 1)  OVER w AS value_lag_1,
+           lag(value, 3)  OVER w AS value_lag_3,
+           lead(value, 1) OVER w AS value_lead_1
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF}/events.parquet')"
+    )
+    return con.sql(sql).df()
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.copy()
+    pdf.columns = [str(c) for c in pdf.columns]
+    pdf = pdf[sorted(pdf.columns)]
+    for c in pdf.columns:
+        if pd.api.types.is_integer_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("int64")
+        elif pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("datetime64[us]")
+    return pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def test_w3_lag_lead_matches_duckdb(spark):
+    got = _canon(w3_lag_lead(spark, SF).toPandas())
+    want = _canon(_oracle(W3_ORACLE_SQL))
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want)
+
+
+def test_p1_target_selection_matches_duckdb(spark):
+    got = _canon(p1_target_selection(spark, SF).toPandas())
+    want = _canon(_oracle(_p1_target_sql()))
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want)
+
+
+def test_o4_ts_range_split_matches_duckdb(spark):
+    got = _canon(o4_ts_range_split(spark, SF).toPandas())
+    want = _canon(_oracle(O4_SPLIT_ORACLE_SQL))
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want)
