@@ -91,7 +91,11 @@ def _curation_tokens_query(spark, sf_dir: str):
     # of one progression, so the similarity graph is systematically dense
     # — at 0.6 the CC closure walks tens of thousands of verified pairs
     # (a closure stress case, but it would drown the rest of the
-    # composition); 0.9 keeps every stage exercised at bounded density
+    # composition); 0.9 keeps every stage exercised at bounded density.
+    # Density is now OBSERVABLE before it burns a run: pass
+    # stage_counts/max_pairs_per_doc to curate_tokens and read the
+    # near_dup_pairs / near_dup_max_degree funnel metrics (r7 _pair_guard)
+    # — the guard RAISES instead of silently feeding the closure a clique.
     return curate_tokens(
         tok, context_len=2048, min_tok=8, near_dup_threshold=0.9,
         chunk_max_len=48, chunk_overlap=8, eos_id=50256,

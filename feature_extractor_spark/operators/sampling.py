@@ -120,6 +120,7 @@ def sample_n_per_group(
     n: int,
     seed: int = 0,
     hash_fn: str = "xxhash64",
+    two_phase: bool = True,
 ) -> DataFrame:
     """Exactly-min(n, |group|) deterministic rows per group: rank by the
     same partitioning-independent ``hash_uniform`` (id ties broken by the
@@ -128,20 +129,64 @@ def sample_n_per_group(
     (id, seed), stable across partitioning, cluster size, and reruns
     (fraction-based ``stratified_sample`` cannot promise an exact count).
 
-    Scale shape: one hash-partitioned window sort per group. Each group
-    sorts in parallel across its partitions' spilled runs, but a single
-    pathological group is one task's sort — for heavy-hitter strata at
-    the 10^12-row scale prefer ``stratified_sample`` (map-side, no
-    shuffle) unless the exact count is the requirement.
+    Scale shape (``two_phase=True``, the default — VERDICT r6 item 3):
+    the classic two-phase exact top-n. Phase 1 is a NARROW map-side
+    reduction (one Arrow ``mapInPandas`` pass): each input batch keeps
+    only its per-group n smallest (u, id) rows — any superset of the
+    per-batch top-n necessarily contains the group's GLOBAL top-n, so
+    this is lossless. Phase 2 runs the rank-1..n window on the reduced
+    frame, whose group shuffle now carries at most n * batches rows per
+    group instead of every row, and whose per-group sort is over that
+    bounded set — a heavy-hitter stratum no longer serializes one task
+    through a whole-group sort, and the shuffle volume drops from |df|
+    to ~n * num_partitions * |groups present per partition|. Membership
+    is identical to the single-phase form because the kept set is a
+    pure function of (u, id) order, not of partitioning.
+
+    ``two_phase=False`` keeps the all-JVM single-window form (no Python
+    in the plan) — preferable when groups are uniformly tiny and the
+    Arrow hop costs more than the skew it prevents; it is also the
+    equality oracle for the two-phase path in tests.
     """
     from pyspark.sql import Window
 
     u = hash_uniform(id_col, seed, hash_fn)
     w = Window.partitionBy(group_col).orderBy(u.asc(), F.col(id_col).asc())
+    if not two_phase:
+        return (
+            df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= F.lit(int(n)))
+            .drop("__rk")
+        )
+
+    import pandas as pd  # noqa: F401  (mapInPandas batches are pandas)
+
+    tagged = df.withColumn("__u", u)
+    n_int = int(n)
+    gcol, icol = group_col, id_col
+
+    def _partial_topn(batches):
+        # per-batch per-group n smallest by (u, id): a vectorized pandas
+        # sort + head — no per-row Python. Batches never span partitions,
+        # and emitting the per-batch top-n (a superset of the per-
+        # partition top-n) is lossless for the global top-n.
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield (
+                pdf.sort_values([gcol, "__u", icol], kind="mergesort")
+                .groupby(gcol, sort=False)
+                .head(n_int)
+            )
+
+    reduced = tagged.mapInPandas(_partial_topn, tagged.schema)
+    w2 = Window.partitionBy(gcol).orderBy(
+        F.col("__u").asc(), F.col(icol).asc()
+    )
     return (
-        df.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= F.lit(int(n)))
-        .drop("__rk")
+        reduced.withColumn("__rk", F.row_number().over(w2))
+        .filter(F.col("__rk") <= F.lit(n_int))
+        .drop("__rk", "__u")
     )
 
 

@@ -46,6 +46,68 @@ from feature_extractor_spark.operators.sampling import (
 )
 
 
+def _pair_guard(
+    pairs: DataFrame,
+    id_col: str,
+    stage_counts: dict | None,
+    max_pairs_per_doc: int | None,
+) -> DataFrame:
+    """Candidate-pair observability + density guard for the composed
+    curation paths (VERDICT r6 item 2): a systematically templated corpus
+    (bench.py's own lattice-shift note) makes the verified near-dup graph
+    DENSE, silently turning the connected-components closure into the
+    dominant cost — the funnel counted surviving docs but never pairs, so
+    nothing surfaced the blowup before it burned a cluster.
+
+    When either knob is set, the pairs frame is materialized ONCE
+    (eager localCheckpoint — near_dup_clusters starts by checkpointing
+    its edges anyway, so the closure re-reads this materialization
+    instead of re-executing the LSH plan) and ONE aggregate over it
+    records, into ``stage_counts`` as plain ints:
+
+    - ``near_dup_pairs``: verified pair count (sum of degrees / 2),
+    - ``near_dup_max_degree``: max pairs touching a single doc.
+
+    ``max_pairs_per_doc`` RAISES (listing the worst offenders) when any
+    doc's degree exceeds it — consistent with SemDeDup's cell cap: pair
+    blowup means the corpus needs a tighter threshold or pre-cleaning,
+    and failing loudly beats an unbounded closure. The degree aggregate
+    is one shuffle over 2x|pairs| rows keyed on the doc id — bounded by
+    the pair set the closure must hold anyway. With both knobs unset the
+    pairs frame passes through untouched (zero extra jobs)."""
+    if stage_counts is None and max_pairs_per_doc is None:
+        return pairs
+    ckpt = pairs.localCheckpoint(eager=True)
+    deg = (
+        ckpt.select(F.explode(F.array("id_a", "id_b")).alias("__node"))
+        .groupBy("__node")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    row = deg.agg(
+        F.coalesce(F.sum("__deg"), F.lit(0)).alias("deg_sum"),
+        F.coalesce(F.max("__deg"), F.lit(0)).alias("max_deg"),
+    ).first()
+    n_pairs, max_deg = int(row["deg_sum"]) // 2, int(row["max_deg"])
+    if stage_counts is not None:
+        stage_counts["near_dup_pairs"] = n_pairs
+        stage_counts["near_dup_max_degree"] = max_deg
+    if max_pairs_per_doc is not None and max_deg > int(max_pairs_per_doc):
+        worst = [
+            (r["__node"], int(r["__deg"]))
+            for r in deg.orderBy(F.col("__deg").desc(), F.col("__node"))
+            .limit(5)
+            .collect()
+        ]
+        raise ValueError(
+            f"curate: near-dup candidate density exceeds max_pairs_per_doc="
+            f"{max_pairs_per_doc} (max degree {max_deg}, {n_pairs} verified "
+            f"pairs; worst {id_col}s: {worst}). The similarity graph is too "
+            f"dense for a useful closure — raise the threshold, pre-clean "
+            f"boilerplate (line/span dedup), or lift the cap deliberately."
+        )
+    return ckpt
+
+
 def curate(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -67,6 +129,7 @@ def curate(
     exact_span_min_len: int | None = None,
     unicode_norm: str | None = None,
     stage_counts: dict | None = None,
+    max_pairs_per_doc: int | None = None,
 ) -> DataFrame:
     """The curation dataflow as ONE composable lazy plan (no actions except
     the bounded driver loop inside the connected-components closure).
@@ -88,6 +151,10 @@ def curate(
     plain count double-tallies every replay, while a distinct-id sketch
     merges idempotently. After an action has run, pass the dict to
     ``resolve_stage_counts`` for plain ints. Disabled stages are absent.
+    With ``stage_counts`` set the funnel also carries the near-dup PAIR
+    metrics (``near_dup_pairs``, ``near_dup_max_degree`` — see
+    ``_pair_guard``); ``max_pairs_per_doc`` turns the degree metric into
+    a hard guard that RAISES on a pathologically dense similarity graph.
 
     Returns one row per surviving document with its original columns plus
     quality/repetition signals, ``n_tok``/``n_bpe_tokens``, the stable
@@ -162,10 +229,13 @@ def curate(
     survivors = _count(survivors, "exact_dedup")
 
     # 2. transitive near-dup dedup: banded MinHash candidates -> verified
-    #    Jaccard pairs -> star-contraction closure -> keep component minima
+    #    Jaccard pairs -> star-contraction closure -> keep component minima.
+    #    _pair_guard (VERDICT r6 item 2) records pair count + max per-doc
+    #    degree into the funnel and RAISES on max_pairs_per_doc blowup.
     pairs = minhash_lsh_pairs(
         survivors, id_col, text_col, threshold=near_dup_threshold, eager=False
     )
+    pairs = _pair_guard(pairs, id_col, stage_counts, max_pairs_per_doc)
     clusters = near_dup_clusters(pairs, survivors, id_col)
     keep = clusters.filter(F.col(id_col) == F.col("canonical_id")).select(id_col)
     survivors = survivors.join(keep, id_col)
@@ -262,8 +332,14 @@ def curate(
 def resolve_stage_counts(stage_counts: dict) -> dict:
     """Convert the Observation handles ``curate(stage_counts=...)``
     collected into plain ints. Call AFTER an action has executed the
-    returned plan (Observation.get blocks until its metrics exist)."""
-    return {k: int(v.get["rows"]) for k, v in stage_counts.items()}
+    returned plan (Observation.get blocks until its metrics exist).
+    ``near_dup_pairs`` / ``near_dup_max_degree`` (from ``_pair_guard``)
+    are already ints — the guard runs eagerly at plan-build time because
+    the closure materializes the pair set then anyway."""
+    return {
+        k: int(v) if isinstance(v, int) else int(v.get["rows"])
+        for k, v in stage_counts.items()
+    }
 
 
 def curate_tokens(
@@ -286,6 +362,7 @@ def curate_tokens(
     chunk_max_len: int | None = None,
     chunk_overlap: int = 0,
     stage_counts: dict | None = None,
+    max_pairs_per_doc: int | None = None,
 ) -> DataFrame:
     """Curation twin for the PRE-TOKENIZED input (BASELINE.json
     input_hint: ``doc_id:string, tokens:array<int32>, n_tok:int32,
@@ -337,22 +414,33 @@ def curate_tokens(
     seqs = _count(seqs, "input")
 
     # 1. exact dedup: identical token arrays -> min-seq_id survivor
-    #    (rank-1 window, one shuffle keyed on the array hash — same
-    #    reasoning as the text path's exact stage)
+    #    (rank-1 window — same shape as the text path's exact stage).
+    #    The window keys on xxhash64(tokens), NOT the raw array (VERDICT
+    #    r6 item 4): partitioning on the array makes every multi-KB
+    #    payload both the shuffle key and the sort key — hashed and
+    #    compared in full at every exchange/sort touch — where an 8-byte
+    #    long carries the same grouping. Two DISTINCT arrays colliding
+    #    on xxhash64 would wrongly dedup one of them; that ~2^-64
+    #    per-pair risk is accepted exactly like the text path's md5
+    #    digest key (step 1 of curate) rather than re-verified.
     from pyspark.sql import Window
 
-    w_exact = Window.partitionBy(tokens_col).orderBy("seq_id")
+    w_exact = Window.partitionBy(F.xxhash64(F.col(tokens_col))).orderBy(
+        "seq_id"
+    )
     survivors = (
         seqs.withColumn("__rn", F.row_number().over(w_exact))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
 
-    # 2. transitive near-dup over token n-grams
+    # 2. transitive near-dup over token n-grams (pair density recorded /
+    #    guarded by _pair_guard, VERDICT r6 item 2 — see curate)
     pairs = minhash_lsh_pairs_tokens(
         survivors, "seq_id", tokens_col,
         gram_n=gram_n, threshold=near_dup_threshold, eager=False,
     )
+    pairs = _pair_guard(pairs, "seq_id", stage_counts, max_pairs_per_doc)
     clusters = near_dup_clusters(pairs, survivors, "seq_id")
     keep = clusters.filter(F.col("seq_id") == F.col("canonical_id")).select("seq_id")
     survivors = survivors.join(keep, "seq_id")

@@ -289,3 +289,40 @@ def test_chunk_tokens_property_matches_python(spark, case):
         ):
             exp.append((f"d{i}", cid, start, chunk))
     assert got == exp
+
+
+def test_sample_n_per_group_two_phase_equals_single_phase_on_skew(spark):
+    """VERDICT r6 item 3: the two-phase exact top-n (map-side per-batch
+    reduction, then the rank window on the reduced frame) must select the
+    IDENTICAL membership as the single-window form on a heavily skewed
+    group layout, and its executed plan must show the partial reduction
+    (MapInPandas) feeding exactly ONE group-keyed exchange."""
+    from feature_extractor_spark.operators.sampling import sample_n_per_group
+    from feature_extractor_spark.sources.tokens import synth_tokens
+
+    # heavy_share=2 -> half of all rows land on doc_000000 (the exact
+    # single-task-sort hazard the two-phase form removes)
+    df = synth_tokens(spark, n_rows=2000, n_docs=8, heavy_share=2).select(
+        "doc_id", "ts"
+    )
+    df = df.withColumn(
+        "rid", F.concat("doc_id", F.lit("#"), F.col("ts").cast("string"))
+    )
+    two = sample_n_per_group(df, "rid", "doc_id", n=9, seed=5)
+    one = sample_n_per_group(df, "rid", "doc_id", n=9, seed=5, two_phase=False)
+    assert sorted(r["rid"] for r in two.collect()) == sorted(
+        r["rid"] for r in one.collect()
+    )
+    # schema untouched (helper columns dropped)
+    assert two.columns == df.columns
+
+    # plan pin on a FRESH (pre-action) frame: after an action the AQE
+    # plan string carries both Initial and Final sections and would
+    # double-count the single exchange
+    fresh = sample_n_per_group(df, "rid", "doc_id", n=9, seed=5)
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the reduction sits BELOW the exchange (printed after it, since the
+    # physical plan prints root-first): partial top-n before the shuffle
+    assert plan.index("MapInPandas") > plan.index("Exchange hashpartitioning")

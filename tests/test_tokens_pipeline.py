@@ -331,3 +331,63 @@ def test_curate_tokens_exact_span_stage(spark):
     assert len(toks["c"]) == 40
     ntoks = {r["doc_id"]: r["n_tok"] for r in out}
     assert ntoks["a"] == 10 and ntoks["b"] == 10 and ntoks["c"] == 40
+
+
+def test_pair_guard_dense_clique_raises_and_funnel_reports_pairs(spark):
+    """VERDICT r6 item 2: a planted dense near-dup clique (40 docs of
+    near-identical text -> ~all-pairs verified edges) must trip the
+    max_pairs_per_doc guard with the offender ids in the message, while
+    the unguarded run reports the pair count and max degree through the
+    stage_counts funnel."""
+    from feature_extractor_spark.plans.tokens_pipeline import (
+        curate,
+        resolve_stage_counts,
+    )
+
+    base = " ".join(f"w{i}" for i in range(60))
+    rows = [(i, f"{base} unique{i}", "web") for i in range(40)]
+    # plus isolated docs that share nothing with the clique
+    rows += [
+        (100 + i, " ".join(f"z{i}x{j}" for j in range(40)), "web")
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    with pytest.raises(ValueError, match="max_pairs_per_doc"):
+        curate(docs, context_len=256, max_pairs_per_doc=10)
+
+    counts: dict = {}
+    out = curate(docs, context_len=256, stage_counts=counts,
+                 max_pairs_per_doc=10_000)
+    n_out = out.count()
+    got = resolve_stage_counts(counts)
+    # clique of 40: every member pairs with most others; one survivor
+    assert got["near_dup_pairs"] >= 40 * 30 // 2
+    assert got["near_dup_max_degree"] >= 30
+    assert n_out <= 1 + 10  # one clique survivor + the isolated docs
+
+
+def test_pair_guard_no_extra_jobs_when_unset(spark):
+    """With neither stage_counts nor max_pairs_per_doc the guard must be
+    a passthrough — the pairs frame object is returned untouched."""
+    from feature_extractor_spark.plans.tokens_pipeline import _pair_guard
+
+    df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    assert _pair_guard(df, "doc_id", None, None) is df
+
+
+def test_curate_tokens_exact_dedup_windows_on_hash_key(spark):
+    """VERDICT r6 item 4: the exact-dedup window shuffles on
+    xxhash64(tokens) (an 8-byte key), not on the raw multi-KB array."""
+    from feature_extractor_spark.plans.tokens_pipeline import curate_tokens
+    from feature_extractor_spark.sources.tokens import synth_tokens
+
+    toks = synth_tokens(spark, n_rows=300, n_docs=20)
+    out = curate_tokens(toks, context_len=256)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # Catalyst extracts the window partition expression into a projected
+    # `_w0` column: the Project must compute xxhash64(tokens) and the
+    # exchange must key on that LONG (`_w0#..L`), never on the raw array
+    assert "xxhash64(tokens" in plan, plan
+    assert "hashpartitioning(_w0#" in plan, plan
+    assert "hashpartitioning(tokens#" not in plan, plan
