@@ -18,7 +18,10 @@ from feature_extractor_spark.operators.similarity import (  # noqa: F401
     cosine_topk,
     semantic_dedup,
 )
-from feature_extractor_spark.operators.dedup import line_dedup_corpus  # noqa: F401
+from feature_extractor_spark.operators.dedup import (  # noqa: F401
+    line_dedup_corpus,
+    strip_lines_by_hash,
+)
 from feature_extractor_spark.operators.packing import (  # noqa: F401
     append_eos,
     chunk_tokens,

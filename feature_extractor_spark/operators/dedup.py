@@ -791,8 +791,28 @@ def line_dedup_corpus(
     reference-free two-phase scans elsewhere in this package.
     """
     out_col = out_col or text_col
+    exploded = _exploded_lines(docs, id_col, text_col, sep)
+    common = (
+        exploded.filter(F.col("__lh").isNotNull())
+        .select(id_col, "__lh")
+        .distinct()
+        .groupBy("__lh")
+        .agg(F.count(F.lit(1)).alias("__docs"))
+        .filter(F.col("__docs") >= min_docs)
+        .select("__lh")
+    )
+    return strip_lines_by_hash(docs, common, id_col, text_col, out_col, sep)
+
+
+def _exploded_lines(
+    docs: DataFrame, id_col: str, text_col: str, sep: str
+) -> DataFrame:
+    """(id, __pos, __line, __lh) per ``sep``-delimited line: the shared
+    explode of line_dedup_corpus / strip_lines_by_hash / the streaming
+    line-frequency index. __lh is NULL for blank lines (never counted,
+    never removed — paragraph structure is not boilerplate)."""
     lh = F.xxhash64(F.trim(F.col("__line")))
-    exploded = docs.select(
+    return docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), _re_escape(sep))),
     ).select(
@@ -803,15 +823,30 @@ def line_dedup_corpus(
         "__lh",
         F.when(F.trim(F.col("__line")) == "", None).otherwise(lh),
     )
-    common = (
-        exploded.filter(F.col("__lh").isNotNull())
-        .select(id_col, "__lh")
-        .distinct()
-        .groupBy("__lh")
-        .agg(F.count(F.lit(1)).alias("__docs"))
-        .filter(F.col("__docs") >= min_docs)
-        .select("__lh")
-    )
+
+
+def strip_lines_by_hash(
+    docs: DataFrame,
+    common_hashes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str | None = None,
+    sep: str = "\n",
+) -> DataFrame:
+    """Remove every line whose trimmed-line xxhash64 appears in
+    ``common_hashes`` (a one-column frame of hashes, however derived) —
+    the removal half of ``line_dedup_corpus``, factored out so the
+    streaming ingest can strip against a PERSISTED cross-batch
+    line-frequency index (streaming/incremental_dedup.py) instead of
+    recounting the corpus. Returns the input rows with ``out_col``
+    (default: replaces ``text_col``) and ``n_removed_lines``; untouched
+    docs round-trip byte-identical, NULL-text docs pass through.
+    """
+    out_col = out_col or text_col
+    exploded = _exploded_lines(docs, id_col, text_col, sep)
+    common = common_hashes.select(
+        F.col(common_hashes.columns[0]).alias("__lh")
+    ).distinct()
     # NO forced broadcast on the common set: boilerplate is usually the
     # small minority, but a pathologically templated corpus (the case
     # this operator exists for) can push the >=min_docs line set past
@@ -1001,6 +1036,33 @@ def _duplicate_span_arrays(
     )
 
 
+def _residual_dup_gram_count(
+    df: DataFrame, text_col: str, L: int, min_count: int
+) -> int:
+    """Count of DISTINCT word L-grams still duplicated >= min_count times
+    in ``text_col`` — the convergence probe for span removal (VERDICT r6
+    item 5): one map pass re-deriving the paired gram hashes (the same
+    frame shape the removal pass builds) plus one map-side-partial
+    aggregate; only the scalar reaches the driver."""
+    wh_tbl = df.select(words(F.col(text_col)).alias("__ws")).withColumn(
+        "__wh", word_hashes(F.col("__ws"))
+    )
+    grams = wh_tbl.select(
+        F.explode(
+            F.arrays_zip(
+                combine_word_hashes(F.col("__wh"), L).alias("g1"),
+                combine_word_hashes(F.col("__wh"), L, variant=1).alias("g2"),
+            )
+        ).alias("__g")
+    )
+    return (
+        grams.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= int(min_count))
+        .count()
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1008,6 +1070,8 @@ def remove_duplicate_spans(
     min_len: int = 20,
     min_count: int = 2,
     out_col: str | None = None,
+    max_passes: int = 1,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Exact-substring span removal — the removal stage of Lee et al.
     2022 ("Deduplicating Training Data Makes Language Models Better",
@@ -1023,11 +1087,11 @@ def remove_duplicate_spans(
 
     Returns the input rows plus ``out_col`` (default: replaces
     ``text_col``) with the surviving words joined by single spaces,
-    ``n_removed_tokens`` and ``n_dup_spans``. Documents with no
-    duplicated span keep their ORIGINAL text byte-identical (they never
-    reach the rebuild join); whitespace is normalized only in documents
-    that actually lost a span. Case-sensitive on purpose: "exact
-    substring" means verbatim.
+    ``n_removed_tokens`` and ``n_dup_spans`` (accumulated across passes).
+    Documents with no duplicated span keep their ORIGINAL text
+    byte-identical (they never reach the rebuild join); whitespace is
+    normalized only in documents that actually lost a span.
+    Case-sensitive on purpose: "exact substring" means verbatim.
 
     Scale shape: grams cross the shuffle only as 64-bit combines of
     word hashes (the minhash machinery); the duplicated-gram set is the
@@ -1036,15 +1100,68 @@ def remove_duplicate_spans(
     one shuffle on the doc key the rebuild groupBy reuses; the rebuild
     touches only marked docs. No all-pairs stage exists at any size.
 
-    One pass, not a fixpoint (matching the paper's practice): stitching
-    the text around a removed span can in principle create a NEW
-    duplicated >= min_len span; rerun the operator if that matters for a
-    given corpus.
-    """
+    Convergence (VERDICT r6 item 5): one pass matches the paper's
+    practice, but stitching the text around a removed span CAN create a
+    new duplicated >= min_len span. The rerun trigger is now measured,
+    not guessed: ``stats`` (a dict) receives
+    ``n_residual_dup_grams`` — the count of distinct L-grams still
+    duplicated >= min_count times in the OUTPUT — and ``n_passes``.
+    ``max_passes > 1`` loops removal until the residual hits 0 or the
+    budget runs out (the probe already exists per extra pass, so the
+    loop adds no new plan shape; each pass is the same bounded dataflow
+    over strictly shrinking text)."""
     out_col = out_col or text_col
     L = int(min_len)
     if L < 2:
         raise ValueError(f"remove_duplicate_spans: min_len must be >= 2, got {L}")
+    if int(max_passes) < 1:
+        raise ValueError(
+            f"remove_duplicate_spans: max_passes must be >= 1, got {max_passes}"
+        )
+    joined = _span_removal_pass(df, id_col, text_col, L, min_count, out_col)
+    passes = 1
+    residual: int | None = None
+    while True:
+        need_probe = stats is not None or passes < int(max_passes)
+        if need_probe:
+            residual = _residual_dup_gram_count(joined, out_col, L, min_count)
+        if passes >= int(max_passes) or residual == 0:
+            break
+        # pass k+1 reads the PASS-k output column and accumulates counters
+        prev = joined.withColumnRenamed(
+            "n_removed_tokens", "__prev_removed"
+        ).withColumnRenamed("n_dup_spans", "__prev_spans")
+        joined = (
+            _span_removal_pass(prev, id_col, out_col, L, min_count, out_col)
+            .withColumn(
+                "n_removed_tokens",
+                F.col("__prev_removed") + F.col("n_removed_tokens"),
+            )
+            .withColumn(
+                "n_dup_spans", F.col("__prev_spans") + F.col("n_dup_spans")
+            )
+            .drop("__prev_removed", "__prev_spans")
+        )
+        passes += 1
+    if stats is not None:
+        stats["n_residual_dup_grams"] = int(residual)
+        stats["n_passes"] = passes
+    return joined
+
+
+def _span_removal_pass(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    L: int,
+    min_count: int,
+    out_col: str,
+) -> DataFrame:
+    """One mark/merge/rebuild pass of ``remove_duplicate_spans`` (its
+    docstring describes the dataflow); returns the input rows with
+    ``out_col``, ``n_removed_tokens`` and ``n_dup_spans`` for THIS pass,
+    localCheckpointed (each pass is a fixpoint-loop iterate — same
+    lineage-truncation reasoning as near_dup_clusters)."""
     par = df.sparkSession.sparkContext.defaultParallelism
     # persist at the word level: the array feeds gram hashing AND the
     # rebuild, and the barrier stops CollapseProject from re-tokenizing

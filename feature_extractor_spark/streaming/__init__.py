@@ -8,5 +8,7 @@ from feature_extractor_spark.streaming.incremental_dedup import (  # noqa: F401
     compact_index,
     flag_against_index,
     ingest_batch,
+    ingest_lines_batch,
     stream_dedup_ingest,
+    stream_line_dedup_ingest,
 )

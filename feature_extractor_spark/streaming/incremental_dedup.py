@@ -249,7 +249,141 @@ def stream_dedup_ingest(
     )
 
 
-def compact_index(spark, index_dir: str, target_partitions: int | None = None) -> dict:
+def ingest_lines_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    cleaned_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+    sep: str = "\n",
+) -> None:
+    """One micro-batch of INCREMENTAL line-level boilerplate removal
+    (VERDICT r6 item 6) — the streaming twin of
+    ``operators.dedup.line_dedup_corpus``: boilerplate lines (cookie
+    banners, nav menus) arrive incrementally too, and a banner that is
+    rare inside any single batch becomes corpus-frequent ACROSS batches.
+
+    Index layout (same discipline as the doc-level LSH index above —
+    append-only batch partitions, replay-idempotent overwrites,
+    compactable with ``compact_index(..., tables=("line_freqs",))``):
+
+        <index_dir>/line_freqs/   (line_hash, n_docs) per batch_id
+
+    Per batch: (1) count this batch's per-line distinct-doc frequencies
+    (lines cross the shuffle only as 64-bit trimmed-line xxhash64 keys);
+    (2) merge with the PERSISTED frequencies of all PRIOR batches
+    (partition-pruned to exclude this batch_id, which makes a foreachBatch
+    REPLAY read exactly what the original run read — at-least-once
+    becomes effectively-once); (3) strip every line whose cross-batch
+    total reaches ``min_docs`` from this batch's docs
+    (``strip_lines_by_hash``); (4) commit cleaned docs + this batch's
+    frequency rows as dynamic-partition overwrites keyed on batch_id.
+
+    Semantics vs the batch operator: the threshold is evaluated against
+    everything seen SO FAR, so early batches keep lines that only later
+    become corpus-frequent (they are already committed); later batches
+    strip them. A full-corpus re-pass with ``line_dedup_corpus`` remains
+    the retroactive option. A doc re-appearing in multiple batches counts
+    once PER BATCH (the index stores per-batch distinct-doc counts) —
+    ingest feeds are deduplicated upstream by the LSH ingest, so this
+    overcount is accepted rather than paying a cross-batch distinct."""
+    spark = batch_df.sparkSession
+    from feature_extractor_spark.operators.dedup import (
+        _exploded_lines,
+        strip_lines_by_hash,
+    )
+
+    batch_df = batch_df.persist()
+    try:
+        batch_freqs = (
+            _exploded_lines(batch_df, id_col, text_col, sep)
+            .filter(F.col("__lh").isNotNull())
+            .select(F.col(id_col), F.col("__lh").alias("line_hash"))
+            .distinct()
+            .groupBy("line_hash")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .localCheckpoint(eager=True)
+        )
+        freqs_path = f"{index_dir}/line_freqs"
+        total = batch_freqs
+        if _line_index_exists(spark, index_dir):
+            prior = (
+                spark.read.parquet(freqs_path)
+                # exclude THIS batch's own partition so a replay reads
+                # exactly the pre-replay state (idempotency)
+                .filter(F.col("batch_id") != int(batch_id))
+                .select("line_hash", "n_docs")
+            )
+            total = prior.unionByName(batch_freqs)
+        common = (
+            total.groupBy("line_hash")
+            .agg(F.sum("n_docs").alias("n_docs"))
+            .filter(F.col("n_docs") >= int(min_docs))
+            .select("line_hash")
+        )
+        cleaned = strip_lines_by_hash(
+            batch_df, common, id_col, text_col, sep=sep
+        )
+        bid = F.lit(int(batch_id))
+        with restore_conf(
+            spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        ):
+            cleaned.withColumn("batch_id", bid).write.mode(
+                "overwrite"
+            ).partitionBy("batch_id").parquet(cleaned_dir)
+            batch_freqs.withColumn("batch_id", bid).write.mode(
+                "overwrite"
+            ).partitionBy("batch_id").parquet(freqs_path)
+    finally:
+        batch_df.unpersist()
+
+
+def _line_index_exists(spark, index_dir: str) -> bool:
+    """Existence probe for the line-frequency index (same contract as
+    _index_exists: only a MISSING index may soften the cross-batch merge
+    into batch-only counting; any other failure propagates)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/line_freqs")
+    return p.getFileSystem(conf).exists(p)
+
+
+def stream_line_dedup_ingest(
+    stream_docs: DataFrame,
+    index_dir: str,
+    cleaned_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+    sep: str = "\n",
+):
+    """Wire ``ingest_lines_batch`` into a Structured Streaming query
+    (foreachBatch; caller starts it, typically with
+    ``.trigger(availableNow=True)``)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ingest_lines_batch(
+            batch_df, batch_id, index_dir, cleaned_dir,
+            id_col, text_col, min_docs, sep,
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+
+
+def compact_index(
+    spark,
+    index_dir: str,
+    target_partitions: int | None = None,
+    tables: tuple[str, ...] = ("bands", "shingles"),
+) -> dict:
     """Offline maintenance for the append-only LSH index: each micro-batch
     appends a ``batch_id=<n>`` partition with its own small files, so after
     many batches the candidate-lookup join pays a file-listing and
@@ -274,7 +408,11 @@ def compact_index(spark, index_dir: str, target_partitions: int | None = None) -
     under a recoverable name. Idempotent re-runs are safe. Dedup behavior
     is unchanged (tested): flag_against_index never reads batch_id.
 
-    Returns {"bands_files": n, "shingles_files": n} after compaction.
+    ``tables`` picks which index tables to compact — the default is the
+    doc-level LSH pair ("bands", "shingles"); pass ("line_freqs",) for
+    the line-frequency index.
+
+    Returns {"<table>_files": n} per compacted table.
     """
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
@@ -282,7 +420,7 @@ def compact_index(spark, index_dir: str, target_partitions: int | None = None) -
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
     stats = {}
-    for sub in ("bands", "shingles"):
+    for sub in tables:
         cur = f"{index_dir}/{sub}"
         tmp = f"{index_dir}/{sub}__compacting"
         bak = f"{index_dir}/{sub}__pre_compact"

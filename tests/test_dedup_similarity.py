@@ -1079,3 +1079,45 @@ def test_line_dedup_paragraph_granularity(spark):
         assert out[f"d{i}"]["n_removed_lines"] == 1
     assert out["solo"]["text"] == "standalone text\n\nno shared blocks here"
     assert out["solo"]["n_removed_lines"] == 0
+
+
+def test_span_removal_convergence_probe_and_multi_pass(spark):
+    """VERDICT r6 item 5: removing a duplicated span can STITCH a new
+    duplicated span into existence (docs 1/2 share X1..X4; after its
+    removal doc 1 becomes 'a1 a2 a3 a4', which doc 3 already contains).
+    The residual probe must measure that (>0 after one pass), and
+    max_passes must drive it to 0 on the second pass with counters
+    accumulated across passes."""
+    from feature_extractor_spark.operators.dedup import remove_duplicate_spans
+
+    rows = [
+        (1, "a1 a2 X1 X2 X3 X4 a3 a4"),
+        (2, "b1 b2 X1 X2 X3 X4 b3 b4"),
+        (3, "d1 a1 a2 a3 a4 d2"),
+        (4, "u1 u2 u3 u4 u5 u6 u7"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    stats1: dict = {}
+    out1 = remove_duplicate_spans(df, min_len=4, stats=stats1)
+    got1 = {r["doc_id"]: r for r in out1.collect()}
+    assert stats1["n_passes"] == 1
+    assert stats1["n_residual_dup_grams"] > 0  # the stitched new dup
+    assert got1[1]["text"] == "a1 a2 a3 a4"  # pass 1 only cut X
+    assert got1[3]["text"] == "d1 a1 a2 a3 a4 d2"  # untouched in pass 1
+
+    stats2: dict = {}
+    out2 = remove_duplicate_spans(df, min_len=4, max_passes=3, stats=stats2)
+    got2 = {r["doc_id"]: r for r in out2.collect()}
+    assert stats2["n_passes"] == 2  # converged before the budget of 3
+    assert stats2["n_residual_dup_grams"] == 0
+    assert got2[1]["text"] == ""  # X, then the stitched span
+    assert got2[2]["text"] == "b1 b2 b3 b4"
+    assert got2[3]["text"] == "d1 d2"
+    assert got2[4]["text"] == "u1 u2 u3 u4 u5 u6 u7"  # byte-identical
+    # counters accumulate across passes
+    assert got2[1]["n_removed_tokens"] == 8 and got2[1]["n_dup_spans"] == 2
+    assert got2[3]["n_removed_tokens"] == 4 and got2[3]["n_dup_spans"] == 1
+
+    with pytest.raises(ValueError):
+        remove_duplicate_spans(df, min_len=4, max_passes=0)

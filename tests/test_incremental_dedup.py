@@ -241,3 +241,110 @@ def test_compact_index_crash_recovery_restores_pre_compact(spark, tmp_path):
     assert pathlib.Path(idx, "bands").exists()
     assert not pathlib.Path(idx, "bands__pre_compact").exists()
     assert decisions() == pre
+
+
+def test_line_dedup_ingest_cross_batch_banner_and_replay(spark, tmp_path):
+    """VERDICT r6 item 6: a banner line that is RARE within every single
+    batch but corpus-frequent ACROSS batches must be stripped from later
+    batches (the batch-local rule could never fire); replaying a batch
+    (foreachBatch at-least-once) must yield byte-identical output and an
+    unchanged index."""
+    from feature_extractor_spark.streaming.incremental_dedup import (
+        ingest_lines_batch,
+    )
+
+    idx = str(tmp_path / "lidx")
+    out = str(tmp_path / "clean")
+    banner = "subscribe to our newsletter"
+
+    def doc(i, with_banner):
+        body = f"unique body {i} words w{i}a w{i}b"
+        return (f"d{i}", f"{banner}\n{body}" if with_banner else body)
+
+    # batches 0 and 1 each carry the banner in ONE doc — below min_docs=3
+    # within any batch and within the index alone
+    ingest_lines_batch(
+        _df(spark, [doc(0, True), doc(1, False)]), 0, idx, out, min_docs=3
+    )
+    ingest_lines_batch(
+        _df(spark, [doc(2, True), doc(3, False)]), 1, idx, out, min_docs=3
+    )
+    got01 = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert banner in got01["d0"]["text"]  # not yet corpus-frequent
+    assert banner in got01["d2"]["text"]
+    assert got01["d1"]["n_removed_lines"] == 0
+
+    # batch 2: the banner's cross-batch doc-frequency reaches 3 -> strip
+    ingest_lines_batch(
+        _df(spark, [doc(4, True), doc(5, False)]), 2, idx, out, min_docs=3
+    )
+    got2 = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(f"{out}/batch_id=2").collect()
+    }
+    assert banner not in got2["d4"]["text"]
+    assert got2["d4"]["n_removed_lines"] == 1
+    assert got2["d4"]["text"] == f"unique body 4 words w4a w4b"
+    assert got2["d5"]["text"] == f"unique body 5 words w5a w5b"  # untouched
+
+    # replay batch 2 (at-least-once): identical output, unchanged index
+    before_rows = sorted(
+        (r["line_hash"], r["n_docs"], r["batch_id"])
+        for r in spark.read.parquet(f"{idx}/line_freqs").collect()
+    )
+    ingest_lines_batch(
+        _df(spark, [doc(4, True), doc(5, False)]), 2, idx, out, min_docs=3
+    )
+    got2_replay = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(f"{out}/batch_id=2").collect()
+    }
+    assert {k: (v["text"], v["n_removed_lines"]) for k, v in got2.items()} == {
+        k: (v["text"], v["n_removed_lines"]) for k, v in got2_replay.items()
+    }
+    after_rows = sorted(
+        (r["line_hash"], r["n_docs"], r["batch_id"])
+        for r in spark.read.parquet(f"{idx}/line_freqs").collect()
+    )
+    assert before_rows == after_rows
+
+
+def test_stream_line_dedup_ingest_end_to_end_and_compaction(spark, tmp_path):
+    """Structured Streaming wiring for the line-frequency ingest, plus
+    compact_index(tables=("line_freqs",)) preserving behavior."""
+    from feature_extractor_spark.streaming.incremental_dedup import (
+        compact_index,
+        ingest_lines_batch,
+        stream_line_dedup_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    idx, out, ck = (str(tmp_path / d) for d in ("lidx", "clean", "ck"))
+    banner = "cookie consent required"
+    _df(
+        spark,
+        [("a", f"{banner}\nbody a"), ("b", f"{banner}\nbody b")],
+    ).coalesce(1).write.mode("append").parquet(src)
+    schema = "doc_id string, text string"
+
+    def run_once():
+        q = (
+            stream_line_dedup_ingest(
+                spark.readStream.schema(schema).parquet(src),
+                idx, out, ck, min_docs=3,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    # compaction of the line index must not change later-batch behavior
+    compact_index(spark, idx, tables=("line_freqs",))
+    _df(spark, [("c", f"{banner}\nbody c")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert banner in got["a"] and banner in got["b"]  # df was 2 < 3 then
+    assert got["c"] == "body c"  # third sighting crossed the threshold
