@@ -242,3 +242,35 @@ def test_driver_query_budget_exactly_50():
     # the two rows r3 lost to the cap must stay registered
     assert "u2_decoder_roundtrip" in ENTRY_QUERIES
     assert "fused_windowed_encode" in ENTRY_QUERIES
+
+
+def test_fit_normalize_denormalize_roundtrip(spark):
+    """fit_minmax -> normalize_minmax -> denormalize_minmax round-trips
+    the data (A6/J4's fit/apply/invert API surface; the driver rows
+    inline the arithmetic, so the packaged helpers get their own pin).
+    Zero-range columns normalize to the 0.0 sentinel."""
+    from feature_extractor_spark.functions.normalize import (
+        denormalize_minmax,
+        fit_minmax,
+        normalize_minmax,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 5.0), (2, 20.0, 5.0), (3, 40.0, 5.0)],
+        "id long, a double, b double",
+    )
+    params = fit_minmax(df, ["a", "b"])
+    assert params == {"a": (10.0, 40.0), "b": (5.0, 5.0)}
+    normed = {r["id"]: r for r in normalize_minmax(df, params).collect()}
+    assert normed[1]["a"] == 0.0 and normed[3]["a"] == 1.0
+    assert abs(normed[2]["a"] - 1.0 / 3.0) < 1e-12
+    assert all(r["b"] == 0.0 for r in normed.values())  # zero range
+    # denormalize inverts (for the non-degenerate column)
+    back = {
+        r["id"]: r["a"]
+        for r in denormalize_minmax(
+            normalize_minmax(df.select("id", "a"), {"a": params["a"]}),
+            {"a": params["a"]},
+        ).collect()
+    }
+    assert back == {1: 10.0, 2: 20.0, 3: 40.0}

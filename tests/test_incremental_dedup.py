@@ -348,3 +348,27 @@ def test_stream_line_dedup_ingest_end_to_end_and_compaction(spark, tmp_path):
     got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
     assert banner in got["a"] and banner in got["b"]  # df was 2 < 3 then
     assert got["c"] == "body c"  # third sighting crossed the threshold
+
+
+def test_strip_lines_by_hash_direct(spark):
+    """The factored removal half: strips exactly the given hash set,
+    blank lines never removed, untouched docs byte-identical."""
+    from pyspark.sql import functions as F
+
+    from feature_extractor_spark.operators import strip_lines_by_hash
+
+    docs = _df(
+        spark,
+        [("x", "keep me\nbad line\n\nalso keep"), ("y", "only good text")],
+    )
+    common = spark.createDataFrame(
+        [("bad line",)], "line string"
+    ).select(F.xxhash64(F.trim("line")).alias("line_hash"))
+    got = {
+        r["doc_id"]: r
+        for r in strip_lines_by_hash(docs, common).collect()
+    }
+    assert got["x"]["text"] == "keep me\n\nalso keep"
+    assert got["x"]["n_removed_lines"] == 1
+    assert got["y"]["text"] == "only good text"
+    assert got["y"]["n_removed_lines"] == 0

@@ -419,3 +419,65 @@ def test_stateless_curation_ops_run_on_streams(spark, tmp_path):
                 assert abs(bv - sv) < 1e-12, (k, c)
             else:
                 assert bv == sv, (k, c)
+
+
+def test_stream_windowed_stats_matches_batch_window(spark, tmp_path):
+    """stream_windowed_stats (watermarked tumbling window) over a file
+    stream matches the same window aggregate computed in batch. Append
+    mode emits a window only after a LATER micro-batch advances the
+    watermark past its end, so the test runs two availableNow passes
+    with a late file added in between."""
+    from pyspark.sql import functions as F
+
+    from feature_extractor_spark.streaming import stream_windowed_stats
+
+    src = str(tmp_path / "wsrc")
+    out_dir = str(tmp_path / "wout")
+    ck = str(tmp_path / "wck")
+    rows = [
+        ("a", f"2024-01-01 00:{m:02d}:00", float(m)) for m in range(0, 50, 7)
+    ] + [("b", "2024-01-01 01:05:00", 100.0)]
+    df = spark.createDataFrame(rows, "doc_id string, ts string, value double")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        q = (
+            stream_windowed_stats(
+                stream, "doc_id", "ts", "value",
+                window="30 minutes", watermark="1 minute",
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    # a later event advances the watermark past entity a's windows
+    late = spark.createDataFrame(
+        [("c", "2024-01-01 03:00:00", 1.0)],
+        "doc_id string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    late.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = {
+        (r["doc_id"], str(r["win_start"])): (r["n_events"], r["win_sum"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        (r["doc_id"], str(r["window"]["start"])): (r["n"], r["s"])
+        for r in df.groupBy(F.window("ts", "30 minutes"), "doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    for k, v in got.items():
+        assert batch[k] == v
+    # both of entity a's fully-closed windows must have been emitted
+    assert ("a", "2024-01-01 00:00:00") in got
+    assert ("a", "2024-01-01 00:30:00") in got
