@@ -637,6 +637,7 @@ def near_dup_clusters(
     b_col: str = "id_b",
     max_iter: int = 25,
     stats: dict | None = None,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs -> canonical assignment.
 
@@ -645,22 +646,38 @@ def near_dup_clusters(
     canonical survivor for {A, B, C}, labeled by its minimum member
     (deterministic survivor, same convention as exact_dedup).
 
-    Algorithm: alternating large-star / small-star (Kiveris et al.,
-    SOCC'14) — each round is two grouped-min shuffles over the current
-    edge set, and the round count is O(log n) on real graphs (vs graph
-    DIAMETER for plain min-label propagation, which a 10^12-row corpus's
-    template-duplicate chains can push past any fixed cap). The fixpoint
-    of both operations is a union of stars centered at component minima.
+    Two paths, identical output (r7):
 
-    Convergence is verified, not assumed: the loop stops when a
-    large-star + small-star round leaves the edge set unchanged, and
-    RAISES RuntimeError if ``max_iter`` rounds pass without a fixpoint —
-    silently returning non-canonical labels would split a component
-    across multiple survivors with no signal to the caller.
+    - **Bounded driver union-find** when the (already materialized,
+      distinct) edge set holds at most ``driver_max_edges`` rows: one
+      collect + classic union-find + min-relabel, then the same
+      node-universe join as the distributed path. Near-dup edge sets are
+      the verified MINORITY of a deduplicated corpus — at the default
+      1M-edge bound the collect is tens of MB, while the distributed
+      loop pays 4+ eager jobs PER ROUND of pure scheduler latency on a
+      graph that fits in one task. This is the documented bounded-collect
+      contract (the count gates it; the fallback is automatic).
+    - **Alternating large-star / small-star** (Kiveris et al., SOCC'14)
+      above the bound — each round is two grouped-min shuffles over the
+      current edge set, round count O(log n) on real graphs (vs graph
+      DIAMETER for plain min-label propagation, which a 10^12-row
+      corpus's template-duplicate chains can push past any fixed cap).
+      The fixpoint of both operations is a union of stars centered at
+      component minima.
+
+    Convergence of the distributed path is verified, not assumed: the
+    loop stops when a large-star + small-star round leaves the edge set
+    unchanged, and RAISES RuntimeError if ``max_iter`` rounds pass
+    without a fixpoint — silently returning non-canonical labels would
+    split a component across multiple survivors with no signal to the
+    caller. Set ``driver_max_edges=0`` to force the distributed path
+    (tests pin its convergence behavior that way).
 
     ``nodes``: the full universe (isolated docs keep themselves as
     canonical). Returns (id_col, canonical_id). ``stats``, if given, gets
-    ``{"rounds": <n>}`` filled in (one round = large-star + small-star).
+    ``{"rounds": <n>, "n_edges": <m>, "path": "driver"|"distributed"}``
+    (one round = large-star + small-star; the driver path reports
+    rounds=0).
     """
     # localCheckpoint (not persist) each round: iterative self-referencing
     # plans double in size per round (sym embeds the edge plan twice), so
@@ -672,6 +689,16 @@ def near_dup_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = edges.count()  # cheap: counts the materialized checkpoint
+    if stats is not None:
+        stats["n_edges"] = n_edges
+    if n_edges <= int(driver_max_edges):
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["path"] = "driver"
+        return _driver_union_find(edges, nodes, id_col, n_edges)
+    if stats is not None:
+        stats["path"] = "distributed"
     def _canonical(e: DataFrame) -> DataFrame:
         return e.select(
             F.greatest("src", "dst").alias("src"),
@@ -732,7 +759,16 @@ def near_dup_clusters(
     assign = edges.select(
         F.col("src").alias("node"), F.col("dst").alias("canonical")
     )
-    out = (
+    return _assign_to_universe(assign, nodes, id_col)
+
+
+def _assign_to_universe(
+    assign: DataFrame, nodes: DataFrame, id_col: str
+) -> DataFrame:
+    """(node, canonical) star edges -> one row per universe node, with
+    isolated/root nodes canonical to themselves (shared tail of both
+    closure paths)."""
+    return (
         nodes.select(F.col(id_col).alias("node"))
         .distinct()
         .join(assign, "node", "left")
@@ -741,7 +777,60 @@ def near_dup_clusters(
             F.coalesce(F.col("canonical"), F.col("node")).alias("canonical_id"),
         )
     )
-    return out
+
+
+def _driver_union_find(
+    edges: DataFrame, nodes: DataFrame, id_col: str, n_edges: int
+) -> DataFrame:
+    """Bounded-edge fast path of ``near_dup_clusters``: collect the
+    materialized edge set (the caller verified ``n_edges`` is within the
+    documented bound), run path-compressed union-find, relabel every
+    component by its MINIMUM member (identical survivor convention to the
+    star-contraction fixpoint), and join the (node -> min) star edges
+    back against the node universe. One collect + one createDataFrame +
+    the same broadcast-friendly universe join — versus 4+ eager jobs per
+    star-contraction round."""
+    rows = [(r["src"], r["dst"]) for r in edges.collect()]
+    assert len(rows) == n_edges  # the bound the caller checked
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    # every touched node -> its component's minimum member
+    node_root = {}
+    for a, b in rows:
+        for x in (a, b):
+            if x not in node_root:
+                node_root[x] = find(x)
+    comp_min: dict = {}
+    for x, rt in node_root.items():
+        if rt not in comp_min or x < comp_min[rt]:
+            comp_min[rt] = x
+    star = [
+        (x, comp_min[rt]) for x, rt in node_root.items() if x != comp_min[rt]
+    ]
+    spark = edges.sparkSession
+    id_type = nodes.schema[id_col].dataType
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("node", id_type),
+            T.StructField("canonical", id_type),
+        ]
+    )
+    assign = spark.createDataFrame(star, schema)
+    return _assign_to_universe(assign, nodes, id_col)
 
 
 def _re_escape(sep: str) -> str:

@@ -343,7 +343,9 @@ def test_near_dup_clusters_long_chain_converges_in_log_rounds(spark):
     stats: dict = {}
     got = {
         r["doc_id"]: r["canonical_id"]
-        for r in near_dup_clusters(pairs, nodes, "doc_id", stats=stats).collect()
+        for r in near_dup_clusters(
+            pairs, nodes, "doc_id", stats=stats, driver_max_edges=0
+        ).collect()
     }
     assert got == {i: 1 for i in range(1, n + 1)}
     # star-contraction round bound (each round = large-star + small-star)
@@ -361,7 +363,9 @@ def test_near_dup_clusters_raises_on_iteration_exhaustion(spark):
     nodes = spark.createDataFrame([(i,) for i in range(1, 41)], "doc_id long")
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        near_dup_clusters(pairs, nodes, "doc_id", max_iter=1)
+        near_dup_clusters(
+            pairs, nodes, "doc_id", max_iter=1, driver_max_edges=0
+        )
 
 
 def test_near_dup_clusters_string_ids(spark):
@@ -1121,3 +1125,62 @@ def test_span_removal_convergence_probe_and_multi_pass(spark):
 
     with pytest.raises(ValueError):
         remove_duplicate_spans(df, min_len=4, max_passes=0)
+
+
+def test_near_dup_clusters_driver_path_equals_distributed(spark):
+    """r7 bounded driver union-find: identical canonical assignment to the
+    star-contraction path on a graph mixing chains, merged components,
+    isolated nodes, and reversed orientations; stats reports which path
+    ran. Default invocations on small edge sets take the driver path."""
+    from feature_extractor_spark.operators.dedup import near_dup_clusters
+
+    edges = (
+        [(i + 1, i) for i in range(1, 30)]  # 30-chain, reversed
+        + [(40, 45), (45, 41), (41, 49)]  # merged component min=40
+        + [(70, 71)]
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, 100)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    st_driver: dict = {}
+    a = {
+        r["doc_id"]: r["canonical_id"]
+        for r in near_dup_clusters(
+            pairs, nodes, "doc_id", stats=st_driver
+        ).collect()
+    }
+    st_dist: dict = {}
+    b = {
+        r["doc_id"]: r["canonical_id"]
+        for r in near_dup_clusters(
+            pairs, nodes, "doc_id", stats=st_dist, driver_max_edges=0
+        ).collect()
+    }
+    assert a == b
+    assert st_driver["path"] == "driver" and st_driver["rounds"] == 0
+    assert st_dist["path"] == "distributed" and st_dist["rounds"] >= 1
+    assert st_driver["n_edges"] == st_dist["n_edges"] == len(set(edges))
+    assert a[30] == 1 and a[49] == 40 and a[71] == 70 and a[99] == 99
+
+
+def test_near_dup_clusters_driver_path_string_ids_and_empty(spark):
+    from feature_extractor_spark.operators.dedup import near_dup_clusters
+
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("z",)], "doc_id string"
+    )
+    pairs = spark.createDataFrame([("c", "b"), ("b", "a")], "id_a string, id_b string")
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in near_dup_clusters(pairs, nodes, "doc_id").collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "z": "z"}
+    # empty edge set: everyone canonical to themselves, no crash
+    empty = spark.createDataFrame([], "id_a string, id_b string")
+    got2 = {
+        r["doc_id"]: r["canonical_id"]
+        for r in near_dup_clusters(empty, nodes, "doc_id").collect()
+    }
+    assert got2 == {k: k for k in ("a", "b", "c", "z")}
