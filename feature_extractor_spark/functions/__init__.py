@@ -33,3 +33,8 @@ from feature_extractor_spark.functions.text import (  # noqa: F401
     token_freq_topk,
     vocab_coverage,
 )
+from feature_extractor_spark.functions.text import (  # noqa: F401
+    build_word_vocab,
+    decode_words,
+    encode_words,
+)

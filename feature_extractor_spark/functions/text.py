@@ -12,7 +12,7 @@ Operators:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language function-word lexicons for the n-gram/stopword heuristic
@@ -625,6 +625,164 @@ def normalize_unicode(
             if collapse_whitespace:
                 s = s.str.replace(r"\s+", " ", regex=True).str.strip()
             pdf[dst] = s
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def build_word_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 32768,
+    min_count: int = 1,
+    lowercase: bool = True,
+    n_reserved: int = 2,
+) -> DataFrame:
+    """Corpus-frequency word vocabulary — the deterministic word-level
+    tokenizer fit (public method: frequency-ranked vocabulary with an
+    UNK id, the pre-BPE standard; BPE itself needs a trained merges
+    table this container has no library for, and the engine's token
+    tables are already tokenized — this bridges the TEXT path into
+    them). Returns (token string, id int, n_total long): the top
+    ``vocab_size - n_reserved`` words with count >= min_count, ids
+    assigned ``n_reserved..vocab_size-1`` in (count DESC, token ASC)
+    order — a unique total order, so the same corpus always yields the
+    same vocabulary. Ids ``0..n_reserved-1`` are left unassigned for
+    specials (0=PAD, 1=UNK by ``encode_words``' convention).
+
+    Scale shape: one explode + map-side-partial count keyed on the word,
+    then a TakeOrdered top-(V-reserved) — only the vocabulary reaches
+    the driver/downstream, never the corpus.
+    """
+    if vocab_size <= n_reserved:
+        raise ValueError(
+            f"build_word_vocab: vocab_size={vocab_size} must exceed "
+            f"n_reserved={n_reserved}"
+        )
+    t = F.col(text_col)
+    ws = words(F.lower(t)) if lowercase else words(t)
+    counts = (
+        df.select(F.explode(ws).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .filter(F.col("n_total") >= int(min_count))
+        .orderBy(F.col("n_total").desc(), F.col("token").asc())
+        .limit(int(vocab_size) - int(n_reserved))
+    )
+    w = Window.orderBy(F.col("n_total").desc(), F.col("token").asc())
+    # the window's single-task sort is over <= vocab_size rows — bounded
+    # by construction, not by corpus size
+    return counts.withColumn(
+        "id", (F.row_number().over(w) - 1 + int(n_reserved)).cast("int")
+    ).select("token", "id", "n_total")
+
+
+def encode_words(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    out_col: str = "tokens",
+    n_tok_col: str | None = "n_tok",
+    unk_id: int = 1,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Deterministic word-level encoding against a ``build_word_vocab``
+    table: ``out_col`` is ``array<int>`` of per-word ids (order
+    preserved, unknown words -> ``unk_id``), plus ``n_tok_col``. This is
+    the text->tokens bridge: ``curate()`` output encoded here satisfies
+    the input-hint payload shape and feeds ``curate_tokens`` /
+    ``pack_sequences`` / ``chunk_tokens`` directly.
+
+    Scale shape: the vocabulary (<= vocab_size rows by construction) is
+    collected ONCE and broadcast as a plain dict; encoding is one
+    Arrow-batched ``mapInPandas`` pass — a MAP-ONLY operator with no
+    shuffle, the same shape real subword tokenizers run as at corpus
+    scale. The per-word work is a C-level dict lookup (documented
+    Arrow-batch exception, same class as normalize_unicode); the
+    alternative all-JVM form (explode + broadcast join + ordered
+    re-collect) costs a full-corpus shuffle on the doc key, which is the
+    wrong trade for a pure map.
+
+    NULL text encodes to NULL (n_tok NULL) — count upstream if loss
+    matters.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    mapping = {r["token"]: int(r["id"]) for r in vocab.select("token", "id").collect()}
+    bc = df.sparkSession.sparkContext.broadcast(mapping)
+    unk = int(unk_id)
+
+    fields = list(df.schema.fields) + [
+        T.StructField(out_col, T.ArrayType(T.IntegerType()))
+    ]
+    if n_tok_col:
+        fields.append(T.StructField(n_tok_col, T.IntegerType()))
+    schema = T.StructType(fields)
+    import re as _re
+
+    ws_re = _re.compile(r"\s+")
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        m = bc.value
+
+        def one(text):
+            if text is None:
+                return None
+            if lowercase:
+                text = text.lower()
+            return [m.get(w, unk) for w in ws_re.split(text.strip()) if w]
+
+        for pdf in batches:
+            toks = [one(t) for t in pdf[text_col]]
+            pdf = pdf.copy()
+            pdf[out_col] = toks
+            if n_tok_col:
+                pdf[n_tok_col] = pd.array(
+                    [len(t) if t is not None else None for t in toks],
+                    dtype="Int32",
+                )
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def decode_words(
+    df: DataFrame,
+    vocab: DataFrame,
+    tokens_col: str = "tokens",
+    out_col: str = "text",
+    unk_token: str = "<unk>",
+) -> DataFrame:
+    """Inverse of ``encode_words``: ids back to space-joined words
+    (unknown/reserved ids -> ``unk_token``). Same broadcast-dict
+    map-only shape; round-trips exactly on text whose words are all
+    in-vocabulary (whitespace is normalized to single spaces, like
+    span removal's rebuild)."""
+    from typing import Iterator
+
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+
+    inverse = {int(r["id"]): r["token"] for r in vocab.select("token", "id").collect()}
+    bc = df.sparkSession.sparkContext.broadcast(inverse)
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.StringType())]
+    )
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        inv = bc.value
+
+        def one(toks):
+            if toks is None:
+                return None
+            return " ".join(inv.get(int(t), unk_token) for t in toks)
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [one(t) for t in pdf[tokens_col]]
             yield pdf
 
     return df.mapInPandas(run, schema)
