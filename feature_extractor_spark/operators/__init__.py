@@ -24,7 +24,9 @@ from feature_extractor_spark.operators.dedup import (  # noqa: F401
 )
 from feature_extractor_spark.operators.packing import (  # noqa: F401
     append_eos,
+    bin_packing_stats,
     chunk_tokens,
+    pack_bins_ffd,
     pack_sequences,
     packing_stats,
 )

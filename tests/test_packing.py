@@ -77,3 +77,101 @@ def test_interior_bins_exactly_full(spark, tok):
         occ[s : s + n] += 1
     assert (occ[: int(total)] == 1).all()
     assert (occ[int(total) :] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# r7: padding-aware FFD bin packing
+
+
+def _py_ffd(items, cap):
+    """(id -> (bin, fill)) oracle: FFD over (n desc, id asc)."""
+    fills, out = [], {}
+    for i, n in sorted(items, key=lambda x: (-x[1], x[0])):
+        if n > cap:
+            out[i] = (len(fills), n, True)
+            fills.append(n)
+            continue
+        for b, f in enumerate(fills):
+            if f + n <= cap:
+                fills[b] = f + n
+                out[i] = (b, None, False)
+                break
+        else:
+            out[i] = (len(fills), None, False)
+            fills.append(n)
+    return {i: (b, fills[b] if f is None else f, o) for i, (b, f, o) in out.items()}, fills
+
+
+def test_pack_bins_ffd_matches_python_oracle_single_shard(spark):
+    from feature_extractor_spark.operators.packing import pack_bins_ffd
+
+    items = [(f"s{i:03d}", n) for i, n in enumerate(
+        [900, 100, 800, 300, 700, 650, 200, 2500, 60, 60, 60, 1024, 1024]
+    )]
+    df = spark.createDataFrame(items, "sid string, n_tok int")
+    got = {
+        r["sid"]: (r["bin_id"], r["bin_fill"], r["oversize"])
+        for r in pack_bins_ffd(df, "sid", capacity=1024, n_shards=1).collect()
+    }
+    exp, _ = _py_ffd(items, 1024)
+    assert got == {i: (b, f, o) for i, (b, f, o) in exp.items()}
+
+
+def test_pack_bins_ffd_capacity_and_determinism(spark):
+    from feature_extractor_spark.operators.packing import (
+        bin_packing_stats,
+        pack_bins_ffd,
+    )
+    from feature_extractor_spark.sources.tokens import synth_tokens
+
+    tok = synth_tokens(spark, n_rows=3000, n_docs=100).withColumn(
+        "sid", F.concat("doc_id", F.lit("#"), F.col("ts").cast("string"))
+    )
+    out = pack_bins_ffd(tok, "sid", capacity=128, n_shards=16).persist()
+    # capacity respected for every non-oversize bin
+    viol = (
+        out.filter(~F.col("oversize"))
+        .groupBy("bin_id")
+        .agg(F.sum("n_tok").alias("fill"))
+        .filter(F.col("fill") > 128)
+        .count()
+    )
+    assert viol == 0
+    # bin_fill column equals the bin's actual total
+    mismatch = (
+        out.groupBy("bin_id")
+        .agg(F.sum("n_tok").alias("f"), F.first("bin_fill").alias("bf"))
+        .filter(F.col("f") != F.col("bf"))
+        .count()
+    )
+    assert mismatch == 0
+    # partitioning-independence: identical assignment after repartition
+    again = {
+        r["sid"]: r["bin_id"]
+        for r in pack_bins_ffd(
+            tok.repartition(7), "sid", capacity=128, n_shards=16
+        ).collect()
+    }
+    assert {r["sid"]: r["bin_id"] for r in out.collect()} == again
+    # packing efficiency: FFD with 8-64-token items into 128-slots should
+    # fill well past naive one-seq-per-bin; sanity-floor at 85%
+    stats = bin_packing_stats(out, capacity=128).collect()[0]
+    assert stats["fill_ratio"] > 0.85
+    assert stats["n_seqs"] == 3000 and stats["n_oversize_bins"] == 0
+    out.unpersist()
+
+
+def test_pack_bins_ffd_oversize_singletons(spark):
+    from feature_extractor_spark.operators.packing import pack_bins_ffd
+
+    df = spark.createDataFrame(
+        [("a", 10), ("big", 99), ("b", 12)], "sid string, n_tok int"
+    )
+    got = {
+        r["sid"]: r
+        for r in pack_bins_ffd(df, "sid", capacity=32, n_shards=1).collect()
+    }
+    assert got["big"]["oversize"] and got["big"]["bin_fill"] == 99
+    assert not got["a"]["oversize"] and got["a"]["bin_id"] == got["b"]["bin_id"]
+    # the oversize bin is a singleton
+    assert got["big"]["bin_id"] not in (got["a"]["bin_id"],)
