@@ -363,6 +363,7 @@ def curate_tokens(
     chunk_overlap: int = 0,
     stage_counts: dict | None = None,
     max_pairs_per_doc: int | None = None,
+    packing: str = "contiguous",
 ) -> DataFrame:
     """Curation twin for the PRE-TOKENIZED input (BASELINE.json
     input_hint: ``doc_id:string, tokens:array<int32>, n_tok:int32,
@@ -498,11 +499,31 @@ def curate_tokens(
         filtered = append_eos(filtered, tokens_col, eos_id, n_tok_col)
 
     # 4./5. deterministic per-source sampling + stable shuffle + packing
+    if packing not in ("contiguous", "ffd"):
+        raise ValueError(
+            f"curate_tokens: packing must be 'contiguous' or 'ffd', "
+            f"got {packing!r}"
+        )
     if sample_fractions:
         filtered = stratified_sample(
             filtered, "seq_id", source_col, sample_fractions,
             default_fraction=1.0, seed=seed,
         )
+    if packing == "ffd":
+        # padding-aware whole-sequence bins (pack_bins_ffd): no sequence
+        # split, bins padded to context_len at materialization. The
+        # training-order shuffle is over BINS here (shuffle_key derived
+        # from bin_id), sequences inside a bin stay together — the padded
+        # -batch fine-tuning recipe. No prefix-sum scan, so no barrier
+        # persist is needed; the funnel's final metric still rides the
+        # caller's action.
+        from feature_extractor_spark.operators.packing import pack_bins_ffd
+
+        binned = pack_bins_ffd(
+            filtered, "seq_id", n_tok_col=n_tok_col, capacity=context_len
+        )
+        out = deterministic_shuffle(binned, "bin_id", seed=seed)
+        return _count(out, "output")
     shuffled = deterministic_shuffle(filtered, "seq_id", seed=seed)
     ordered = shuffled.withColumn(
         "pack_order",

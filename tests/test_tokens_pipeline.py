@@ -391,3 +391,39 @@ def test_curate_tokens_exact_dedup_windows_on_hash_key(spark):
     assert "xxhash64(tokens" in plan, plan
     assert "hashpartitioning(_w0#" in plan, plan
     assert "hashpartitioning(tokens#" not in plan, plan
+
+
+def test_curate_tokens_ffd_packing_option(spark):
+    """packing='ffd' swaps the contiguous prefix-sum packing for whole-
+    sequence capacity bins: every non-oversize bin fits context_len, no
+    sequence is split, and the funnel still reports endpoints."""
+    from feature_extractor_spark.plans.tokens_pipeline import (
+        curate_tokens,
+        resolve_stage_counts,
+    )
+    from feature_extractor_spark.sources.tokens import synth_tokens
+
+    toks = synth_tokens(spark, n_rows=1500, n_docs=40)
+    counts: dict = {}
+    out = curate_tokens(
+        toks, context_len=128, min_tok=8, packing="ffd", stage_counts=counts
+    ).persist()
+    n = out.count()
+    assert n > 0
+    got = resolve_stage_counts(counts)
+    assert abs(got["output"] - n) <= 20
+    assert "bin_id" in out.columns and "spans_boundary" not in out.columns
+    viol = (
+        out.filter(~F.col("oversize"))
+        .groupBy("bin_id")
+        .agg(F.sum("n_tok").alias("fill"))
+        .filter(F.col("fill") > 128)
+        .count()
+    )
+    assert viol == 0
+    # sequences are whole rows: token arrays untouched by packing
+    assert out.filter(F.size("tokens") != F.col("n_tok")).count() == 0
+    out.unpersist()
+
+    with pytest.raises(ValueError, match="packing"):
+        curate_tokens(toks, packing="zip")
