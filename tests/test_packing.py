@@ -175,3 +175,31 @@ def test_pack_bins_ffd_oversize_singletons(spark):
     assert not got["a"]["oversize"] and got["a"]["bin_id"] == got["b"]["bin_id"]
     # the oversize bin is a singleton
     assert got["big"]["bin_id"] not in (got["a"]["bin_id"],)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lengths=st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=60),
+    cap=st.integers(min_value=16, max_value=256),
+)
+def test_pack_bins_ffd_property_matches_python(spark, lengths, cap):
+    """Property: single-shard pack_bins_ffd is EXACTLY Python FFD for any
+    length multiset and capacity (incl. oversize items)."""
+    from feature_extractor_spark.operators.packing import pack_bins_ffd
+
+    items = [(f"s{i:03d}", n) for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(items, "sid string, n_tok int")
+    got = {
+        r["sid"]: (r["bin_id"], r["bin_fill"], r["oversize"])
+        for r in pack_bins_ffd(df, "sid", capacity=cap, n_shards=1).collect()
+    }
+    exp, _ = _py_ffd(items, cap)
+    assert got == exp
