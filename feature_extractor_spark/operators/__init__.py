@@ -26,6 +26,7 @@ from feature_extractor_spark.operators.packing import (  # noqa: F401
     append_eos,
     bin_packing_stats,
     chunk_tokens,
+    pack_bins,
     pack_bins_ffd,
     pack_sequences,
     packing_stats,

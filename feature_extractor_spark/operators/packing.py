@@ -199,43 +199,57 @@ def packing_stats(packed: DataFrame, n_tok_col: str = "n_tok") -> DataFrame:
     )
 
 
-def pack_bins_ffd(
+def pack_bins(
     df: DataFrame,
     id_col: str,
     n_tok_col: str = "n_tok",
     capacity: int = 2048,
     n_shards: int | None = None,
     out_bin_col: str = "bin_id",
+    fit: str = "best",
 ) -> DataFrame:
     """Padding-aware bin packing — the OTHER standard way (besides
     contiguous ``pack_sequences`` and strided ``chunk_tokens``) training
     examples are formed: whole sequences grouped into bins of at most
     ``capacity`` tokens, each bin padded to capacity at materialization,
-    no sequence ever split (first-fit-decreasing; public method — the
-    classic Johnson 1973 bin-packing heuristic, FFD <= 11/9 OPT + 6/9,
-    and the sequence-packing recipe used by padded-batch LLM fine-tuning
-    pipelines). Emits the input rows plus ``out_bin_col`` (long, globally
-    unique), ``bin_fill`` (the bin's total tokens) and ``oversize``
-    (rows with n_tok > capacity get a SINGLETON bin flagged oversize
-    instead of being dropped or split — chunk first with ``chunk_tokens``
-    if splitting is wanted).
+    no sequence ever split (the padded-batch LLM fine-tuning recipe).
+    Emits the input rows plus ``out_bin_col`` (long, globally unique),
+    ``bin_fill`` (the bin's total tokens) and ``oversize`` (rows with
+    n_tok > capacity get a SINGLETON bin flagged oversize instead of
+    being dropped or split — chunk first with ``chunk_tokens`` if
+    splitting is wanted).
 
-    Scale shape: global FFD is inherently sequential, so the distributed
-    form shards deterministically by ``xxhash64(id) % n_shards`` and runs
-    exact FFD per shard in one Arrow ``applyInPandas`` group (the NeMo-
-    style shard-then-pack recipe): packing quality degrades only by the
-    shard-boundary waste (at most one non-full bin's worth per shard)
-    while the work parallelizes across shards. Membership and bin ids
-    are pure functions of (id, n_tok, n_shards, capacity) — independent
-    of partitioning, cluster size, and reruns: within a shard FFD
-    processes rows in (n_tok DESC, id ASC) order, and the global id is
-    ``shard * 2^40 + local_bin``. One shuffle on the shard key.
+    ``fit`` picks the decreasing-order heuristic (both public classics
+    with the same 11/9 OPT + 6/9 guarantee, Johnson 1973):
 
-    At 10^12 rows: shards are hash-balanced, per-shard state is a list of
-    open-bin fills (<= rows/shard), and no stage sees more than one
-    shard's rows. Pick ``n_shards`` >= cluster cores (default: 4x
+    - ``"best"`` (default, the scale path): best-fit-decreasing — each
+      item goes to the open bin with the SMALLEST remaining capacity
+      that fits (ties: lowest bin id), maintained as a bisect-sorted
+      list, O(n log n) per shard.
+    - ``"first"``: first-fit-decreasing — lowest-INDEX open bin that
+      fits, O(n * open_bins) per shard. In decreasing order most early
+      bins cannot take later items, so the scan degenerates toward
+      quadratic on large shards; kept for parity with the textbook FFD
+      and for small-shard use.
+
+    Scale shape: global packing is inherently sequential, so the
+    distributed form shards deterministically by ``xxhash64(id) %
+    n_shards`` and packs each shard exactly in one Arrow
+    ``applyInPandas`` group (the shard-then-pack recipe): packing
+    quality degrades only by the shard-boundary waste (at most one
+    non-full bin's worth per shard) while the work parallelizes across
+    shards. Membership and bin ids are pure functions of (id, n_tok,
+    n_shards, capacity, fit) — independent of partitioning, cluster
+    size, and reruns: within a shard items are processed in (n_tok DESC,
+    id ASC) order, and the global id is ``shard * 2^40 + local_bin``.
+    One shuffle on the shard key.
+
+    At 10^12 rows: shards are hash-balanced, per-shard state is the
+    open-bin capacity list (<= rows/shard), and no stage sees more than
+    one shard's rows. Pick ``n_shards`` >= cluster cores (default: 4x
     defaultParallelism) to bound per-task memory at |shard| rows.
     """
+    from bisect import bisect_left, insort
     from typing import Iterator
 
     import pandas as pd
@@ -243,7 +257,9 @@ def pack_bins_ffd(
 
     cap = int(capacity)
     if cap < 1:
-        raise ValueError(f"pack_bins_ffd: capacity must be >= 1, got {capacity}")
+        raise ValueError(f"pack_bins: capacity must be >= 1, got {capacity}")
+    if fit not in ("best", "first"):
+        raise ValueError(f"pack_bins: fit must be 'best' or 'first', got {fit!r}")
     if n_shards is None:
         n_shards = df.sparkSession.sparkContext.defaultParallelism * 4
     n_shards = max(1, int(n_shards))
@@ -267,9 +283,13 @@ def pack_bins_ffd(
         pdf = pdf.sort_values(
             [n_tok_col, id_col], ascending=[False, True], kind="mergesort"
         )
-        fills: list[int] = []  # open-bin fills, index = local bin id
+        fills: list[int] = []  # final fill per local bin id
         assign: list[int] = []
         oversize: list[bool] = []
+        # best-fit state: open bins as a bisect-sorted list of
+        # (remaining_capacity, bin_id) — smallest fitting remainder wins,
+        # ties to the lowest bin id (tuple order gives both)
+        open_bins: list[tuple[int, int]] = []
         for n in pdf[n_tok_col]:
             n = int(n)
             if n > cap:
@@ -277,17 +297,31 @@ def pack_bins_ffd(
                 fills.append(n)
                 oversize.append(True)
                 continue
-            # first fit over open bins (linear scan: bins stay few and
-            # cache-hot per shard; Arrow batches bound the row count)
-            for b, f in enumerate(fills):
-                if f + n <= cap:
-                    fills[b] = f + n
-                    assign.append(b)
-                    break
-            else:
-                assign.append(len(fills))
-                fills.append(n)
             oversize.append(False)
+            if fit == "best":
+                i = bisect_left(open_bins, (n, -1))
+                if i < len(open_bins):
+                    rem, b = open_bins.pop(i)
+                    fills[b] += n
+                    assign.append(b)
+                    if rem - n > 0:
+                        insort(open_bins, (rem - n, b))
+                else:
+                    b = len(fills)
+                    fills.append(n)
+                    assign.append(b)
+                    if cap - n > 0:
+                        insort(open_bins, (cap - n, b))
+            else:  # first fit: lowest-index open bin that fits
+                # (oversize bins have fill > cap, so they never match)
+                for b, f in enumerate(fills):
+                    if f + n <= cap:
+                        fills[b] = f + n
+                        assign.append(b)
+                        break
+                else:
+                    assign.append(len(fills))
+                    fills.append(n)
         pdf = pdf.copy()
         pdf[out_bin_col] = [base + b for b in assign]
         pdf["bin_fill"] = [fills[b] for b in assign]
@@ -296,6 +330,12 @@ def pack_bins_ffd(
 
     out = tagged.groupBy("__shard").applyInPandas(pack_shard, schema)
     return out.drop("__shard")
+
+
+def pack_bins_ffd(df: DataFrame, id_col: str, **kwargs) -> DataFrame:
+    """Textbook first-fit-decreasing form of ``pack_bins`` (see its
+    docstring for the fit trade-off)."""
+    return pack_bins(df, id_col, fit="first", **kwargs)
 
 
 def bin_packing_stats(

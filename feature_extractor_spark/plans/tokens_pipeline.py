@@ -510,16 +510,17 @@ def curate_tokens(
             default_fraction=1.0, seed=seed,
         )
     if packing == "ffd":
-        # padding-aware whole-sequence bins (pack_bins_ffd): no sequence
+        # padding-aware whole-sequence bins (pack_bins, best-fit-
+        # decreasing — the O(n log n) scale path): no sequence
         # split, bins padded to context_len at materialization. The
         # training-order shuffle is over BINS here (shuffle_key derived
         # from bin_id), sequences inside a bin stay together — the padded
         # -batch fine-tuning recipe. No prefix-sum scan, so no barrier
         # persist is needed; the funnel's final metric still rides the
         # caller's action.
-        from feature_extractor_spark.operators.packing import pack_bins_ffd
+        from feature_extractor_spark.operators.packing import pack_bins
 
-        binned = pack_bins_ffd(
+        binned = pack_bins(
             filtered, "seq_id", n_tok_col=n_tok_col, capacity=context_len
         )
         out = deterministic_shuffle(binned, "bin_id", seed=seed)

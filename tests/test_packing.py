@@ -120,14 +120,14 @@ def test_pack_bins_ffd_matches_python_oracle_single_shard(spark):
 def test_pack_bins_ffd_capacity_and_determinism(spark):
     from feature_extractor_spark.operators.packing import (
         bin_packing_stats,
-        pack_bins_ffd,
+        pack_bins,
     )
     from feature_extractor_spark.sources.tokens import synth_tokens
 
     tok = synth_tokens(spark, n_rows=3000, n_docs=100).withColumn(
         "sid", F.concat("doc_id", F.lit("#"), F.col("ts").cast("string"))
     )
-    out = pack_bins_ffd(tok, "sid", capacity=128, n_shards=16).persist()
+    out = pack_bins(tok, "sid", capacity=128, n_shards=16).persist()
     # capacity respected for every non-oversize bin
     viol = (
         out.filter(~F.col("oversize"))
@@ -148,7 +148,7 @@ def test_pack_bins_ffd_capacity_and_determinism(spark):
     # partitioning-independence: identical assignment after repartition
     again = {
         r["sid"]: r["bin_id"]
-        for r in pack_bins_ffd(
+        for r in pack_bins(
             tok.repartition(7), "sid", capacity=128, n_shards=16
         ).collect()
     }
@@ -203,3 +203,50 @@ def test_pack_bins_ffd_property_matches_python(spark, lengths, cap):
     }
     exp, _ = _py_ffd(items, cap)
     assert got == exp
+
+
+def _py_bfd(items, cap):
+    """Best-fit-decreasing oracle: smallest fitting remainder, ties to the
+    lowest bin id (mirrors pack_bins fit='best')."""
+    fills, rems, out = [], [], {}
+    for i, n in sorted(items, key=lambda x: (-x[1], x[0])):
+        if n > cap:
+            out[i] = (len(fills), True)
+            fills.append(n)
+            rems.append(-1)  # closed
+            continue
+        cands = [(r, b) for b, r in enumerate(rems) if 0 <= n <= r]
+        if cands:
+            r, b = min(cands)
+            fills[b] += n
+            rems[b] = r - n
+        else:
+            b = len(fills)
+            fills.append(n)
+            rems.append(cap - n)
+        out[i] = (b, False)
+    return {i: (b, fills[b], o) for i, (b, o) in out.items()}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lengths=st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=60),
+    cap=st.integers(min_value=16, max_value=256),
+)
+def test_pack_bins_best_fit_property_matches_python(spark, lengths, cap):
+    """Property: single-shard pack_bins(fit='best') is EXACTLY Python
+    best-fit-decreasing (the O(n log n) scale path's bisect list must
+    implement the same smallest-remainder/lowest-bin rule)."""
+    from feature_extractor_spark.operators.packing import pack_bins
+
+    items = [(f"s{i:03d}", n) for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(items, "sid string, n_tok int")
+    got = {
+        r["sid"]: (r["bin_id"], r["bin_fill"], r["oversize"])
+        for r in pack_bins(df, "sid", capacity=cap, n_shards=1).collect()
+    }
+    assert got == _py_bfd(items, cap)
