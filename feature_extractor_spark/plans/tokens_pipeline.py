@@ -130,6 +130,7 @@ def curate(
     unicode_norm: str | None = None,
     stage_counts: dict | None = None,
     max_pairs_per_doc: int | None = None,
+    packing: str = "contiguous",
 ) -> DataFrame:
     """The curation dataflow as ONE composable lazy plan (no actions except
     the bounded driver loop inside the connected-components closure).
@@ -292,9 +293,23 @@ def curate(
         filtered = redact_pii(filtered, text_col)
 
     # 5. token counts + stable training-order shuffle + sequence packing
+    if packing not in ("contiguous", "ffd"):
+        raise ValueError(
+            f"curate: packing must be 'contiguous' or 'ffd', got {packing!r}"
+        )
     with_tokens = token_counts(filtered, text_col).withColumn(
         "n_tok", F.col("n_bpe_tokens")
     )
+    if packing == "ffd":
+        # padding-aware whole-document bins (pack_bins best-fit; see
+        # curate_tokens) — no prefix-sum scan, so no persist barrier
+        from feature_extractor_spark.operators.packing import pack_bins
+
+        binned = pack_bins(
+            with_tokens, id_col, n_tok_col="n_tok", capacity=context_len
+        )
+        out = deterministic_shuffle(binned, "bin_id", seed=seed)
+        return _count(out, "output")
     shuffled = deterministic_shuffle(with_tokens, id_col, seed=seed)
     # shuffle_key is a hash of the unique id -> collision-free total order
     # is restored by the packing scan's range partitioner reading the key;

@@ -427,3 +427,33 @@ def test_curate_tokens_ffd_packing_option(spark):
 
     with pytest.raises(ValueError, match="packing"):
         curate_tokens(toks, packing="zip")
+
+
+def test_curate_text_path_ffd_packing_option(spark, docs):
+    """packing='ffd' on the TEXT path: whole documents binned to
+    context_len capacity, no prefix-sum coordinates, funnel intact."""
+    from feature_extractor_spark.plans.tokens_pipeline import (
+        curate,
+        resolve_stage_counts,
+    )
+
+    counts: dict = {}
+    out = curate(
+        docs, context_len=512, packing="ffd", stage_counts=counts
+    ).persist()
+    n = out.count()
+    assert n > 0
+    got = resolve_stage_counts(counts)
+    assert abs(got["output"] - n) <= 10
+    assert "bin_id" in out.columns and "tok_start" not in out.columns
+    viol = (
+        out.filter(~F.col("oversize"))
+        .groupBy("bin_id")
+        .agg(F.sum("n_tok").alias("fill"))
+        .filter(F.col("fill") > 512)
+        .count()
+    )
+    assert viol == 0
+    out.unpersist()
+    with pytest.raises(ValueError, match="packing"):
+        curate(docs, packing="zip")
