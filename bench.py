@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     # round-6: the composed INPUT-HINT payload path — token-gram dedup ->
     # filters -> fixed-context chunking -> EOS -> shuffle -> packing
     "curation_tokens_pipeline",
+    # round-7: padding-aware whole-sequence bin packing (best-fit path)
+    "tokens_pack_bins",
 ]
 
 
@@ -176,6 +178,27 @@ def main() -> None:
 
     # driver row ceded r7 (slot to vocab_audit); kept as a bench series
     qs["w3_lag_lead"] = eq.w3_lag_lead
+
+    # round-7 operator: best-fit whole-sequence bin packing on the synth
+    # tokens table (sf-scaled rows like the curation composition)
+    from pyspark.sql import functions as F_
+
+    def _pack_bins_query(s, d):
+        from feature_extractor_spark.operators.packing import pack_bins
+        from feature_extractor_spark.sources.tokens import synth_tokens
+
+        sfv = float(d.rstrip("/").split("sf")[-1]) if "sf" in d else 0.1
+        n_rows = max(5_000, int(300_000 * sfv))
+        tok = synth_tokens(s, n_rows=n_rows, n_docs=max(50, n_rows // 100))
+        return pack_bins(
+            tok.withColumn(
+                "sid", F_.concat("doc_id", F_.lit("#"), F_.col("ts").cast("string"))
+            ),
+            "sid",
+            capacity=2048,
+        )
+
+    qs["tokens_pack_bins"] = _pack_bins_query
 
     # retired driver row, kept as a bench series (same raw operator)
     from feature_extractor_spark.operators.dedup import exact_dedup

@@ -698,8 +698,11 @@ def encode_words(
     Arrow-batched ``mapInPandas`` pass — a MAP-ONLY operator with no
     shuffle, the same shape real subword tokenizers run as at corpus
     scale. The per-word work is a C-level dict lookup (documented
-    Arrow-batch exception, same class as normalize_unicode); the
-    alternative all-JVM form (explode + broadcast join + ordered
+    Arrow-batch exception, same class as normalize_unicode) — measured,
+    not guessed: the dict.get listcomp runs 1.7x FASTER than the
+    "vectorized" flatten + pandas Series.map + np.split alternative
+    (3.24 s vs 5.48 s on 20k 450-word docs), so this IS the fast form.
+    The alternative all-JVM form (explode + broadcast join + ordered
     re-collect) costs a full-corpus shuffle on the doc key, which is the
     wrong trade for a pure map.
 
