@@ -612,6 +612,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--near-dup-threshold", type=float, default=0.5)
     p.add_argument("--web-fraction", type=float, default=None,
                    help="downsample source=web to this keep fraction")
+    p.add_argument("--packing", choices=["contiguous", "ffd"],
+                   default="contiguous",
+                   help="contiguous GPT-style packing (default) or "
+                        "padding-aware whole-document best-fit bins")
+    p.add_argument("--max-pairs-per-doc", type=int, default=None,
+                   help="RAISE when any doc's verified near-dup degree "
+                        "exceeds this (dense-similarity-graph guard)")
     p.add_argument("--cores", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -626,6 +633,8 @@ def main(argv: list[str] | None = None) -> None:
         max_dup_line_frac=args.max_dup_line_frac,
         near_dup_threshold=args.near_dup_threshold,
         sample_fractions=fractions,
+        packing=args.packing,
+        max_pairs_per_doc=args.max_pairs_per_doc,
     )
     print({"processed_units": res["processed"], "skipped_units": res["skipped"]})
 
