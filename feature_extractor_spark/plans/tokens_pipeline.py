@@ -237,7 +237,14 @@ def curate(
         survivors, id_col, text_col, threshold=near_dup_threshold, eager=False
     )
     pairs = _pair_guard(pairs, id_col, stage_counts, max_pairs_per_doc)
-    clusters = near_dup_clusters(pairs, survivors, id_col)
+    cc_stats: dict = {}
+    clusters = near_dup_clusters(pairs, survivors, id_col, stats=cc_stats)
+    if stage_counts is not None:
+        # closure telemetry rides the same funnel dict (plain ints):
+        # which path ran, how many rounds, how many distinct edges
+        stage_counts["cc_path"] = cc_stats.get("path")
+        stage_counts["cc_rounds"] = int(cc_stats.get("rounds", 0))
+        stage_counts["cc_n_edges"] = int(cc_stats.get("n_edges", 0))
     keep = clusters.filter(F.col(id_col) == F.col("canonical_id")).select(id_col)
     survivors = survivors.join(keep, id_col)
     survivors = _count(survivors, "near_dup_dedup")
@@ -352,7 +359,9 @@ def resolve_stage_counts(stage_counts: dict) -> dict:
     are already ints — the guard runs eagerly at plan-build time because
     the closure materializes the pair set then anyway."""
     return {
-        k: int(v) if isinstance(v, int) else int(v.get["rows"])
+        k: v
+        if isinstance(v, (int, str)) or v is None
+        else int(v.get["rows"])
         for k, v in stage_counts.items()
     }
 
@@ -457,7 +466,12 @@ def curate_tokens(
         gram_n=gram_n, threshold=near_dup_threshold, eager=False,
     )
     pairs = _pair_guard(pairs, "seq_id", stage_counts, max_pairs_per_doc)
-    clusters = near_dup_clusters(pairs, survivors, "seq_id")
+    cc_stats: dict = {}
+    clusters = near_dup_clusters(pairs, survivors, "seq_id", stats=cc_stats)
+    if stage_counts is not None:
+        stage_counts["cc_path"] = cc_stats.get("path")
+        stage_counts["cc_rounds"] = int(cc_stats.get("rounds", 0))
+        stage_counts["cc_n_edges"] = int(cc_stats.get("n_edges", 0))
     keep = clusters.filter(F.col("seq_id") == F.col("canonical_id")).select("seq_id")
     survivors = survivors.join(keep, "seq_id")
     survivors = _count(survivors, "near_dup_dedup")

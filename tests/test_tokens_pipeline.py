@@ -364,6 +364,9 @@ def test_pair_guard_dense_clique_raises_and_funnel_reports_pairs(spark):
     # clique of 40: every member pairs with most others; one survivor
     assert got["near_dup_pairs"] >= 40 * 30 // 2
     assert got["near_dup_max_degree"] >= 30
+    # closure telemetry rides the same funnel (r7): which path, edges
+    assert got["cc_path"] == "driver" and got["cc_rounds"] == 0
+    assert got["cc_n_edges"] >= 40 * 30 // 2
     assert n_out <= 1 + 10  # one clique survivor + the isolated docs
 
 
