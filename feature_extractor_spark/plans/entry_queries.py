@@ -707,20 +707,100 @@ def p4_cyclical_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "p8_returns",
+    "word_vocab_encode",
     """
-    SELECT event_id, user_id, ts,
-           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts), 6) AS value_diff
-    FROM events
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ), occ AS (
+      SELECT unnest(ws) AS token FROM w
+    ), vocab AS (
+      SELECT token,
+             (row_number() OVER (ORDER BY n_total DESC, token ASC) + 1)::INT
+               AS id
+      FROM (SELECT token, count(*) AS n_total FROM occ
+            GROUP BY token HAVING count(*) >= 2)
+      ORDER BY n_total DESC, token ASC LIMIT 16
+    ), pos AS (
+      SELECT doc_id, unnest(ws) AS wd,
+             unnest(range(1, len(ws) + 1)) AS p
+      FROM w
+    ), enc AS (
+      SELECT pos.doc_id, pos.p, coalesce(v.id, 1) AS tid
+      FROM pos LEFT JOIN vocab v ON pos.wd = v.token
+    ), agg AS (
+      SELECT doc_id,
+             count(*)::INT AS n_tok,
+             min_by(tid, p) AS first_token,
+             max_by(tid, p) AS last_token,
+             sum(tid)::BIGINT AS token_sum,
+             sum(CASE WHEN tid = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unk
+      FROM enc GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           coalesce(a.n_tok, 0) AS n_tok,
+           a.first_token, a.last_token,
+           coalesce(a.token_sum, 0) AS token_sum,
+           coalesce(a.n_unk, 0) AS n_unk
+    FROM w LEFT JOIN agg a USING (doc_id)
     """,
 )
+def word_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text->tokens bridge under the driver's hard signal (proactive r7 —
+    the r7 additions should not wait a round for their oracle):
+    ``build_word_vocab`` (vocab_size=18, min_count=2 — the synthetic
+    corpus has only 31 distinct words, so a 16-word vocabulary leaves
+    ~half of them mapping to UNK: BOTH encode branches carry real mass)
+    then ``encode_words`` over the
+    documents table. The DuckDB oracle independently recomputes the
+    frequency-ranked vocabulary (count DESC, token ASC — a unique total
+    order both engines resolve identically), re-encodes every document
+    against it with the same UNK rule, and probes the arrays
+    (first/last token via min_by/max_by over positions, id checksum,
+    UNK count) — so a hash match verifies the vocabulary CONTENT, the id
+    ASSIGNMENT, and the per-position encoding against a second
+    implementation. Replaced p8_returns (ceded; pytest
+    tests/test_ceded_rows.py)."""
+    from feature_extractor_spark.functions.text import (
+        build_word_vocab,
+        encode_words,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_word_vocab(docs, vocab_size=18, min_count=2)
+    enc = encode_words(docs, vocab)
+    t = F.col("tokens")
+    return enc.select(
+        "doc_id",
+        F.col("n_tok").cast("int").alias("n_tok"),
+        F.element_at(t, 1).alias("first_token"),
+        F.element_at(t, -1).alias("last_token"),
+        F.aggregate(
+            t, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("token_sum"),
+        F.size(F.filter(t, lambda x: x == 1)).cast("long").alias("n_unk"),
+    )
+
+
 def p8_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P8 use_returns: first differences per entity."""
+    """P8 use_returns: first differences per entity. Driver row ceded r7
+    to ``word_vocab_encode`` (a one-function window vs the text->tokens
+    bridge); stays DuckDB-checked in pytest (tests/test_ceded_rows.py)
+    via ``P8_RETURNS_ORACLE_SQL``."""
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     out = returns(ev, "user_id", "ts", "value", kind="diff")
     return out.select(
         "event_id", "user_id", "ts", F.round(F.col("value_diff"), 6).alias("value_diff")
     )
+
+
+P8_RETURNS_ORACLE_SQL = """
+    SELECT event_id, user_id, ts,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts), 6) AS value_diff
+    FROM events
+    """
 
 
 @_q(

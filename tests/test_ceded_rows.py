@@ -75,3 +75,15 @@ def test_o4_ts_range_split_matches_duckdb(spark):
     want = _canon(_oracle(O4_SPLIT_ORACLE_SQL))
     assert list(got.columns) == list(want.columns)
     assert got.equals(want)
+
+
+def test_p8_returns_matches_duckdb(spark):
+    from feature_extractor_spark.plans.entry_queries import (
+        P8_RETURNS_ORACLE_SQL,
+        p8_returns,
+    )
+
+    got = _canon(p8_returns(spark, SF).toPandas())
+    want = _canon(_oracle(P8_RETURNS_ORACLE_SQL))
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want)

@@ -177,3 +177,38 @@ def test_paragraph_dedup_row_non_vacuous_and_perturbation_flips(spark):
         .toPandas()
     )
     assert not _canon(pert).equals(_canon(o))
+
+
+def test_word_vocab_encode_non_vacuous_and_perturbation_flips(spark):
+    """The deliberately tiny vocab (18 incl. 2 reserved, vs the corpus's
+    31 distinct words) must leave real UNK mass on BOTH branches, and a
+    different vocab_size must diverge — proves the hash checks the
+    vocabulary fit, not just row shape."""
+    from feature_extractor_spark.functions.text import (
+        build_word_vocab,
+        encode_words,
+    )
+
+    o = _oracle("word_vocab_encode")
+    assert (o.n_unk > 0).sum() > 100  # hapax/overflow words -> UNK
+    assert (o.n_unk < o.n_tok).sum() > 100  # but in-vocab ids dominate
+    assert (o.n_tok > 0).all()
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    vocab = build_word_vocab(docs, vocab_size=12, min_count=2)
+    enc = encode_words(docs, vocab)
+    t = F.col("tokens")
+    pert = (
+        enc.select(
+            "doc_id",
+            F.col("n_tok").cast("int").alias("n_tok"),
+            F.element_at(t, 1).alias("first_token"),
+            F.element_at(t, -1).alias("last_token"),
+            F.aggregate(
+                t, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+            ).alias("token_sum"),
+            F.size(F.filter(t, lambda x: x == 1)).cast("long").alias("n_unk"),
+        )
+        .toPandas()
+    )
+    assert not _canon(pert).equals(_canon(o))
