@@ -190,12 +190,17 @@ def main() -> None:
         sfv = float(d.rstrip("/").split("sf")[-1]) if "sf" in d else 0.1
         n_rows = max(5_000, int(300_000 * sfv))
         tok = synth_tokens(s, n_rows=n_rows, n_docs=max(50, n_rows // 100))
+        # n_shards pinned (the r8 default is a fixed 1024, chosen for
+        # corpus scale): 128 keeps the series comparable with r7 (which
+        # ran defaultParallelism*4 = 128 on the 32-core box) and keeps
+        # per-shard packing meaningful at bench row counts
         return pack_bins(
             tok.withColumn(
                 "sid", F_.concat("doc_id", F_.lit("#"), F_.col("ts").cast("string"))
             ),
             "sid",
             capacity=2048,
+            n_shards=128,
         )
 
     qs["tokens_pack_bins"] = _pack_bins_query

@@ -35,6 +35,8 @@ from feature_extractor_spark.functions.text import (  # noqa: F401
 )
 from feature_extractor_spark.functions.text import (  # noqa: F401
     build_word_vocab,
+    decode_bpe,
     decode_words,
+    encode_bpe,
     encode_words,
 )

@@ -30,7 +30,10 @@ BPE_TOKEN_RE = r"[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]"
 
 
 def words(text: Column) -> Column:
-    """Whitespace tokenization, empty strings dropped."""
+    """Whitespace tokenization, empty strings dropped. NOTE: Java regex
+    \\s is ASCII-only ([ \\t\\n\\x0B\\f\\r]) — Unicode whitespace (NBSP,
+    U+2028, ...) does NOT split. Python-side re-tokenizers (encode_words)
+    must mirror exactly this class, not Python's Unicode-aware \\s."""
     return F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
 
 
@@ -726,7 +729,14 @@ def encode_words(
     schema = T.StructType(fields)
     import re as _re
 
-    ws_re = _re.compile(r"\s+")
+    # EXACTLY the JVM words() split semantics (ADVICE r7): Java \s is
+    # ASCII-only [ \t\n\x0B\f\r], Python \s is Unicode-aware (NBSP,
+    # U+2028, ...). A Unicode-aware split here would break words at
+    # boundaries build_word_vocab never saw, inflating UNKs and making
+    # vocab entries containing e.g. NBSP unmatchable. No .strip()
+    # either (Unicode-aware) — the `if w` filter drops edge empties,
+    # same as words()'s != "" filter after trim.
+    ws_re = _re.compile(r"[ \t\n\x0b\f\r]+")
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         m = bc.value
@@ -736,7 +746,7 @@ def encode_words(
                 return None
             if lowercase:
                 text = text.lower()
-            return [m.get(w, unk) for w in ws_re.split(text.strip()) if w]
+            return [m.get(w, unk) for w in ws_re.split(text) if w]
 
         for pdf in batches:
             toks = [one(t) for t in pdf[text_col]]
@@ -782,6 +792,218 @@ def decode_words(
             if toks is None:
                 return None
             return " ".join(inv.get(int(t), unk_token) for t in toks)
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [one(t) for t in pdf[tokens_col]]
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def encode_bpe(
+    df: DataFrame,
+    merges: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    out_col: str = "tokens",
+    n_tok_col: str | None = "n_tok",
+    unk_id: int = 1,
+    lowercase: bool = False,
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Subword (BPE) APPLY-encoder — the realistic text->tokens bridge
+    (public method: Sennrich, Haddow & Birch 2016, "Neural Machine
+    Translation of Rare Words with Subword Units"; this is the apply
+    phase only — no training, the ``merges`` table is an input). Word-
+    level UNK encoding (``encode_words``) materially distorts token
+    counts and packing on realistic corpora; greedy pair-merging over a
+    public merges table is what every real pipeline runs between
+    ``curate()`` and ``curate_tokens()``.
+
+    Inputs:
+
+    - ``merges``: DataFrame ``(rank int, left string, right string)`` —
+      the ordered merge list; lower rank merges first. Word-final
+      symbols carry the ``end_of_word`` marker (Sennrich's ``</w>``
+      convention), so a merge's right side may end with it.
+    - ``vocab``: DataFrame ``(token string, id int)`` mapping final
+      symbols to ids. Byte-fallback tokens (``<0x41>``-style, the
+      SentencePiece/Llama convention) may be present for out-of-
+      alphabet characters.
+
+    Algorithm per word (words split exactly like ``words()``/
+    ``encode_words`` — ASCII whitespace only): start from characters
+    with ``end_of_word`` appended to the last, repeatedly merge ALL
+    adjacent occurrences of the lowest-rank pair present, left to
+    right, until no adjacent pair is in the merges table; then map each
+    final symbol to its vocab id. A symbol missing from the vocab falls
+    back to the UTF-8 byte tokens of its text (marker stripped; the
+    ``end_of_word`` token itself is appended if present in the vocab),
+    and to a single ``unk_id`` if any needed byte token is absent.
+    NULL text encodes to NULL.
+
+    Scale shape: identical to ``encode_words`` — merges + vocab are
+    contract-bounded collects (|merges| and |vocab| rows, never the
+    corpus), broadcast once, and encoding is one Arrow-batched
+    ``mapInPandas`` MAP with no shuffle (plan-pinned in tests). Per-
+    batch word-level memoization exploits the Zipf distribution: each
+    distinct word BPE-merges once per partition, repeats are a dict
+    hit.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    merge_rank = {
+        (r["left"], r["right"]): int(r["rank"])
+        for r in merges.select("left", "right", "rank").collect()
+    }
+    mapping = {
+        r["token"]: int(r["id"]) for r in vocab.select("token", "id").collect()
+    }
+    sc = df.sparkSession.sparkContext
+    bc_merges = sc.broadcast(merge_rank)
+    bc_vocab = sc.broadcast(mapping)
+    unk = int(unk_id)
+    eow = end_of_word
+
+    fields = list(df.schema.fields) + [
+        T.StructField(out_col, T.ArrayType(T.IntegerType()))
+    ]
+    if n_tok_col:
+        fields.append(T.StructField(n_tok_col, T.IntegerType()))
+    schema = T.StructType(fields)
+    import re as _re
+
+    # EXACTLY the JVM words() split semantics (see encode_words)
+    ws_re = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        ranks = bc_merges.value
+        vmap = bc_vocab.value
+        word_cache: dict[str, list[int]] = {}
+
+        def symbol_ids(sym: str) -> list[int]:
+            sid = vmap.get(sym)
+            if sid is not None:
+                return [sid]
+            # byte fallback (SentencePiece/Llama convention): UTF-8
+            # bytes of the marker-stripped text, then the bare marker
+            marked = sym.endswith(eow)
+            raw = sym[: -len(eow)] if marked else sym
+            ids: list[int] = []
+            for b in raw.encode("utf-8"):
+                bid = vmap.get(f"<0x{b:02X}>")
+                if bid is None:
+                    return [unk]
+                ids.append(bid)
+            if marked:
+                mid = vmap.get(eow)
+                if mid is not None:
+                    ids.append(mid)
+            return ids if ids else [unk]
+
+        def encode_word(word: str) -> list[int]:
+            hit = word_cache.get(word)
+            if hit is not None:
+                return hit
+            syms = list(word)
+            syms[-1] = syms[-1] + eow
+            while len(syms) > 1:
+                best_rank, best_pair = None, None
+                for pair in zip(syms, syms[1:]):
+                    r = ranks.get(pair)
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_pair = r, pair
+                if best_pair is None:
+                    break
+                l, r_ = best_pair
+                out: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r_:
+                        out.append(l + r_)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            ids = [i for s in syms for i in symbol_ids(s)]
+            word_cache[word] = ids
+            return ids
+
+        def one(text):
+            if text is None:
+                return None
+            if lowercase:
+                text = text.lower()
+            return [
+                i for w in ws_re.split(text) if w for i in encode_word(w)
+            ]
+
+        for pdf in batches:
+            toks = [one(t) for t in pdf[text_col]]
+            pdf = pdf.copy()
+            pdf[out_col] = toks
+            if n_tok_col:
+                pdf[n_tok_col] = pd.array(
+                    [len(t) if t is not None else None for t in toks],
+                    dtype="Int32",
+                )
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def decode_bpe(
+    df: DataFrame,
+    vocab: DataFrame,
+    tokens_col: str = "tokens",
+    out_col: str = "text",
+    unk_token: str = "<unk>",
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Inverse of ``encode_bpe``: ids -> symbols, concatenated; the
+    ``end_of_word`` marker becomes a single space (word boundary) and
+    byte-fallback tokens (``<0xNN>``) decode back to their UTF-8 bytes.
+    Round-trips exactly on text whose symbols are all reachable from
+    the vocab (whitespace normalized to single spaces). Same broadcast-
+    dict map-only shape as ``decode_words``."""
+    from typing import Iterator
+
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+
+    inverse = {
+        int(r["id"]): r["token"] for r in vocab.select("token", "id").collect()
+    }
+    bc = df.sparkSession.sparkContext.broadcast(inverse)
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.StringType())]
+    )
+    import re as _re
+
+    byte_re = _re.compile(r"^<0x([0-9A-Fa-f]{2})>$")
+    eow = end_of_word
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        inv = bc.value
+
+        def one(toks):
+            if toks is None:
+                return None
+            buf: list[bytes] = []
+            for t in toks:
+                sym = inv.get(int(t), unk_token)
+                m = byte_re.match(sym)
+                if m:
+                    buf.append(bytes([int(m.group(1), 16)]))
+                else:
+                    buf.append(sym.encode("utf-8"))
+            text = b"".join(buf).decode("utf-8", errors="replace")
+            return text.replace(eow, " ").rstrip(" ")
 
         for pdf in batches:
             pdf = pdf.copy()

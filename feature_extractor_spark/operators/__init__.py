@@ -37,3 +37,10 @@ from feature_extractor_spark.operators.sampling import (  # noqa: F401
     stratified_sample,
     temperature_targets,
 )
+from feature_extractor_spark.operators.dedup import (  # noqa: F401
+    hamming_near_dup_pairs,
+)
+from feature_extractor_spark.operators.multimodal import (  # noqa: F401
+    image_near_dup_pairs,
+    perceptual_hash,
+)

@@ -508,23 +508,28 @@ def simhash(
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
-def simhash_near_dup(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    bits: int = 60,
+def hamming_near_dup_pairs(
+    fp: DataFrame,
+    id_col: str,
+    fp_col: str,
+    bits: int = 64,
     max_hamming: int = 3,
     bands: int | None = None,
-    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash Hamming distance <= ``max_hamming``.
+    """EXACT near-duplicate pairs over ANY 64-bit-or-narrower fingerprint
+    column (SimHash, image dHash/aHash, ...) by Hamming distance <=
+    ``max_hamming`` — the pigeonhole banding machinery, factored out of
+    ``simhash_near_dup`` (r8) so every Hamming-fingerprint modality
+    shares one verified implementation.
 
     Pigeonhole banding makes this EXACT, not approximate: the fingerprint
     is split into ``bands`` contiguous chunks (default max_hamming + 1);
     any pair within Hamming distance d < bands differs in at most d chunks,
     so at least one chunk is identical — candidate generation joins on
     (band_index, chunk) and NEVER misses a qualifying pair. Verification
-    is one xor + bit_count per candidate (built-in, codegen).
+    is one xor + bit_count per candidate (built-in, codegen). Arithmetic
+    shiftright + mask extracts chunks correctly even when bit 63 is set
+    (negative long fingerprints).
 
     Scale shape: the join key is (band, chunk) — |bands| rows per doc, one
     shuffle; candidate count is driven by chunk collisions, not N^2. A
@@ -539,7 +544,6 @@ def simhash_near_dup(
             f"bands ({bands}) must exceed max_hamming ({max_hamming}) for the "
             "pigeonhole guarantee"
         )
-    fp = simhash(df, id_col, text_col, bits=bits, hash_fn=hash_fn)
     base = bits // bands  # chunk widths: base or base+1 (remainder spread)
     rem = bits % bands
     offs, off = [], 0
@@ -551,24 +555,24 @@ def simhash_near_dup(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.shiftright(F.col("simhash"), o)
+                F.shiftright(F.col(fp_col), o)
                 .bitwiseAND(F.lit((1 << w) - 1))
                 .alias("chunk"),
             )
             for i, (o, w) in enumerate(offs)
         ]
     )
-    banded = fp.select(id_col, "simhash", F.explode(chunks).alias("bc")).select(
+    banded = fp.select(id_col, fp_col, F.explode(chunks).alias("bc")).select(
         F.col(id_col),
-        "simhash",
+        fp_col,
         F.col("bc.band").alias("band"),
         F.col("bc.chunk").alias("chunk"),
     )
     a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "band", "chunk"
+        F.col(id_col).alias("id_a"), F.col(fp_col).alias("fp_a"), "band", "chunk"
     )
     b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "band", "chunk"
+        F.col(id_col).alias("id_b"), F.col(fp_col).alias("fp_b"), "band", "chunk"
     )
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (
@@ -577,6 +581,27 @@ def simhash_near_dup(
         .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= ``max_hamming``
+    — ``simhash`` fingerprints fed through the shared exact pigeonhole
+    machinery (``hamming_near_dup_pairs``; see its docstring for the
+    banding guarantee and scale shape).
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    fp = simhash(df, id_col, text_col, bits=bits, hash_fn=hash_fn)
+    return hamming_near_dup_pairs(
+        fp, id_col, "simhash", bits=bits, max_hamming=max_hamming, bands=bands
     )
 
 

@@ -315,3 +315,127 @@ def decode_features(
 
     cols = [id_col, payload_col] + ([kind_col] if have_kind else [])
     return df.select(*cols).mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing + near-dup (r8): dHash/aHash over decoded pixels
+# feeding the shared exact banded-Hamming machinery (operators/dedup.py)
+
+
+def _luminance(img: np.ndarray) -> np.ndarray:
+    """(H, W, C in {1,3}) in [0,1] -> (H, W) luminance, same Rec.601
+    weights as image_features."""
+    if img.shape[2] == 1:
+        return img[:, :, 0]
+    return 0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+
+
+def _area_resize(a: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Deterministic area-average resize to (oh, ow): target cell (i, j)
+    is the mean of source block rows [i*h//oh, max((i+1)*h//oh, +1)) x
+    cols likewise — plain integer-boundary block means (no interpolation
+    library), each cell guaranteed >= 1 source pixel even upsampling."""
+    h, w = a.shape
+    rs = (np.arange(oh) * h) // oh
+    re = np.maximum((np.arange(1, oh + 1) * h) // oh, rs + 1)
+    cs = (np.arange(ow) * w) // ow
+    ce = np.maximum((np.arange(1, ow + 1) * w) // ow, cs + 1)
+    rows = np.stack([a[s:e].mean(axis=0) for s, e in zip(rs, re)])
+    return np.stack([rows[:, s:e].mean(axis=1) for s, e in zip(cs, ce)], axis=1)
+
+
+def _phash_int(img: np.ndarray, method: str, hash_size: int) -> int:
+    """64-bit perceptual hash of a decoded image (public methods:
+    difference hash / average hash, the standard pHash-family
+    baselines). Bit k = y*hash_size + x is set iff:
+
+    - dhash: g[y, x] > g[y, x+1] on the (hash_size, hash_size+1)
+      area-resized luminance grid (horizontal gradient sign),
+    - ahash: g[y, x] > mean(g) on the (hash_size, hash_size) grid.
+
+    Exposed driver-side for the pytest oracle to recompute from raw
+    pixel formulas."""
+    lum = _luminance(img)
+    if method == "dhash":
+        g = _area_resize(lum, hash_size, hash_size + 1)
+        bits = g[:, :-1] > g[:, 1:]
+    elif method == "ahash":
+        g = _area_resize(lum, hash_size, hash_size)
+        bits = g > g.mean()
+    else:
+        raise ValueError(f"perceptual_hash: method must be dhash|ahash, got {method!r}")
+    v = 0
+    for k, b in enumerate(bits.ravel()):
+        if b:
+            v |= 1 << k
+    # store as signed int64 (Spark long): two's-complement wrap
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def perceptual_hash(
+    df: DataFrame,
+    method: str = "dhash",
+    hash_size: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-image 64-bit perceptual fingerprint (dHash default — robust to
+    brightness shifts since only gradient SIGNS matter; aHash as the
+    mean-threshold variant). Decode is the same pure-NumPy PPM/PGM path
+    as ``decode_features``; unsupported magics raise NotImplementedError.
+
+    Scale shape: one Arrow ``mapInPandas`` MAP over the binary payloads
+    (no shuffle); output is (id, phash long) — 16 bytes/row into the
+    downstream Hamming join regardless of image size.
+    """
+    if hash_size * hash_size > 64:
+        raise ValueError("perceptual_hash: hash_size^2 must fit in 64 bits")
+    if method not in ("dhash", "ahash"):
+        raise ValueError(f"perceptual_hash: method must be dhash|ahash, got {method!r}")
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType(), False),
+            T.StructField("phash", T.LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            hashes = [
+                _phash_int(decode_ppm(bytes(p)), method, hash_size)
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "phash": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    method: str = "dhash",
+    hash_size: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    bands: int | None = None,
+) -> DataFrame:
+    """EXACT perceptual near-duplicate image pairs: ``perceptual_hash``
+    fingerprints fed through the shared pigeonhole banded-Hamming
+    machinery (``operators.dedup.hamming_near_dup_pairs`` — the same
+    verified path the text SimHash dedup runs). Brightness-shifted or
+    lightly-noised variants of an image land within ``max_hamming`` bits
+    of the original; unrelated images differ in ~32 of 64 bits.
+    Returns (id_a, id_b, hamming) with id_a < id_b — feed to
+    ``near_dup_clusters`` for transitive closure, exactly like text."""
+    from feature_extractor_spark.operators.dedup import hamming_near_dup_pairs
+
+    fp = perceptual_hash(
+        df, method=method, hash_size=hash_size,
+        payload_col=payload_col, id_col=id_col,
+    )
+    return hamming_near_dup_pairs(
+        fp, id_col, "phash",
+        bits=hash_size * hash_size, max_hamming=max_hamming, bands=bands,
+    )

@@ -170,12 +170,19 @@ def sample_n_per_group(
         # sort + head — no per-row Python. Batches never span partitions,
         # and emitting the per-batch top-n (a superset of the per-
         # partition top-n) is lossless for the global top-n.
+        # dropna=False: pandas groupby silently drops NULL-key groups by
+        # default, but the single-phase window treats the NULL group as a
+        # normal partition — membership must match it exactly (ADVICE r7).
+        # na_position='first' mirrors Spark's NULLS FIRST ascending order
+        # for nullable u/id, though __u is non-null by construction.
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             yield (
-                pdf.sort_values([gcol, "__u", icol], kind="mergesort")
-                .groupby(gcol, sort=False)
+                pdf.sort_values(
+                    [gcol, "__u", icol], kind="mergesort", na_position="first"
+                )
+                .groupby(gcol, sort=False, dropna=False)
                 .head(n_int)
             )
 

@@ -326,3 +326,26 @@ def test_sample_n_per_group_two_phase_equals_single_phase_on_skew(spark):
     # the reduction sits BELOW the exchange (printed after it, since the
     # physical plan prints root-first): partial top-n before the shuffle
     assert plan.index("MapInPandas") > plan.index("Exchange hashpartitioning")
+
+
+def test_sample_n_per_group_two_phase_keeps_null_group(spark):
+    """ADVICE r8: pandas groupby drops NULL-key groups by default, so the
+    phase-1 partial top-n silently lost every NULL-group row while the
+    single-phase window kept them — membership must be identical,
+    including the NULL group."""
+    from feature_extractor_spark.operators.sampling import sample_n_per_group
+
+    rows = [(f"r{i:03d}", None if i % 3 == 0 else f"g{i % 2}") for i in range(60)]
+    df = spark.createDataFrame(rows, "rid string, doc_id string").repartition(5)
+    two = {
+        (r["rid"], r["doc_id"])
+        for r in sample_n_per_group(df, "rid", "doc_id", n=4, seed=7).collect()
+    }
+    one = {
+        (r["rid"], r["doc_id"])
+        for r in sample_n_per_group(
+            df, "rid", "doc_id", n=4, seed=7, two_phase=False
+        ).collect()
+    }
+    assert two == one
+    assert sum(1 for _, g in two if g is None) == 4  # NULL group sampled too

@@ -155,7 +155,7 @@ def test_pack_bins_ffd_capacity_and_determinism(spark):
     assert {r["sid"]: r["bin_id"] for r in out.collect()} == again
     # packing efficiency: FFD with 8-64-token items into 128-slots should
     # fill well past naive one-seq-per-bin; sanity-floor at 85%
-    stats = bin_packing_stats(out, capacity=128).collect()[0]
+    stats = bin_packing_stats(out).collect()[0]  # capacity from bin_capacity col
     assert stats["fill_ratio"] > 0.85
     assert stats["n_seqs"] == 3000 and stats["n_oversize_bins"] == 0
     out.unpersist()
@@ -250,3 +250,83 @@ def test_pack_bins_best_fit_property_matches_python(spark, lengths, cap):
         for r in pack_bins(df, "sid", capacity=cap, n_shards=1).collect()
     }
     assert got == _py_bfd(items, cap)
+
+
+def test_pack_bins_pandas_stage_sees_no_payload(spark):
+    """Plan pin (VERDICT r7 item 1): the applyInPandas packing stage
+    must consume ONLY (__shard, id, n_tok) — the token-array payload
+    stays JVM-side and re-joins on the id. The FlatMapGroupsInPandas
+    node prints its function's input attributes, so a payload column
+    leaking into the Arrow hop shows up right on that line."""
+    from feature_extractor_spark.operators.packing import pack_bins
+
+    df = spark.createDataFrame(
+        [(f"s{i}", 10 + i % 50, list(range(i % 7))) for i in range(50)],
+        "sid string, n_tok int, tokens array<int>",
+    )
+    out = pack_bins(df, "sid", capacity=128, n_shards=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    [fmg] = [l for l in plan.splitlines() if "FlatMapGroupsInPandas" in l]
+    assert "tokens#" not in fmg, fmg
+    # and the payload still comes out the other side, assignment intact
+    assert out.filter(F.size("tokens") >= 0).count() == 50
+
+
+def test_pack_bins_payload_invariance_and_capacity_column(spark):
+    """The assignment is a pure function of (id, n_tok): adding payload
+    columns must not change any bin id, and pack_bins carries the
+    packing capacity as the bin_capacity column."""
+    from feature_extractor_spark.operators.packing import pack_bins
+
+    meta = [(f"s{i:02d}", 5 + (i * 37) % 90) for i in range(80)]
+    narrow = spark.createDataFrame(meta, "sid string, n_tok int")
+    wide = spark.createDataFrame(
+        [(s, n, list(range(n)), f"src{i%3}") for i, (s, n) in enumerate(meta)],
+        "sid string, n_tok int, tokens array<int>, source string",
+    )
+    a = {r["sid"]: (r["bin_id"], r["bin_fill"], r["oversize"])
+         for r in pack_bins(narrow, "sid", capacity=96, n_shards=4).collect()}
+    rows = pack_bins(wide, "sid", capacity=96, n_shards=4).collect()
+    b = {r["sid"]: (r["bin_id"], r["bin_fill"], r["oversize"]) for r in rows}
+    assert a == b
+    assert all(r["bin_capacity"] == 96 for r in rows)
+    # payload columns survive the join-back untouched
+    assert all(len(r["tokens"]) == r["n_tok"] for r in rows)
+
+
+def test_bin_packing_stats_capacity_misuse_raises(spark):
+    """bin_packing_stats must be impossible to run against the wrong
+    capacity: explicit capacity + bin_capacity column -> error; no
+    column and no explicit capacity -> error; external frames without
+    the column still work with an explicit value."""
+    import pytest
+
+    from feature_extractor_spark.operators.packing import (
+        bin_packing_stats,
+        pack_bins,
+    )
+
+    df = spark.createDataFrame(
+        [(f"s{i}", 10 + i) for i in range(20)], "sid string, n_tok int"
+    )
+    packed = pack_bins(df, "sid", capacity=64, n_shards=2)
+    with pytest.raises(ValueError, match="omit the capacity"):
+        bin_packing_stats(packed, capacity=128)
+    with pytest.raises(ValueError, match="no bin_capacity column"):
+        bin_packing_stats(packed.drop("bin_capacity"))
+    ext = bin_packing_stats(packed.drop("bin_capacity"), capacity=64).first()
+    col = bin_packing_stats(packed).first()
+    assert ext["n_slots"] == col["n_slots"] and ext["n_bins"] == col["n_bins"]
+
+
+def test_pack_bins_default_shards_is_cluster_independent(spark):
+    """ADVICE r7: the n_shards default must be a fixed constant, not
+    derived from defaultParallelism — bin ids must not depend on the
+    cluster that ran the job."""
+    from feature_extractor_spark.operators import packing
+
+    assert packing.DEFAULT_N_SHARDS == 1024
+    import inspect
+
+    src = inspect.getsource(packing.pack_bins)
+    assert "defaultParallelism" not in src

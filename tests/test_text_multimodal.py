@@ -401,3 +401,131 @@ def test_compression_ratio_overhead_is_zlib_bound():
 
     t_full = timed(full)
     assert t_full < 2.0 * t_zlib, (t_full, t_zlib)
+
+
+# ---------------------------------------------------------------------------
+# r8: perceptual image hashing + near-dup through the banded-Hamming path
+
+
+def _ppm_bytes(arr):
+    """uint8 (H, W, 3) -> binary P6 payload."""
+    h, w, _ = arr.shape
+    return f"P6\n{w} {h}\n255\n".encode() + arr.astype("uint8").tobytes()
+
+
+def _planted_images():
+    """Three structured base images; for base 0 a brightness-shifted twin
+    (+14, no clipping) and a lightly-noised twin (±2 on strong ~16-step
+    gradients). Returns list[(media_id, payload)]."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    bases = []
+    for b in range(3):
+        yy, xx = np.mgrid[0:16, 0:16]
+        img = ((xx * 11 + yy * 5 + b * 97) % 200 + 20).astype(np.uint8)
+        img = np.stack([img, (img + 30) % 200 + 20, img // 2 + 40], axis=2)
+        if b:  # decorrelate the other bases completely
+            img = rng.randint(20, 220, size=(16, 16, 3)).astype(np.uint8)
+        bases.append(img)
+        rows.append((f"img_{b}", _ppm_bytes(img)))
+    rows.append(("img_0_bright", _ppm_bytes(bases[0] + 14)))
+    noise = rng.randint(-2, 3, size=(16, 16, 3))
+    rows.append(
+        ("img_0_noise", _ppm_bytes(np.clip(bases[0].astype(int) + noise, 0, 255)))
+    )
+    return rows
+
+
+def test_ahash_matches_pixel_formula_oracle(spark):
+    """Independent oracle: on an 8x8 grayscale PGM with hash_size=8 the
+    area-resize is the identity, so aHash bit k (k = y*8+x) is exactly
+    lum[y,x] > mean(lum) computed straight from the payload formula."""
+    import numpy as np
+
+    from feature_extractor_spark.operators.multimodal import perceptual_hash
+
+    rng = np.random.RandomState(3)
+    imgs = [rng.randint(0, 256, size=(8, 8)).astype(np.uint8) for _ in range(6)]
+    rows = [
+        (f"g{i}", bytearray(f"P5\n8 8\n255\n".encode() + a.tobytes()))
+        for i, a in enumerate(imgs)
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {
+        r["media_id"]: r["phash"]
+        for r in perceptual_hash(df, method="ahash").collect()
+    }
+    for i, a in enumerate(imgs):
+        lum = a.astype(np.float64) / 255.0
+        v = 0
+        for k, bit in enumerate((lum > lum.mean()).ravel()):
+            if bit:
+                v |= 1 << k
+        exp = v - (1 << 64) if v >= (1 << 63) else v
+        assert got[f"g{i}"] == exp, (i, got[f"g{i}"], exp)
+
+
+def test_dhash_brightness_invariance_and_near_dup_clusters(spark):
+    """dHash only sees gradient SIGNS: a +14 brightness shift hams 0 and
+    light noise on strong gradients stays within max_hamming, while
+    unrelated images differ in ~32 bits — the planted family clusters
+    together through the shared banded-Hamming + closure machinery and
+    the decorrelated images stay singletons."""
+    from pyspark.sql import functions as F
+
+    from feature_extractor_spark.operators.dedup import near_dup_clusters
+    from feature_extractor_spark.operators.multimodal import (
+        image_near_dup_pairs,
+        perceptual_hash,
+    )
+
+    rows = [(mid, bytearray(p)) for mid, p in _planted_images()]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    fps = {
+        r["media_id"]: r["phash"] for r in perceptual_hash(df).collect()
+    }
+    assert fps["img_0"] == fps["img_0_bright"]  # pure shift: identical
+
+    pairs = image_near_dup_pairs(df, max_hamming=6)
+    clusters = near_dup_clusters(pairs, df.select("media_id"), "media_id")
+    canon = {r["media_id"]: r["canonical_id"] for r in clusters.collect()}
+    family = {"img_0", "img_0_bright", "img_0_noise"}
+    assert len({canon[m] for m in family}) == 1
+    assert canon["img_1"] == "img_1" and canon["img_2"] == "img_2"
+    assert canon["img_1"] != canon["img_0"] != canon["img_2"]
+    # hamming column on the verified pairs is the true bit distance
+    for r in image_near_dup_pairs(df, max_hamming=64, bands=65).collect():
+        assert r["hamming"] == bin(
+            (fps[r["id_a"]] ^ fps[r["id_b"]]) & ((1 << 64) - 1)
+        ).count("1")
+
+
+def test_simhash_near_dup_unchanged_by_refactor(spark):
+    """The factored hamming_near_dup_pairs must reproduce simhash_near_dup
+    exactly (pairs + hamming) when fed the same fingerprints."""
+    from feature_extractor_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+        simhash,
+        simhash_near_dup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [("a", base), ("b", base + " tail"), ("c", "totally different words "
+          "about spark catalyst optimizer plans"), ("d", base)],
+        "doc_id string, text string",
+    )
+    direct = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup(docs, max_hamming=10).collect()
+    }
+    fp = simhash(docs)
+    via = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_near_dup_pairs(
+            fp, "doc_id", "simhash", bits=60, max_hamming=10
+        ).collect()
+    }
+    assert direct == via and ("a", "d") in direct and direct[("a", "d")] == 0

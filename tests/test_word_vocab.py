@@ -113,3 +113,43 @@ def test_vocab_size_guard(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         build_word_vocab(docs, vocab_size=2, n_reserved=2)
+
+
+def test_unicode_whitespace_vocab_encode_parity(spark):
+    """ADVICE r8: Java \\s is ASCII-only, so the JVM-side vocab split and
+    the Python-side encode split must agree that Unicode whitespace
+    (NBSP, U+2028, ideographic space) does NOT separate words. A word
+    glued by NBSP counts as ONE vocab token and encode_words must map it
+    back to that same token — zero UNKs on in-vocab text, round-trip
+    exact modulo ASCII-whitespace normalization."""
+    from feature_extractor_spark.functions.text import (
+        build_word_vocab,
+        decode_words,
+        encode_words,
+    )
+
+    nbsp, ls, ideo = " ", " ", "　"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha{nbsp}beta gamma alpha{nbsp}beta"),
+            (2, f"gamma delta{ls}eps gamma\tdelta{ls}eps"),
+            (3, f"zz{ideo}top gamma zz{ideo}top"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = build_word_vocab(docs, vocab_size=64, n_reserved=2)
+    toks = {r["token"] for r in vocab.collect()}
+    # glued forms are single vocab entries; their fragments are NOT
+    assert f"alpha{nbsp}beta" in toks and f"delta{ls}eps" in toks
+    assert "alpha" not in toks and "beta" not in toks and "eps" not in toks
+    enc = encode_words(docs, vocab, n_tok_col="n_tok")
+    got = {r["doc_id"]: r for r in enc.collect()}
+    # every word is in-vocab -> no UNK (id 1) anywhere
+    assert all(1 not in r["tokens"] for r in got.values())
+    assert got[1]["n_tok"] == 3 and got[2]["n_tok"] == 4 and got[3]["n_tok"] == 3
+    dec = {
+        r["doc_id"]: r["text_rt"]
+        for r in decode_words(enc, vocab, out_col="text_rt").collect()
+    }
+    assert dec[1] == f"alpha{nbsp}beta gamma alpha{nbsp}beta"
+    assert dec[3] == f"zz{ideo}top gamma zz{ideo}top"
