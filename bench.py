@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "curation_tokens_pipeline",
     # round-7: padding-aware whole-sequence bin packing (best-fit path)
     "tokens_pack_bins",
+    # round-8: subword BPE apply-encoder over the documents table
+    "text_encode_bpe",
 ]
 
 
@@ -205,6 +207,32 @@ def main() -> None:
 
     qs["tokens_pack_bins"] = _pack_bins_query
 
+    # round-8 operator: BPE apply-encoding of the documents table against
+    # a fixed hand-built merges/vocab pair (deterministic; coverage is
+    # intentionally partial — the merge loop cost, which is what this
+    # measures, is coverage-independent)
+    def _encode_bpe_query(s, d):
+        from feature_extractor_spark.functions.text import encode_bpe
+
+        pairs = [
+            "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+            "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
+            "st", "to", "nt", "ng", "se", "ha", "as", "ou", "io", "le",
+        ]
+        merges = [(i, p[0], p[1]) for i, p in enumerate(pairs)]
+        syms = sorted(
+            {c for p in pairs for c in p}
+            | set(pairs)
+            | {c + "</w>" for p in pairs for c in p}
+        )
+        vocab = [(t, i + 2) for i, t in enumerate(syms)]
+        mdf = s.createDataFrame(merges, "rank int, left string, right string")
+        vdf = s.createDataFrame(vocab, "token string, id int")
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        return encode_bpe(docs, mdf, vdf, text_col="text", lowercase=True)
+
+    qs["text_encode_bpe"] = _encode_bpe_query
+
     # retired driver row, kept as a bench series (same raw operator)
     from feature_extractor_spark.operators.dedup import exact_dedup
 
@@ -267,11 +295,21 @@ def main() -> None:
 
     # discarded warm run first (VERDICT r5 item 3: the r5 artifact's first
     # parity draw was 2.6x the second — JVM/cache state, not kernel cost),
-    # then min-of-2 timed runs like everything else
+    # then min-of-THREE timed runs (VERDICT r7 item 6: min-of-2 still drew
+    # a 2.2x spread inside one artifact on an aged box; three draws bound
+    # the tail) plus a control-normalized ratio so the one remaining
+    # hand-argued number becomes mechanical: parity_normalized =
+    # wall_sec / control_1row_count_sec — box drift hits numerator and
+    # denominator together, so cross-round comparisons read this field
+    # (bench_compare prints it)
     parity_run(spark)  # warm, discarded
-    parity_samples = [parity_run(spark) for _ in range(2)]
+    parity_samples = [parity_run(spark) for _ in range(3)]
     parity = min(parity_samples, key=lambda p: p["wall_sec"])
     parity["samples_wall_sec"] = [p["wall_sec"] for p in parity_samples]
+    control_min = min(control_samples)
+    parity["parity_normalized"] = (
+        round(parity["wall_sec"] / control_min, 1) if control_min > 0 else None
+    )
 
     print(
         json.dumps(
@@ -279,7 +317,7 @@ def main() -> None:
                 "metric": "asof+window+encoder pipeline wall-clock (headline); per-query secs in 'queries'",
                 "value": round(headline_sec, 3),
                 "unit": "sec",
-                "protocol": f"min-of-{n_runs} (headline samples listed; per-query min of {n_runs - 1} timed runs after 1 warm; composed pipelines min-of-2; parity warm discarded then min-of-2)",
+                "protocol": f"min-of-{n_runs} (headline samples listed; per-query min of {n_runs - 1} timed runs after 1 warm; composed pipelines min-of-2; parity warm discarded then min-of-3, control-normalized ratio in parity_normalized)",
                 "headline_samples": head_samples,
                 "control_1row_count_sec": round(min(control_samples), 4),
                 "control_samples": control_samples,

@@ -44,3 +44,9 @@ from feature_extractor_spark.operators.multimodal import (  # noqa: F401
     image_near_dup_pairs,
     perceptual_hash,
 )
+from feature_extractor_spark.operators.ann_index import (  # noqa: F401
+    ann_index_append,
+    ann_index_topk,
+    build_ann_index,
+    compact_ann_index,
+)

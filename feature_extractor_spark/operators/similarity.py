@@ -871,10 +871,45 @@ def ivfpq_topk(
     corpus_idx = corpus.select(id_col, vec_col).mapInPandas(
         assign_encode, enc_schema
     )
+    return _adc_score(
+        queries, corpus_idx, C, books, residual,
+        id_col=id_col, vec_col=vec_col, k=k, n_probe=n_probe,
+        max_queries=max_queries,
+    )
+
+
+def _adc_score(
+    queries: DataFrame,
+    corpus_idx: DataFrame,
+    C,
+    books,
+    residual: bool,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_probe: int,
+    max_queries: int,
+) -> DataFrame:
+    """The query half of IVF(+PQ) ADC search, shared between the inline
+    ``ivfpq_topk`` and the persisted-index ``ann_index_topk`` (r8):
+    ``corpus_idx`` is the coded corpus (id, cell, pq_code) from any
+    source — a fresh ``assign_encode`` pass or a parquet index read —
+    and C/books are the (already trained or loaded) centroid matrix and
+    PQ codebooks. Behavior and determinism are exactly the pre-refactor
+    ivfpq_topk query path (tests pin equality)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = corpus_idx.sparkSession
+    C = np.asarray(C, dtype=np.float64)
+    id_type = corpus_idx.schema[id_col].dataType
 
     qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
     if len(qrows) > max_queries:
-        raise ValueError(f"ivfpq_topk: query side exceeds max_queries={max_queries}")
+        raise ValueError(f"adc top-k: query side exceeds max_queries={max_queries}")
     if not qrows:
         empty = spark.createDataFrame(
             [],

@@ -1831,13 +1831,17 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", F.round(F.col("cosine"), 6))
 
 
-@_q(
-    "s7_json_scalar",
-    """
+# ceded r8 (registry pinned at 50): the slot now carries pack_bins_bfd,
+# whose oracle fully RECOMPUTES best-fit-decreasing bin packing in SQL —
+# a far stronger value check than a one-function JSON scalar decode. The
+# exact same Spark-vs-DuckDB check lives on in
+# tests/test_ceded_rows.py::test_s7_json_scalar_matches_duckdb.
+S7_JSON_ORACLE_SQL = """
     SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS prop_k
     FROM events
-    """,
-)
+    """
+
+
 def s7_json_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON decode of the props column (reference JSON handling surface,
     app/config_handler.py:13-26) — built-in get_json_object."""
@@ -1846,6 +1850,93 @@ def s7_json_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object(F.col("props"), "$.k").cast("long").alias("prop_k"),
     )
+
+
+_PACK_CAP = 512
+
+_PACK_BINS_ORACLE = f"""
+    WITH RECURSIVE items AS (
+      SELECT doc_id, (n_chars % 300 + 1)::INT AS n_tok FROM documents
+    ),
+    ordered AS (
+      SELECT row_number() OVER (ORDER BY n_tok DESC, doc_id ASC) AS i,
+             doc_id, n_tok
+      FROM items
+    ),
+    st AS (
+      -- one state row per step: open-bin remainders (-1 = oversize/closed),
+      -- per-bin fills, and the assignment built so far
+      SELECT 0::BIGINT AS step,
+             []::INT[] AS rems,
+             []::BIGINT[] AS fills,
+             []::BIGINT[] AS ids,
+             []::BIGINT[] AS bins_
+      UNION ALL
+      SELECT st.step + 1,
+             CASE
+               WHEN o.n_tok > {_PACK_CAP} THEN list_append(st.rems, -1)
+               WHEN best_rem IS NULL
+                 THEN list_append(st.rems, {_PACK_CAP} - o.n_tok)
+               ELSE st.rems[:idx-1] || [best_rem - o.n_tok] || st.rems[idx+1:]
+             END,
+             CASE
+               WHEN o.n_tok > {_PACK_CAP} OR best_rem IS NULL
+                 THEN list_append(st.fills, o.n_tok::BIGINT)
+               ELSE st.fills[:idx-1] || [st.fills[idx] + o.n_tok]
+                    || st.fills[idx+1:]
+             END,
+             list_append(st.ids, o.doc_id),
+             list_append(st.bins_,
+               CASE WHEN o.n_tok > {_PACK_CAP} OR best_rem IS NULL
+                    THEN len(st.rems)::BIGINT
+                    ELSE (idx - 1)::BIGINT END)
+      FROM st
+      JOIN ordered o ON o.i = st.step + 1
+      CROSS JOIN LATERAL (
+        -- best fit: smallest remainder that still fits ...
+        SELECT list_min(list_filter(st.rems, r -> r >= o.n_tok)) AS best_rem
+      ) b
+      CROSS JOIN LATERAL (
+        -- ... ties to the lowest bin id = FIRST position of that value
+        SELECT list_position(st.rems, b.best_rem) AS idx
+      ) p
+    ),
+    final AS (SELECT * FROM st ORDER BY step DESC LIMIT 1),
+    asg AS (
+      SELECT u.doc_id, u.bin AS bin_id, f.fills[u.bin + 1] AS bin_fill,
+             f.fills[u.bin + 1] > {_PACK_CAP} AS oversize
+      FROM final f,
+           LATERAL (
+             SELECT unnest(f.ids) AS doc_id, unnest(f.bins_) AS bin
+           ) u
+    )
+    SELECT a.doc_id, i.n_tok, a.bin_id, a.bin_fill, a.oversize
+    FROM asg a JOIN items i USING (doc_id)
+    """
+
+
+@_q("pack_bins_bfd", _PACK_BINS_ORACLE)
+def pack_bins_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-aware best-fit-decreasing bin packing, fully recomputed by
+    the oracle (VERDICT r7 item 5): item lengths derive deterministically
+    from the documents table (n_chars % 300 + 1, capacity 512, one
+    shard), and the DuckDB side replays the ENTIRE sequential BFD —
+    a recursive CTE carries the open-bin remainder list step by step,
+    picking the smallest fitting remainder with ties to the lowest bin
+    id, exactly the operator's contract (operators/packing.py pack_bins
+    fit='best'; Johnson 1973). Every bin id, fill, and oversize flag is
+    value-checked; a capacity or fit-rule perturbation flips the row red
+    (tests/test_driver_rows_r8.py)."""
+    from feature_extractor_spark.operators.packing import pack_bins
+
+    docs = _t(spark, sf_dir, "documents")
+    items = docs.select(
+        "doc_id", (F.col("n_chars") % 300 + 1).cast("int").alias("n_tok")
+    )
+    packed = pack_bins(
+        items, "doc_id", n_tok_col="n_tok", capacity=_PACK_CAP, n_shards=1
+    )
+    return packed.select("doc_id", "n_tok", "bin_id", "bin_fill", "oversize")
 
 
 # ---------------------------------------------------------------------------

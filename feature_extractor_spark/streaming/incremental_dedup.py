@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from feature_extractor_spark.operators.dedup import (
     _hashed_shingle_table,
+    contamination_flags,
     minhash_lsh_pairs,
     near_dup_clusters,
     signature_bands,
@@ -163,10 +164,22 @@ def ingest_batch(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.9,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 13,
 ) -> None:
     """One micro-batch of the dedup ingest (usable directly for batch
     backfills too). Idempotent per (batch_id): all three writes are
-    dynamic-partition overwrites keyed on batch_id."""
+    dynamic-partition overwrites keyed on batch_id.
+
+    ``benchmark`` (r8): a static eval-set frame with the same id/text
+    columns enables per-batch decontamination, matching the batch
+    ``curate(benchmark=...)`` hook — any surviving doc sharing a
+    ``decontam_n``-gram with the benchmark is dropped BEFORE the accept
+    write and before its rows enter the index (a leaked doc must never
+    become the canonical copy future batches dedup against). The
+    benchmark grams broadcast per batch (contamination_flags); dropping
+    is deterministic, so the replay contract is unchanged — a replayed
+    batch overwrites its own partition with identical content."""
     spark = batch_df.sparkSession
     batch_df = batch_df.persist()
     try:
@@ -196,6 +209,15 @@ def ingest_batch(
             )
         else:  # first batch: no index yet
             accepted = unique
+        if benchmark is not None:
+            cflags = contamination_flags(
+                accepted, benchmark, id_col, text_col,
+                bench_id_col=id_col, bench_text_col=text_col, n=decontam_n,
+            )
+            accepted = accepted.join(
+                cflags.filter(~F.col("is_contaminated")).select(id_col),
+                id_col,
+            )
         accepted = accepted.persist()
         # 3. accepted docs + their index rows, idempotent per batch
         bid = F.lit(int(batch_id))
@@ -230,10 +252,13 @@ def stream_dedup_ingest(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.9,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 13,
 ):
     """Wire ``ingest_batch`` into a Structured Streaming query. Returns
     the DataStreamWriter (caller starts it, typically with
-    ``.trigger(availableNow=True)`` for backfills)."""
+    ``.trigger(availableNow=True)`` for backfills). ``benchmark`` adds
+    per-batch decontamination (see ingest_batch)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -241,6 +266,7 @@ def stream_dedup_ingest(
         ingest_batch(
             batch_df, batch_id, index_dir, accepted_dir,
             id_col, text_col, num_hashes, bands, shingle_n, threshold,
+            benchmark=benchmark, decontam_n=decontam_n,
         )
 
     return (

@@ -87,3 +87,16 @@ def test_p8_returns_matches_duckdb(spark):
     want = _canon(_oracle(P8_RETURNS_ORACLE_SQL))
     assert list(got.columns) == list(want.columns)
     assert got.equals(want)
+
+
+def test_s7_json_scalar_matches_duckdb(spark):
+    """Ceded r8 (slot given to pack_bins_bfd): same value check as the
+    old registry row."""
+    from feature_extractor_spark.plans.entry_queries import (
+        S7_JSON_ORACLE_SQL,
+        s7_json_scalar,
+    )
+
+    got = _canon(s7_json_scalar(spark, SF).toPandas())
+    exp = _canon(_oracle(S7_JSON_ORACLE_SQL))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -372,3 +372,58 @@ def test_strip_lines_by_hash_direct(spark):
     assert got["x"]["n_removed_lines"] == 1
     assert got["y"]["text"] == "only good text"
     assert got["y"]["n_removed_lines"] == 0
+
+
+def test_streaming_decontamination_flags_planted_leak(spark, tmp_path):
+    """r8: benchmark decontamination on the foreachBatch ingest path —
+    a doc in batch 2 sharing a 13-gram with the (static broadcast) eval
+    set is dropped before the accept write AND never enters the index;
+    replay stays idempotent."""
+    idx = str(tmp_path / "idx")
+    acc = str(tmp_path / "acc")
+    leak_text = (
+        "what is the airspeed velocity of an unladen swallow carrying a "
+        "coconut across the channel in winter"
+    )
+    bench = _df(spark, [("q1", leak_text)])
+
+    # batch 0: clean docs, benchmark active from the start
+    ingest_batch(
+        _df(spark, [("b1", B), ("c1", C)]), 0, idx, acc,
+        threshold=0.5, benchmark=bench,
+    )
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {
+        "b1", "c1",
+    }
+
+    # batch 2: a planted leak (contains the benchmark 13-gram verbatim)
+    # plus a clean doc
+    leaked = "intro text then " + leak_text + " and a closing remark"
+    ingest_batch(
+        _df(spark, [("bad1", leaked), ("a1", A)]), 2, idx, acc,
+        threshold=0.5, benchmark=bench,
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(acc).collect()}
+    assert got == {"b1", "c1", "a1"}  # bad1 flagged and dropped
+    # the leaked doc's rows never entered the index
+    idx_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{idx}/bands").select("doc_id").collect()
+    }
+    assert "bad1" not in idx_ids and "a1" in idx_ids
+
+    # replay batch 2: byte-identical outcome (at-least-once contract)
+    ingest_batch(
+        _df(spark, [("bad1", leaked), ("a1", A)]), 2, idx, acc,
+        threshold=0.5, benchmark=bench,
+    )
+    rows = spark.read.parquet(acc).collect()
+    assert {r["doc_id"] for r in rows} == {"b1", "c1", "a1"}
+    assert len(rows) == 3
+
+    # docs shorter than n words are trivially clean (no false drops)
+    ingest_batch(
+        _df(spark, [("tiny", "short doc")]), 3, idx, acc,
+        threshold=0.5, benchmark=bench,
+    )
+    assert "tiny" in {r["doc_id"] for r in spark.read.parquet(acc).collect()}

@@ -65,6 +65,19 @@ def main(argv: list[str]) -> None:
     sa, sb = old.get("sequences_per_sec"), new.get("sequences_per_sec")
     if sa and sb:
         print(f"headline sequences/sec: {sa} -> {sb} ({sb / sa:.2f}x raw)")
+    pa = old.get("reference_parity_w144") or {}
+    pb = new.get("reference_parity_w144") or {}
+    wa, wb = pa.get("wall_sec"), pb.get("wall_sec")
+    if wa and wb:
+        # parity_normalized is in the artifact from r8 on; derive it for
+        # older artifacts from their own control so the series is complete
+        na = pa.get("parity_normalized") or (wa / ca if ca else None)
+        nb = pb.get("parity_normalized") or (wb / cb if cb else None)
+        raw = wb / wa
+        line = f"reference_parity_w144: {wa}s -> {wb}s ({raw:.2f}x raw"
+        if na and nb:
+            line += f", {(nb / na):.2f}x control-normalized"
+        print(line + ")")
 
 
 if __name__ == "__main__":
