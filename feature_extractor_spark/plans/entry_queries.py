@@ -1615,9 +1615,13 @@ def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "j1_doc_token_join",
-    """
+# ceded r8 (registry pinned at 50): the slot now carries
+# encode_bpe_subword, whose oracle fully REPLAYS the greedy BPE merge
+# loop in SQL — J1's two shuffle joins remain value-checked verbatim in
+# tests/test_ceded_rows.py::test_j1_doc_token_join_matches_duckdb, and
+# the equi-join surface stays driver-covered through q3 and
+# j3/j4/tokens_asof rows.
+J1_DOC_TOKEN_ORACLE_SQL = """
     WITH toks AS (
       SELECT doc_id,
              unnest(list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
@@ -1633,8 +1637,9 @@ def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id, d.lang, d.source, p.n_tokens, p.n_rare, p.mean_df
     FROM documents d JOIN per_doc p USING (doc_id)
-    """,
-)
+    """
+
+
 def j1_doc_token_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 equi-join on the LLM-pipeline side: documents exploded to a
     derived (doc_id, token) relation, token document-frequencies joined
@@ -1661,6 +1666,204 @@ def j1_doc_token_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select("doc_id", "lang", "source").join(per_doc, "doc_id").select(
         "doc_id", "lang", "source", "n_tokens", "n_rare", "mean_df"
+    )
+
+
+# --- encode_bpe_subword (r8): the BPE apply-encoder under the hard signal
+# in the round it shipped (same discipline as r7's word_vocab_encode).
+# Fixed public-style merges table: rank order includes chains whose later
+# merges consume earlier products ((t,h)->(th,e)) and an (e,e)/(ee,e)
+# ladder that only the exact all-occurrences-left-to-right rule resolves
+# correctly. Both engines see the IDENTICAL constants.
+_BPE_EOW = "</w>"
+# Merges tuned to the driver corpus's actual word lattice (key, agg, row,
+# scan, table, ...): every rank fires on real words, five chains consume
+# earlier products (th+e</w>, ro+w</w>, ar+t</w>, as+t</w>, in+e</w>),
+# and ranks 2/3 interact non-confluently on "scan" — (c,a) before
+# (a,n</w>) yields [s, ca, n</w>]; the other order yields [s, c, an</w>]
+# — so rank ORDER is observable, not just the merge set.
+_BPE_MERGES: list[tuple[int, str, str]] = [
+    (0, "t", "h"), (1, "th", f"e{_BPE_EOW}"),
+    (2, "c", "a"), (3, "a", f"n{_BPE_EOW}"),
+    (4, "e", "r"), (5, "e", f"r{_BPE_EOW}"),
+    (6, "r", "o"), (7, "ro", f"w{_BPE_EOW}"),
+    (8, "a", "r"), (9, "ar", f"t{_BPE_EOW}"),
+    (10, "l", "u"), (11, "a", "s"), (12, "as", f"t{_BPE_EOW}"),
+    (13, "s", "m"), (14, "t", "a"), (15, "t", f"a{_BPE_EOW}"),
+    (16, "e", f"y{_BPE_EOW}"), (17, "i", "n"), (18, "in", f"e{_BPE_EOW}"),
+    (19, "u", f"p{_BPE_EOW}"), (20, "q", "u"), (21, "e", "c"),
+    (22, "b", "i"), (23, "s", "o"), (24, "t", "r"), (25, "e", "a"),
+]
+
+
+def _bpe_vocab() -> dict[str, int]:
+    import string as _string
+
+    # letters + punctuation, with 'g' DELIBERATELY left out of the
+    # alphabet: agg/big/merge/group contain it, so the UNK branch carries
+    # real mass (both engines must agree a missing symbol collapses to
+    # exactly one UNK — no byte tokens exist to fall back to)
+    alphabet = sorted(set(_string.ascii_letters + _string.punctuation) - {"g"})
+    prods = sorted({l + r for _, l, r in _BPE_MERGES})
+    syms = sorted(
+        set(alphabet) | {c + _BPE_EOW for c in alphabet} | set(prods)
+    )
+    return {s: i + 2 for i, s in enumerate(syms)}  # 0=PAD, 1=UNK
+
+
+def _bpe_oracle() -> str:
+    vocab = _bpe_vocab()
+    rank_map = "MAP {" + ", ".join(
+        "'" + (l + "|" + r).replace("'", "''") + f"': {k}"
+        for k, l, r in _BPE_MERGES
+    ) + "}"
+    vocab_map = "MAP {" + ", ".join(
+        "'" + s.replace("'", "''") + "': " + str(i)
+        for s, i in vocab.items()
+    ) + "}"
+    big = 10**9
+    # NOTE the pair-key separator '|': a merge key contains EXACTLY one
+    # '|' (left/right never contain it), while any text pair involving a
+    # literal '|' symbol produces >= 2, so keys cannot collide.
+    return f"""
+    WITH RECURSIVE
+    tok AS (
+      SELECT doc_id, u.w AS word, u.pos
+      FROM documents,
+           LATERAL (
+             SELECT unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+             FROM (SELECT list_filter(
+                     regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                     x -> x <> '') AS ws)
+           ) u
+    ),
+    words AS (SELECT DISTINCT word FROM tok),
+    bpe AS (
+      -- greedy BPE replay: one state row per (word, pass); each pass
+      -- merges ALL left-to-right occurrences of the lowest-rank adjacent
+      -- pair (a list_reduce fold), until no pair is in the merges map
+      SELECT word, 0 AS step,
+             list_transform(range(1, len(word) + 1),
+               i -> word[i] ||
+                    CASE WHEN i = len(word) THEN '{_BPE_EOW}' ELSE '' END
+             ) AS syms
+      FROM words
+      UNION ALL
+      SELECT word, step + 1,
+             list_reduce(
+               list_transform(q.syms, s -> [s]),
+               (acc, x) -> CASE
+                 WHEN acc[-1] = q.syms[p.idx] AND x[1] = q.syms[p.idx + 1]
+                   THEN acc[:len(acc)-1]
+                        || [q.syms[p.idx] || q.syms[p.idx + 1]]
+                 ELSE acc || x
+               END
+             ) AS syms
+      FROM (
+        SELECT word, step, syms,
+               list_transform(range(1, len(syms)),
+                 i -> coalesce(
+                   ({rank_map})[syms[i] || '|' || syms[i+1]][1], {big})
+               ) AS rks
+        FROM bpe
+        WHERE len(syms) > 1
+      ) q,
+      LATERAL (SELECT list_min(q.rks) AS best) b,
+      LATERAL (SELECT list_position(q.rks, b.best) AS idx) p
+      WHERE b.best < {big}
+    ),
+    done AS (
+      SELECT word, syms
+      FROM bpe
+      QUALIFY row_number() OVER (PARTITION BY word ORDER BY step DESC) = 1
+    ),
+    word_ids AS (
+      SELECT word,
+             list_transform(syms, s -> coalesce(({vocab_map})[s][1], 1))
+               AS ids
+      FROM done
+    ),
+    doc_tokens AS (
+      SELECT t.doc_id, flatten(list(w.ids ORDER BY t.pos)) AS tokens
+      FROM tok t JOIN word_ids w USING (word)
+      GROUP BY t.doc_id
+    ),
+    agg AS (
+      SELECT d.doc_id,
+             len(tokens)::INT AS n_tok,
+             tokens[1] AS first_token,
+             tokens[-1] AS last_token,
+             list_sum(tokens)::BIGINT AS token_sum,
+             coalesce(list_sum(list_transform(
+               range(1, len(tokens) + 1), i -> tokens[i] * i)), 0)::BIGINT
+               AS pos_checksum,
+             len(list_filter(tokens, x -> x = 1))::BIGINT AS n_unk
+      FROM doc_tokens d
+    )
+    SELECT doc_id,
+           coalesce(a.n_tok, 0) AS n_tok,
+           a.first_token, a.last_token,
+           coalesce(a.token_sum, 0) AS token_sum,
+           coalesce(a.pos_checksum, 0) AS pos_checksum,
+           coalesce(a.n_unk, 0) AS n_unk
+    FROM documents LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@_q("encode_bpe_subword", _bpe_oracle())
+def encode_bpe_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword BPE apply-encoder over the documents table, fully replayed
+    by the oracle (r8): DuckDB re-runs the ENTIRE greedy merge loop — a
+    recursive CTE advances each distinct word one merge-pass at a time,
+    re-scoring adjacent pairs against the merges map and folding the
+    all-occurrences-left-to-right merge — then re-maps the final symbols
+    to ids and probes the per-doc arrays (count, first/last, plain and
+    POSITION-WEIGHTED checksums, UNK count). A hash match verifies merge
+    ORDER, the merge fold, the end-of-word convention, and the id
+    mapping against a second implementation; rank and vocab
+    perturbations flip red (tests/test_driver_rows_r8.py). No byte
+    tokens in this vocab, so unknown symbols collapse to one UNK on
+    both sides. Replaced j1_doc_token_join (ceded;
+    tests/test_ceded_rows.py)."""
+    from feature_extractor_spark.functions.text import encode_bpe
+
+    spark_merges = spark.createDataFrame(
+        _BPE_MERGES, "rank int, left string, right string"
+    )
+    spark_vocab = spark.createDataFrame(
+        list(_bpe_vocab().items()), "token string, id int"
+    )
+    docs = _t(spark, sf_dir, "documents")
+    enc = encode_bpe(
+        docs, spark_merges, spark_vocab, text_col="text", lowercase=False
+    )
+    t = F.col("tokens")
+    n = F.size(t)
+    pos_sum = F.when(
+        n > 0,
+        F.aggregate(
+            F.zip_with(
+                t, F.sequence(F.lit(1), n), lambda x, i: x.cast("long") * i
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return enc.select(
+        "doc_id",
+        F.coalesce(F.col("n_tok"), F.lit(0)).cast("int").alias("n_tok"),
+        F.element_at(t, 1).alias("first_token"),
+        F.element_at(t, -1).alias("last_token"),
+        F.coalesce(
+            F.aggregate(
+                t, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+            ),
+            F.lit(0),
+        ).alias("token_sum"),
+        pos_sum.alias("pos_checksum"),
+        F.coalesce(
+            F.size(F.filter(t, lambda x: x == 1)).cast("long"), F.lit(0)
+        ).alias("n_unk"),
     )
 
 

@@ -100,3 +100,21 @@ def test_s7_json_scalar_matches_duckdb(spark):
     got = _canon(s7_json_scalar(spark, SF).toPandas())
     exp = _canon(_oracle(S7_JSON_ORACLE_SQL))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_j1_doc_token_join_matches_duckdb(spark):
+    """Ceded r8 (slot given to encode_bpe_subword): same value check as
+    the old registry row — two shuffle joins + per-doc aggregate."""
+    from feature_extractor_spark.plans.entry_queries import (
+        J1_DOC_TOKEN_ORACLE_SQL,
+        j1_doc_token_join,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    got = _canon(j1_doc_token_join(spark, SF).toPandas())
+    exp = _canon(con.sql(J1_DOC_TOKEN_ORACLE_SQL).df())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
