@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "tokens_pack_bins",
     # round-8: subword BPE apply-encoder over the documents table
     "text_encode_bpe",
+    # round-8: perceptual image near-dup (decode + dHash + banded Hamming)
+    "image_near_dup",
 ]
 
 
@@ -232,6 +234,49 @@ def main() -> None:
         return encode_bpe(docs, mdf, vdf, text_col="text", lowercase=True)
 
     qs["text_encode_bpe"] = _encode_bpe_query
+
+    # round-8 operator: perceptual image near-dup over distributively
+    # generated P6 payloads. Pixels are hash-decorrelated per image (the
+    # affine _synth_ppm pattern shares gradient SIGNS across images,
+    # which collapses dHash to a handful of values — a pathological
+    # density, not a benchmark); i % 997 plants exact-duplicate families
+    # so the banded join still has real pairs to verify.
+    def _image_near_dup_query(s, d):
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from feature_extractor_spark.operators.multimodal import (
+            image_near_dup_pairs,
+        )
+
+        sfv = float(d.rstrip("/").split("sf")[-1]) if "sf" in d else 0.1
+        n = max(500, int(20_000 * sfv))
+        schema = T.StructType(
+            [
+                T.StructField("media_id", T.StringType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+        def one(i: int) -> bytes:
+            # seeded per-image RandomState: fully decorrelated pixels
+            # (additive formulas keep near-constant horizontal deltas,
+            # which collapses the gradient-sign hash)
+            img = np.random.RandomState(i).randint(
+                0, 256, (16, 16, 3)
+            ).astype(np.uint8)
+            return b"P6\n16 16\n255\n" + img.tobytes()
+
+        def gen(batches):
+            for pdf in batches:
+                ids = [f"m_{int(i):07d}" for i in pdf["id"]]
+                pays = [one(int(i) % 997) for i in pdf["id"]]
+                yield pd.DataFrame({"media_id": ids, "payload": pays})
+
+        media = s.range(n).mapInPandas(gen, schema)
+        return image_near_dup_pairs(media, max_hamming=6)
+
+    qs["image_near_dup"] = _image_near_dup_query
 
     # retired driver row, kept as a bench series (same raw operator)
     from feature_extractor_spark.operators.dedup import exact_dedup

@@ -50,3 +50,7 @@ from feature_extractor_spark.operators.ann_index import (  # noqa: F401
     build_ann_index,
     compact_ann_index,
 )
+from feature_extractor_spark.operators.multimodal import (  # noqa: F401
+    audio_fingerprint,
+    audio_near_dup_pairs,
+)

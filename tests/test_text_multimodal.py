@@ -529,3 +529,73 @@ def test_simhash_near_dup_unchanged_by_refactor(spark):
         ).collect()
     }
     assert direct == via and ("a", "d") in direct and direct[("a", "d")] == 0
+
+
+def _wav_bytes(samples16):
+    """int16 numpy -> mono 16-bit PCM WAV payload."""
+    import struct
+
+    data = samples16.astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    hdr += b"data" + struct.pack("<I", len(data))
+    return hdr + data
+
+
+def test_audio_fingerprint_gain_invariance_and_near_dup(spark):
+    """r8: the energy-delta fingerprint is invariant under uniform gain
+    (every frame scales together), tolerant to light noise, and clusters
+    a clip's variants through the shared banded-Hamming + closure path
+    while unrelated clips stay apart. Also: oracle recompute — the
+    fingerprint of a hand-built staircase signal follows the documented
+    frame-energy-comparison formula exactly."""
+    import numpy as np
+
+    from feature_extractor_spark.operators.dedup import near_dup_clusters
+    from feature_extractor_spark.operators.multimodal import (
+        _audio_fp_int,
+        audio_fingerprint,
+        audio_near_dup_pairs,
+    )
+
+    # oracle recompute on a deterministic staircase: 65 frames of 64
+    # samples whose amplitudes follow a known up/down pattern
+    rng = np.random.RandomState(11)
+    amp = np.array([100 + 900 * ((k * 7) % 5) for k in range(65)])
+    sig = np.repeat(amp, 64) * np.sign(
+        np.sin(np.arange(65 * 64) * 0.7) + 1e-9
+    )
+    exp_bits = 0
+    e = (sig.reshape(65, 64).astype(float) / 32768.0) ** 2
+    em = e.mean(axis=1)
+    for k in range(64):
+        if em[k + 1] > em[k]:
+            exp_bits |= 1 << k
+    exp = exp_bits - (1 << 64) if exp_bits >= (1 << 63) else exp_bits
+    got = _audio_fp_int((sig.astype(float) / 32768.0).reshape(-1, 1))
+    assert got == exp
+
+    base = (rng.randn(65 * 64) * 3000).astype(np.int64)
+    # strong envelope modulation so frame deltas are decisive
+    env = np.repeat(1.0 + 0.8 * np.sin(np.arange(65) * 0.9), 64)
+    base = (base * env).astype(np.int64).clip(-30000, 30000)
+    half = (base * 0.5).astype(np.int64)          # -6 dB gain twin
+    noisy = (base + rng.randint(-50, 51, size=base.shape)).clip(-32768, 32767)
+    other = (rng.randn(65 * 64) * 3000 * np.repeat(
+        1.0 + 0.8 * np.cos(np.arange(65) * 1.7), 64)).astype(np.int64)
+    rows = [
+        ("clip0", bytearray(_wav_bytes(base))),
+        ("clip0_gain", bytearray(_wav_bytes(half))),
+        ("clip0_noise", bytearray(_wav_bytes(noisy))),
+        ("clip1", bytearray(_wav_bytes(other))),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    fps = {r["media_id"]: r["afp"] for r in audio_fingerprint(df).collect()}
+    assert fps["clip0"] == fps["clip0_gain"]  # pure gain: identical
+
+    pairs = audio_near_dup_pairs(df, max_hamming=6)
+    clusters = near_dup_clusters(pairs, df.select("media_id"), "media_id")
+    canon = {r["media_id"]: r["canonical_id"] for r in clusters.collect()}
+    fam = {"clip0", "clip0_gain", "clip0_noise"}
+    assert len({canon[m] for m in fam}) == 1
+    assert canon["clip1"] == "clip1" and canon["clip1"] != canon["clip0"]
