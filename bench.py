@@ -63,6 +63,11 @@ BENCH_QUERIES = [
     "text_encode_bpe",
     # round-8: perceptual image near-dup (decode + dHash + banded Hamming)
     "image_near_dup",
+    # round-8: top-k ADC search against the PERSISTED ANN index (the
+    # warm run builds the index once; timed runs measure query-only —
+    # the build-once query-many operating point, vs ann_cosine_topk's
+    # exact scan and the inline retrain-every-call ivfpq)
+    "ann_persisted_topk",
 ]
 
 
@@ -277,6 +282,31 @@ def main() -> None:
         return image_near_dup_pairs(media, max_hamming=6)
 
     qs["image_near_dup"] = _image_near_dup_query
+
+    _ann_dirs: dict = {}
+
+    def _ann_persisted_query(s, d):
+        import tempfile
+
+        from pyspark.sql import functions as FF
+
+        from feature_extractor_spark.operators.ann_index import (
+            ann_index_topk,
+            build_ann_index,
+        )
+
+        if d not in _ann_dirs:
+            idx = tempfile.mkdtemp(prefix="fx_ann_idx_") + "/idx"
+            emb = s.read.parquet(f"{d}/embeddings.parquet")
+            build_ann_index(
+                emb, idx, n_lists=32, m=8, k_codes=32, residual=True
+            )
+            _ann_dirs[d] = idx
+        emb = s.read.parquet(f"{d}/embeddings.parquet")
+        q = emb.filter(FF.pmod(FF.col("vec_id"), FF.lit(50)) == 0)
+        return ann_index_topk(q, _ann_dirs[d], k=5, n_probe=4)
+
+    qs["ann_persisted_topk"] = _ann_persisted_query
 
     # retired driver row, kept as a bench series (same raw operator)
     from feature_extractor_spark.operators.dedup import exact_dedup
