@@ -883,7 +883,12 @@ def encode_bpe(
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         ranks = bc_merges.value
         vmap = bc_vocab.value
+        # per-partition memo, BOUNDED: Zipf text caps out far below this,
+        # but a pathological partition (random-string corpus) must not
+        # grow the dict without limit — on overflow drop the whole memo
+        # (cheaper and fairer than LRU bookkeeping per word)
         word_cache: dict[str, list[int]] = {}
+        cache_cap = 1 << 18
 
         def symbol_ids(sym: str) -> list[int]:
             sid = vmap.get(sym)
@@ -931,6 +936,8 @@ def encode_bpe(
                         i += 1
                 syms = out
             ids = [i for s in syms for i in symbol_ids(s)]
+            if len(word_cache) >= cache_cap:
+                word_cache.clear()
             word_cache[word] = ids
             return ids
 
