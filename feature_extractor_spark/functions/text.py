@@ -1007,10 +1007,19 @@ def decode_bpe(
                 m = byte_re.match(sym)
                 if m:
                     buf.append(bytes([int(m.group(1), 16)]))
+                elif sym == eow:
+                    buf.append(b" ")
+                elif sym.endswith(eow):
+                    # strip the marker PER SYMBOL, never via a global
+                    # replace over the concatenation — decoded text that
+                    # legitimately contains the marker string (single
+                    # '<','/','w','>' symbols, or byte-fallback bytes)
+                    # must survive untouched
+                    buf.append(sym[: -len(eow)].encode("utf-8") + b" ")
                 else:
                     buf.append(sym.encode("utf-8"))
             text = b"".join(buf).decode("utf-8", errors="replace")
-            return text.replace(eow, " ").rstrip(" ")
+            return text.rstrip(" ")
 
         for pdf in batches:
             pdf = pdf.copy()

@@ -41,6 +41,8 @@ from feature_extractor_spark.operators.dedup import (  # noqa: F401
     hamming_near_dup_pairs,
 )
 from feature_extractor_spark.operators.multimodal import (  # noqa: F401
+    audio_fingerprint,
+    audio_near_dup_pairs,
     image_near_dup_pairs,
     perceptual_hash,
 )
@@ -49,8 +51,4 @@ from feature_extractor_spark.operators.ann_index import (  # noqa: F401
     ann_index_topk,
     build_ann_index,
     compact_ann_index,
-)
-from feature_extractor_spark.operators.multimodal import (  # noqa: F401
-    audio_fingerprint,
-    audio_near_dup_pairs,
 )

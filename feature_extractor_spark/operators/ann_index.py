@@ -202,12 +202,22 @@ def build_ann_index(
     ).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
 
     codes = _encode_with(corpus, C, books, id_col, vec_col, residual)
-    (
-        codes.withColumn("batch_id", F.lit(0))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .parquet(f"{index_dir}/codes")
-    )
+    from feature_extractor_spark.session import restore_conf
+
+    # STATIC overwrite pinned explicitly: under a session-wide dynamic
+    # partitionOverwriteMode (the very conf ann_index_append toggles), a
+    # rebuild over an existing index would replace only batch_id=0 and
+    # leave stale batch_id>0 partitions encoded with the OLD model —
+    # silently wrong neighbors. Static overwrite truncates the table.
+    with restore_conf(
+        spark, "spark.sql.sources.partitionOverwriteMode", "static"
+    ):
+        (
+            codes.withColumn("batch_id", F.lit(0))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(f"{index_dir}/codes")
+        )
     n = spark.read.parquet(f"{index_dir}/codes").count()
     return {"n_vectors": int(n), "n_lists": int(len(C)), "balance": balance}
 

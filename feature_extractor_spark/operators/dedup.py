@@ -551,14 +551,18 @@ def hamming_near_dup_pairs(
         width = base + (1 if i < rem else 0)
         offs.append((off, width))
         off += width
+    def _chunk(o: int, w: int):
+        c = F.shiftright(F.col(fp_col), o)
+        # w == 64 (bands=1, i.e. max_hamming=0 exact-fingerprint search):
+        # the full-width mask literal (1<<64)-1 does not fit a Spark long
+        # — and no mask is needed, the shifted value IS the chunk
+        if w < 64:
+            c = c.bitwiseAND(F.lit((1 << w) - 1))
+        return c
+
     chunks = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftright(F.col(fp_col), o)
-                .bitwiseAND(F.lit((1 << w) - 1))
-                .alias("chunk"),
-            )
+            F.struct(F.lit(i).alias("band"), _chunk(o, w).alias("chunk"))
             for i, (o, w) in enumerate(offs)
         ]
     )

@@ -304,6 +304,22 @@ def pack_bins(
     )
 
     def pack_shard(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # enforce the documented id contract LOUDLY (the ids are already
+        # in hand here): a NULL id would silently drop out of the
+        # assignment join-back, a duplicate id would multiply rows —
+        # both corrupt the never-lose-a-row invariant the old full-
+        # payload implementation had by construction
+        if key[0] is None or pdf[id_col].isna().any():
+            raise ValueError(
+                f"pack_bins: NULL {id_col!r} — the id column must be "
+                "non-null (it carries the assignment back to the rows)"
+            )
+        if pdf[id_col].duplicated().any():
+            dup = pdf[id_col][pdf[id_col].duplicated()].iloc[0]
+            raise ValueError(
+                f"pack_bins: duplicate {id_col!r} (e.g. {dup!r}) — the "
+                "id column must be unique (the assignment joins back on it)"
+            )
         shard = int(key[0])
         base = shard << 40
         pdf = pdf.sort_values(

@@ -506,9 +506,14 @@ def curate_tokens(
     #    ever missed; false merges need a simultaneous 2-seed collision.
     from pyspark.sql import Window
 
+    # seed literal FIRST: Spark's multi-arg xxhash64 chains left to right
+    # (hash = XXH64(child_i, seed=hash_so_far)), so xxhash64(tokens, lit)
+    # would be a pure function of xxhash64(tokens) — zero added entropy.
+    # xxhash64(lit, tokens) hashes the tokens under a DIFFERENT seed
+    # (XXH64(lit, 42)), giving a genuinely independent second 64 bits.
     w_exact = Window.partitionBy(
         F.xxhash64(F.col(tokens_col)),
-        F.xxhash64(F.col(tokens_col), F.lit(0x9E3779B9)),
+        F.xxhash64(F.lit(0x9E3779B9), F.col(tokens_col)),
     ).orderBy("seq_id")
     survivors = (
         seqs.withColumn("__rn", F.row_number().over(w_exact))

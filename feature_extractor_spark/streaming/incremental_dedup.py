@@ -210,6 +210,11 @@ def ingest_batch(
         else:  # first batch: no index yet
             accepted = unique
         if benchmark is not None:
+            # persist BEFORE the flags pass: contamination_flags eagerly
+            # localCheckpoints, so an un-persisted `accepted` would
+            # execute the whole dedup + index-flag lineage twice per
+            # micro-batch (once here, once for the writes below)
+            accepted = accepted.persist()
             cflags = contamination_flags(
                 accepted, benchmark, id_col, text_col,
                 bench_id_col=id_col, bench_text_col=text_col, n=decontam_n,

@@ -330,3 +330,21 @@ def test_pack_bins_default_shards_is_cluster_independent(spark):
 
     src = inspect.getsource(packing.pack_bins)
     assert "defaultParallelism" not in src
+
+
+def test_pack_bins_null_and_duplicate_ids_raise(spark):
+    """r8 review: the join-back id contract is enforced loudly — a NULL
+    id (would silently vanish from the inner join) and a duplicate id
+    (would multiply rows) both raise inside the packing stage."""
+    from feature_extractor_spark.operators.packing import pack_bins
+
+    nulls = spark.createDataFrame(
+        [("a", 5), (None, 7), ("b", 9)], "sid string, n_tok int"
+    )
+    with pytest.raises(Exception, match="NULL 'sid'"):
+        pack_bins(nulls, "sid", capacity=32, n_shards=2).collect()
+    dups = spark.createDataFrame(
+        [("a", 5), ("a", 7), ("b", 9)], "sid string, n_tok int"
+    )
+    with pytest.raises(Exception, match="duplicate 'sid'"):
+        pack_bins(dups, "sid", capacity=32, n_shards=2).collect()

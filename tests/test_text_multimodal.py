@@ -599,3 +599,48 @@ def test_audio_fingerprint_gain_invariance_and_near_dup(spark):
     fam = {"clip0", "clip0_gain", "clip0_noise"}
     assert len({canon[m] for m in fam}) == 1
     assert canon["clip1"] == "clip1" and canon["clip1"] != canon["clip0"]
+
+
+def test_hamming_near_dup_max_hamming_zero_64bit(spark):
+    """r8 review: bands=1 means one 64-bit chunk — the full-width mask
+    literal would overflow LongType; exact-fingerprint search
+    (max_hamming=0) must work for 64-bit hashes, including negative
+    fingerprints (bit 63 set)."""
+    from feature_extractor_spark.operators.dedup import hamming_near_dup_pairs
+
+    fp = spark.createDataFrame(
+        [("a", -42), ("b", -42), ("c", 7), ("d", -42 ^ 1)],
+        "media_id string, phash long",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_near_dup_pairs(
+            fp, "media_id", "phash", bits=64, max_hamming=0
+        ).collect()
+    }
+    assert got == {("a", "b", 0)}
+
+
+def test_decode_bpe_preserves_literal_marker_text(spark):
+    """r8 review: decoded text that legitimately contains the marker
+    string (single '<','/','w','>' symbols) must survive — the marker is
+    stripped per symbol, never via a global replace over the
+    concatenation."""
+    from feature_extractor_spark.functions.text import decode_bpe, encode_bpe
+
+    merges = spark.createDataFrame([], "rank int, left string, right string")
+    vocab_rows = [
+        ("a", 2), ("b", 3), ("<", 4), ("/", 5), ("w", 6), (">", 7),
+        ("b</w>", 8), (">" + "</w>", 9), ("k", 10), ("o", 11),
+        ("k</w>", 12),
+    ]
+    vocab = spark.createDataFrame(vocab_rows, "token string, id int")
+    docs = spark.createDataFrame(
+        [(1, "a</w>b ok")], "doc_id long, text string"
+    )
+    enc = encode_bpe(docs, merges, vocab)
+    toks = enc.collect()[0]["tokens"]
+    # no merges: 'a</w>b' -> a,<,/,w,>,b</w>; 'ok' -> o,k</w>
+    assert toks == [2, 4, 5, 6, 7, 8, 11, 12]
+    dec = decode_bpe(enc, vocab, out_col="rt").collect()[0]["rt"]
+    assert dec == "a</w>b ok"
