@@ -474,3 +474,25 @@ def test_curate_text_path_ffd_packing_option(spark, docs):
     out.unpersist()
     with pytest.raises(ValueError, match="packing"):
         curate(docs, packing="zip")
+
+
+def test_exact_dedup_window_key_is_two_independent_hashes(spark):
+    """r8 review pin: the exact-dedup window must partition on TWO hash
+    expressions with the seed literal FIRST in the second —
+    xxhash64(tokens, lit) is a pure function of xxhash64(tokens) (Spark
+    chains multi-arg hashes left to right), so lit-last would silently
+    collapse the key back to 64 bits."""
+    from feature_extractor_spark.plans.tokens_pipeline import curate_tokens
+    from feature_extractor_spark.sources.tokens import synth_tokens
+
+    toks = synth_tokens(spark, n_rows=200, n_docs=20)
+    out = curate_tokens(toks, context_len=128, min_tok=1)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    lines = [
+        l for l in plan.splitlines()
+        if "xxhash64(tokens#" in l and "xxhash64(2654435769, tokens#" in l
+    ]
+    # the rank-1 window's projected keys: the plain hash AND the
+    # re-seeded hash with the literal FIRST must appear side by side
+    # in one Project (seed-last would print xxhash64(tokens#, 2654...))
+    assert lines, plan

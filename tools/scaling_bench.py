@@ -37,7 +37,7 @@ def ensure_data(spark) -> None:
     df.write.mode("overwrite").parquet(DATA_DIR)
 
 
-STAGE = os.environ.get("SCALE_STAGE", "full")  # full | asof_window | dedup
+STAGE = os.environ.get("SCALE_STAGE", "full")  # full | asof_window | dedup | packing
 N_DOCS = int(os.environ.get("SCALE_DOCS", "200000"))
 DOCS_DIR = os.environ.get("SCALE_DOCS_DATA", "/tmp/fx_scale_docs")
 
@@ -144,9 +144,26 @@ def _asof_window_features(spark, heavy):
     )
 
 
+def _packing_stage(spark):
+    """r8: padding-aware bin packing at scale — the metadata-only
+    pandas stage (24 B/row through Arrow) + the assignment join-back,
+    exactly the shape the 100 TB argument rests on. seq_id is unique by
+    construction ((doc_id, ts) is unique in the generator)."""
+    from feature_extractor_spark.operators.packing import pack_bins
+
+    toks = spark.read.parquet(DATA_DIR).withColumn(
+        "seq_id", F.xxhash64("doc_id", "ts")
+    )
+    return pack_bins(
+        toks, "seq_id", n_tok_col="n_tok", capacity=2048, n_shards=1024
+    )
+
+
 def pipeline(spark, heavy=None):
     if STAGE == "dedup":
         return _dedup_stage(spark)
+    if STAGE == "packing":
+        return _packing_stage(spark)
     if STAGE == "asof_window":
         return _asof_window_features(spark, heavy)
     from feature_extractor_spark.encoder import init_weights
@@ -233,7 +250,7 @@ def main() -> None:
     # asof_window mode emits one feature row per input row.
     if STAGE == "dedup":
         n_seq = N_DOCS
-    elif STAGE == "asof_window":
+    elif STAGE in ("asof_window", "packing"):
         n_seq = N_ROWS
     else:
         n_seq = (
