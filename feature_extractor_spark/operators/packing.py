@@ -36,21 +36,26 @@ from pyspark.sql import functions as F
 
 def pack_sequences(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     n_tok_col: str = "n_tok",
     context_len: int = 2048,
     partition_col: str | None = None,
     cache_scan: bool = False,
 ) -> DataFrame:
-    """Assign packing coordinates to every sequence row. ``order_col`` must
-    be a total order (ties make tok_start nondeterministic — add a
-    tiebreaker column upstream if needed). ``partition_col`` packs within
-    groups instead of globally (per-source packing)."""
+    """Assign packing coordinates to every sequence row. ``order_col``
+    (one column name or a list — a multi-column order composes a
+    tiebreaker WITHOUT materializing a composite key; r8: the curation
+    paths previously concatenated a formatted-double string per row just
+    to get (shuffle_key, id) ordering, paying format_string + string
+    range-partition + string sort on the hot packing tail) must be a
+    total order (ties make tok_start nondeterministic). ``partition_col``
+    packs within groups instead of globally (per-source packing)."""
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     L = F.lit(context_len)
     if partition_col:
         w = (
             Window.partitionBy(partition_col)
-            .orderBy(order_col)
+            .orderBy(*order_cols)
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         out = df.withColumn(
@@ -58,14 +63,14 @@ def pack_sequences(
         )
     else:
         n = df.sparkSession.sparkContext.defaultParallelism * 4
-        ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
-            "__pid", F.spark_partition_id()
-        )
+        ranged = df.repartitionByRange(
+            n, *[F.col(c) for c in order_cols]
+        ).withColumn("__pid", F.spark_partition_id())
         if cache_scan:
             ranged = ranged.persist()
         w_local = (
             Window.partitionBy("__pid")
-            .orderBy(order_col)
+            .orderBy(*order_cols)
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         local = ranged.withColumn(

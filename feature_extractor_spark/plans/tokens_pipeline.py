@@ -326,16 +326,12 @@ def curate(
     shuffled = deterministic_shuffle(with_tokens, id_col, seed=seed)
     # shuffle_key is a hash of the unique id -> collision-free total order
     # is restored by the packing scan's range partitioner reading the key;
-    # ties (hash collisions) are broken nowhere, so guard with the id
-    # folded into the low bits via a stable composite column
-    ordered = shuffled.withColumn(
-        "pack_order",
-        F.concat_ws(
-            ":",
-            F.format_string("%.18f", F.col("shuffle_key")),
-            F.col(id_col).cast("string"),
-        ),
-    )
+    # ties (hash collisions) are broken by the id as a SECOND order
+    # column (r8: this used to materialize a formatted-double composite
+    # STRING per row — format_string + string range-partition + string
+    # sort were ~15% of the whole curation wall; multi-column ordering
+    # keeps the keys native)
+    ordered = shuffled
     # barrier before the two-phase packing scan: pack_sequences' offsets
     # branch is pruned to (pack_order, n_tok) so Catalyst plans it as a
     # DIFFERENT exchange subtree than the full-width main branch — no
@@ -351,9 +347,9 @@ def curate(
     # dedup word-hash cache documents.
     ordered = ordered.persist()
     out = pack_sequences(
-        ordered, order_col="pack_order", n_tok_col="n_tok",
+        ordered, order_col=["shuffle_key", id_col], n_tok_col="n_tok",
         context_len=context_len,
-    ).drop("pack_order")
+    )
     return _count(out, "output")
 
 
@@ -622,20 +618,14 @@ def curate_tokens(
         out = deterministic_shuffle(binned, "bin_id", seed=seed)
         return _count(out, "output")
     shuffled = deterministic_shuffle(filtered, "seq_id", seed=seed)
-    ordered = shuffled.withColumn(
-        "pack_order",
-        F.concat_ws(
-            ":",
-            F.format_string("%.18f", F.col("shuffle_key")),
-            F.col("seq_id").cast("string"),
-        ),
-    )
-    # same two-phase-scan barrier as the text path (see curate)
-    ordered = ordered.persist()
+    # same two-phase-scan barrier as the text path (see curate); native
+    # (shuffle_key, seq_id) two-column order replaces the old composite
+    # string key (r8)
+    ordered = shuffled.persist()
     out = pack_sequences(
-        ordered, order_col="pack_order", n_tok_col=n_tok_col,
+        ordered, order_col=["shuffle_key", "seq_id"], n_tok_col=n_tok_col,
         context_len=context_len,
-    ).drop("pack_order")
+    )
     return _count(out, "output")
 
 
