@@ -395,13 +395,28 @@ def resolve_stage_counts(stage_counts: dict) -> dict:
     are already ints — the guard runs eagerly at plan-build time because
     the closure materializes the pair set then anyway. Multi-metric
     observations (the ffd ``packing`` entry) flatten to
-    ``<stage>_<metric>`` keys; fill_ratio stays a float."""
+    ``<stage>_<metric>`` keys; fill_ratio stays a float.
+
+    Empty-stream caveat (r8): when a stage's ENTIRE input subtree is
+    provably empty (e.g. a pre-clean filter drops every document), AQE's
+    empty-relation propagation can eliminate the CollectMetrics node —
+    the JVM observation then holds a schemaless row that makes
+    ``Observation.get`` raise an assertion. Elimination requires an
+    empty stream, so the true value of every such metric is its
+    zero-rows value: this resolves those stages to 0 instead of
+    propagating the internal error."""
     out: dict = {}
     for k, v in stage_counts.items():
         if isinstance(v, (int, float, str)) or v is None:
             out[k] = v
             continue
-        m = v.get
+        try:
+            m = dict(v.get)
+        except Exception:
+            # AQE eliminated this CollectMetrics node (empty input
+            # subtree, see docstring): zero rows flowed, metric is 0
+            out[k] = 0
+            continue
         if set(m) == {"rows"}:
             out[k] = int(m["rows"])
         else:

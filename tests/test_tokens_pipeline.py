@@ -496,3 +496,25 @@ def test_exact_dedup_window_key_is_two_independent_hashes(spark):
     # re-seeded hash with the literal FIRST must appear side by side
     # in one Project (seed-last would print xxhash64(tokens#, 2654...))
     assert lines, plan
+
+
+def test_stage_counts_survive_fully_empty_stream(spark, docs):
+    """r8 soak finding: when a pre-clean stage empties the corpus, AQE's
+    empty-relation propagation eliminates CollectMetrics nodes and
+    Observation.get raises a JVM assertion — resolve_stage_counts must
+    map those stages to 0 (zero rows provably flowed), never propagate
+    the internal error. c4_rules on the synthetic word-lattice text
+    (no terminal punctuation) is exactly such a config."""
+    from feature_extractor_spark.plans.tokens_pipeline import (
+        curate,
+        resolve_stage_counts,
+    )
+
+    counts: dict = {}
+    out = curate(docs, c4_rules=True, context_len=512, stage_counts=counts)
+    assert out.count() == 0
+    got = resolve_stage_counts(counts)  # must not raise
+    assert got["output"] == 0
+    assert all(
+        isinstance(vv, (int, float, str)) or vv is None for vv in got.values()
+    ), got
