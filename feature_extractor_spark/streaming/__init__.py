@@ -12,3 +12,8 @@ from feature_extractor_spark.streaming.incremental_dedup import (  # noqa: F401
     stream_dedup_ingest,
     stream_line_dedup_ingest,
 )
+from feature_extractor_spark.streaming.incremental_semantic import (  # noqa: F401
+    ann_semantic_ingest_batch,
+    flag_against_ann_index,
+    stream_semantic_ingest,
+)

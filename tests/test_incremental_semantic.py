@@ -1,0 +1,151 @@
+"""Incremental semantic dedup against the persisted ANN index
+(streaming/incremental_semantic.py): near-copies of indexed vectors are
+flagged via PQ-reconstructed cosine, accepted vectors become searchable
+for the NEXT batch, replays are idempotent, and the Structured Streaming
+wiring works end to end."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+
+
+def _base_rows(n_per=30, n_clusters=4, dim=16, seed=5, prefix="v", offset=0):
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim) * 5.0
+    rows = []
+    for c in range(n_clusters):
+        jit = rng.randn(n_per, dim) * 0.15
+        for i in range(n_per):
+            rows.append(
+                (f"{prefix}{offset + c * n_per + i:05d}",
+                 [float(x) for x in centers[c] + jit[i]])
+            )
+    return rows, centers
+
+
+PARAMS = dict(n_lists=4, m=8, k_codes=32, sample_size=4096, seed=23)
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    from feature_extractor_spark.operators.ann_index import build_ann_index
+
+    rows, centers = _base_rows()
+    corpus = _vecs(spark, rows).persist()
+    idx = str(tmp_path_factory.mktemp("semidx")) + "/idx"
+    build_ann_index(corpus, idx, residual=True, **PARAMS)
+    return corpus, centers, idx
+
+
+def test_flag_against_ann_index_near_copy_and_novel(spark, built):
+    from feature_extractor_spark.streaming.incremental_semantic import (
+        flag_against_ann_index,
+    )
+
+    corpus, centers, idx = built
+    base = corpus.limit(1).collect()[0]
+    near = [float(x) + 0.01 for x in base["embedding"]]
+    novel = [float(x) for x in -np.asarray(centers[0]) * 3.0 + 40.0]
+    new = _vecs(spark, [("n_near", near), ("n_far", novel)])
+    flags = {r["vec_id"]: r for r in
+             flag_against_ann_index(new, idx, threshold=0.95).collect()}
+    assert flags["n_near"]["is_dup"] and flags["n_near"]["cosine"] > 0.95
+    assert flags["n_near"]["dup_of"] is not None
+    assert not flags["n_far"]["is_dup"] and flags["n_far"]["dup_of"] is None
+
+
+def test_semantic_ingest_within_and_across_batches(spark, built, tmp_path):
+    from feature_extractor_spark.streaming.incremental_semantic import (
+        ann_semantic_ingest_batch,
+    )
+
+    corpus, centers, idx0 = built
+    # fresh index copy so this test owns its mutations
+    import shutil
+
+    idx = str(tmp_path / "idx")
+    shutil.copytree(idx0, idx)
+    acc = str(tmp_path / "acc")
+
+    rng = np.random.RandomState(99)
+    fresh_center = rng.randn(16) * 6.0 + 30.0
+    a = [float(x) for x in fresh_center]
+    a_twin = [float(x) + 0.01 for x in fresh_center]
+    indexed = corpus.limit(1).collect()[0]["embedding"]
+    dup_of_corpus = [float(x) + 0.005 for x in indexed]
+
+    # batch 0: a + its twin (within-batch dup) + a near-copy of an
+    # already-indexed vector (cross-index dup)
+    ann_semantic_ingest_batch(
+        _vecs(spark, [("a1", a), ("a2", a_twin), ("d1", dup_of_corpus)]),
+        0, idx, acc, threshold=0.95,
+    )
+    got0 = {r["vec_id"] for r in spark.read.parquet(acc).collect()}
+    assert got0 == {"a1"}  # a2 within-batch dup, d1 dup of the index
+
+    # batch 1: another twin of a1 -> cross-BATCH dup via the appended
+    # codes; plus a genuinely new vector
+    b = [float(x) for x in rng.randn(16) * 6.0 - 35.0]
+    ann_semantic_ingest_batch(
+        _vecs(spark, [("a3", [x + 0.02 for x in a]), ("b1", b)]),
+        1, idx, acc, threshold=0.95,
+    )
+    got1 = {r["vec_id"] for r in spark.read.parquet(acc).collect()}
+    assert got1 == {"a1", "b1"}
+
+    # replaying batch 1 must not duplicate anything
+    ann_semantic_ingest_batch(
+        _vecs(spark, [("a3", [x + 0.02 for x in a]), ("b1", b)]),
+        1, idx, acc, threshold=0.95,
+    )
+    rows = spark.read.parquet(acc).collect()
+    assert {r["vec_id"] for r in rows} == {"a1", "b1"} and len(rows) == 2
+    # index codes grew by exactly the accepted vectors
+    n_codes = spark.read.parquet(f"{idx}/codes").count()
+    assert n_codes == corpus.count() + 2
+
+
+def test_stream_semantic_ingest_end_to_end(spark, built, tmp_path):
+    from feature_extractor_spark.streaming.incremental_semantic import (
+        stream_semantic_ingest,
+    )
+
+    corpus, centers, idx0 = built
+    import shutil
+
+    idx = str(tmp_path / "idx")
+    shutil.copytree(idx0, idx)
+    src = str(tmp_path / "src")
+    acc = str(tmp_path / "acc")
+    ck = str(tmp_path / "ck")
+
+    rng = np.random.RandomState(7)
+    new1 = [float(x) for x in rng.randn(16) * 6.0 + 50.0]
+    dup = [float(x) + 0.01 for x in corpus.limit(1).collect()[0]["embedding"]]
+    _vecs(spark, [("s1", new1), ("s2", dup)]).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "vec_id string, embedding array<double>"
+    ).parquet(src)
+    q = stream_semantic_ingest(stream, idx, acc, ck).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    got = {r["vec_id"] for r in spark.read.parquet(acc).collect()}
+    assert got == {"s1"}
+
+
+def test_ingest_requires_existing_index(spark, tmp_path):
+    from feature_extractor_spark.streaming.incremental_semantic import (
+        ann_semantic_ingest_batch,
+    )
+
+    with pytest.raises(FileNotFoundError, match="missing tables"):
+        ann_semantic_ingest_batch(
+            _vecs(spark, [("x", [0.0] * 16)]), 0,
+            str(tmp_path / "nope"), str(tmp_path / "acc"),
+        )
