@@ -410,7 +410,16 @@ def _lsh_pairs_from_grams(
     """Shared LSH tail for the text and token-array front ends: minhash
     signatures (compiled aggregates), band-bucket ids-only join, exact
     Jaccard verification on candidates only. ``wh_tbl`` is the persisted
-    upstream cache (released here when ``eager``)."""
+    upstream cache (released here when ``eager``).
+
+    ``docs`` (the hashed-GRAM arrays) is persisted here too (r8): three
+    consumers read it — the signature aggregates plus BOTH verify sides
+    — and without a cache each re-runs the n-gram rolling combine over
+    the word-hash arrays (measured -15% on the stage at 30k seqs).
+    Released with wh_tbl when ``eager``; under ``eager=False`` both
+    caches follow the documented cache-owned-by-the-returned-plan
+    lifetime (LRU eviction / session teardown)."""
+    docs = docs.persist()
     banded = signature_bands(docs, id_col, num_hashes, bands)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
@@ -438,6 +447,7 @@ def _lsh_pairs_from_grams(
         # returned frame is dropped — no explicit unpersist debt on callers.
         out = out.localCheckpoint(eager=True)
         wh_tbl.unpersist()
+        docs.unpersist()
     return out
 
 
