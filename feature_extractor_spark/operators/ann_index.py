@@ -227,6 +227,7 @@ def ann_index_append(
     index_dir: str,
     batch_id: int,
     vec_col: str = "embedding",
+    _model=None,
 ) -> int:
     """Ingest new vectors into the persisted index WITHOUT retraining:
     encode with the stored centroids/codebooks and overwrite this batch's
@@ -240,8 +241,11 @@ def ann_index_append(
             "(0 = build, -1 = compacted history)"
         )
     spark = new_vectors.sparkSession
-    _require_index(spark, index_dir)
-    meta, C, books = _load_model(spark, index_dir)
+    if _model is None:
+        _require_index(spark, index_dir)
+        meta, C, books = _load_model(spark, index_dir)
+    else:  # preloaded by the streaming ingest (one load per batch)
+        meta, C, books = _model
     id_col = meta["id_col"]
     codes = _encode_with(
         new_vectors, C, books, id_col, vec_col, bool(meta["residual"])

@@ -333,7 +333,7 @@ def curate(
     # keeps the keys native)
     ordered = shuffled
     # barrier before the two-phase packing scan: pack_sequences' offsets
-    # branch is pruned to (pack_order, n_tok) so Catalyst plans it as a
+    # branch is pruned to (shuffle_key, id, n_tok) so Catalyst plans it as a
     # DIFFERENT exchange subtree than the full-width main branch — no
     # ReuseExchange — and without a barrier each action executes the
     # whole dedup/filter pipeline TWICE. persist(), not localCheckpoint:
@@ -412,10 +412,20 @@ def resolve_stage_counts(stage_counts: dict) -> dict:
             continue
         try:
             m = dict(v.get)
-        except Exception:
+        except Exception as e:
+            if "AssertionError" not in str(e):
+                raise  # a real gateway/metrics failure must surface
             # AQE eliminated this CollectMetrics node (empty input
-            # subtree, see docstring): zero rows flowed, metric is 0
-            out[k] = 0
+            # subtree, see docstring): zero rows flowed, every metric is
+            # its zero-rows value — emitted under the SAME key shape a
+            # non-empty run produces (consumers index packing_fill_ratio
+            # etc. unconditionally)
+            if k == "packing":
+                out["packing_n_bins"] = 0
+                out["packing_n_oversize_bins"] = 0
+                out["packing_fill_ratio"] = None
+            else:
+                out[k] = 0
             continue
         if set(m) == {"rows"}:
             out[k] = int(m["rows"])

@@ -99,6 +99,9 @@ def flag_against_ann_index(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_probe: int = 4,
+    balance_limit: float = 4.0,
+    exclude_batch_id: int | None = None,
+    _model=None,
 ) -> DataFrame:
     """(id, is_dup, dup_of, cosine) for every new vector vs the persisted
     index: candidates only from the vector's ``n_probe`` nearest cells,
@@ -106,7 +109,16 @@ def flag_against_ann_index(
     ``dup_of`` is the best match (max cosine, ties to the smaller corpus
     id). The new side is assumed micro-batch sized and broadcasts into
     the candidate join; the corpus side is one scan of the m-bytes/vector
-    codes table."""
+    codes table. The stored sample balance applies the SAME
+    n_probe-widening rule as ann_index_topk (review r8: a skewed index
+    would otherwise give the dedup probe systematically lower recall
+    than the query path on the same artifact). ``exclude_batch_id``
+    drops that codes partition from the candidate scan — the ingest
+    passes its own partition so a REPLAYED batch never compares rows
+    against their own previous append (PQ reconstruction error could
+    flag a row the exact within-batch check deliberately kept).
+    ``_model`` is the ingest's preloaded (meta, C, books) to avoid
+    re-collecting the model state per call."""
     from typing import Iterator
 
     import numpy as np
@@ -114,12 +126,20 @@ def flag_against_ann_index(
     from pyspark.sql import types as T
 
     spark = new_vectors.sparkSession
-    _require_index(spark, index_dir)
-    meta, C, books = _load_model(spark, index_dir)
+    if _model is None:
+        _require_index(spark, index_dir)
+        meta, C, books = _load_model(spark, index_dir)
+    else:
+        meta, C, books = _model
+    if float(meta["balance"]) > balance_limit:
+        n_probe = min(int(meta["n_lists"]), n_probe * 2)
     if id_col is None:
         id_col = meta["id_col"]
     probed = _probe_cells(new_vectors, C, vec_col, id_col, n_probe)
-    codes = spark.read.parquet(f"{index_dir}/codes").select(
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    if exclude_batch_id is not None:
+        codes = codes.filter(F.col("batch_id") != int(exclude_batch_id))
+    codes = codes.select(
         F.col(meta["id_col"]).alias("__corpus_id"), "cell", "pq_code"
     )
     cand = codes.join(
@@ -262,7 +282,7 @@ def ann_semantic_ingest_batch(
     partition uses ``batch_id + 1`` (0 is the build)."""
     spark = batch_df.sparkSession
     _require_index(spark, index_dir)
-    meta, C, _books = _load_model(spark, index_dir)
+    meta, C, books = _load_model(spark, index_dir)  # loaded ONCE per batch
     id_col = meta["id_col"]
     batch_df = batch_df.persist()
     try:
@@ -287,6 +307,9 @@ def ann_semantic_ingest_batch(
         flags = flag_against_ann_index(
             unique, index_dir, id_col=id_col, vec_col=vec_col,
             threshold=threshold, n_probe=n_probe,
+            # a replayed batch must never see its OWN previous append
+            exclude_batch_id=int(batch_id) + 1,
+            _model=(meta, C, books),
         )
         survivors = unique.join(
             flags.filter(~F.col("is_dup")).select(id_col), id_col
@@ -301,7 +324,17 @@ def ann_semantic_ingest_batch(
         from feature_extractor_spark.operators.similarity import cosine_topk
 
         if _path_exists(spark, accepted_dir):
-            prev = spark.read.parquet(accepted_dir).select(id_col, vec_col)
+            # filter out this batch's OWN partition (review r8): a replay
+            # would otherwise self-match every previously-accepted row at
+            # cosine 1.0, empty the survivors, skip the code append, and
+            # permanently lose the codes of a batch that crashed between
+            # the accepted write and the append (same discipline as the
+            # text ingest's line-frequency merge).
+            prev = (
+                spark.read.parquet(accepted_dir)
+                .filter(F.col("batch_id") != int(batch_id))
+                .select(id_col, vec_col)
+            )
             hits = (
                 cosine_topk(
                     survivors.select(id_col, vec_col), prev,
@@ -329,7 +362,7 @@ def ann_semantic_ingest_batch(
         if accepted.limit(1).count() > 0:
             ann_index_append(
                 accepted, index_dir, batch_id=int(batch_id) + 1,
-                vec_col=vec_col,
+                vec_col=vec_col, _model=(meta, C, books),
             )
     finally:
         batch_df.unpersist()

@@ -149,3 +149,53 @@ def test_ingest_requires_existing_index(spark, tmp_path):
             _vecs(spark, [("x", [0.0] * 16)]), 0,
             str(tmp_path / "nope"), str(tmp_path / "acc"),
         )
+
+
+def test_replay_restores_missing_code_append(spark, built, tmp_path):
+    """r8 review: a batch that crashed BETWEEN the accepted write and the
+    code append must be repaired by its replay — the history reads filter
+    out the batch's own partitions, so the replay re-accepts the same
+    rows (instead of self-matching them at cosine 1.0) and re-runs the
+    append."""
+    import shutil
+
+    from feature_extractor_spark.streaming.incremental_semantic import (
+        ann_semantic_ingest_batch,
+    )
+
+    corpus, centers, idx0 = built
+    idx = str(tmp_path / "idx")
+    shutil.copytree(idx0, idx)
+    acc = str(tmp_path / "acc")
+    rng = np.random.RandomState(123)
+    v = [float(x) for x in rng.randn(16) * 6.0 + 70.0]
+    ann_semantic_ingest_batch(_vecs(spark, [("c1", v)]), 0, idx, acc)
+    # simulate the crash: the accepted write landed, the append vanished
+    shutil.rmtree(f"{idx}/codes/batch_id=1")
+    assert (
+        spark.read.parquet(f"{idx}/codes").filter("batch_id = 1").count() == 0
+    )
+    # replay batch 0: must re-accept c1 (not self-match it) and restore
+    # the missing codes partition
+    ann_semantic_ingest_batch(_vecs(spark, [("c1", v)]), 0, idx, acc)
+    assert {r["vec_id"] for r in spark.read.parquet(acc).collect()} == {"c1"}
+    restored = spark.read.parquet(f"{idx}/codes").filter("batch_id = 1")
+    assert restored.count() == 1
+
+
+def test_flag_respects_stored_balance_widening(spark, built, tmp_path):
+    """r8 review: the dedup probe must apply the same n_probe widening as
+    ann_index_topk when the stored sample balance exceeds the limit —
+    pinned by checking the widened call finds a dup the narrow one would
+    with identical plumbing (balance_limit=0 forces the widening)."""
+    from feature_extractor_spark.streaming.incremental_semantic import (
+        flag_against_ann_index,
+    )
+
+    corpus, centers, idx = built
+    base = corpus.limit(1).collect()[0]["embedding"]
+    new = _vecs(spark, [("w1", [float(x) + 0.01 for x in base])])
+    wide = flag_against_ann_index(
+        new, idx, threshold=0.95, n_probe=1, balance_limit=0.0
+    ).collect()[0]
+    assert wide["is_dup"]  # widening doubled the probe set
