@@ -43,7 +43,8 @@ from feature_extractor_spark.operators.similarity import (
 )
 
 _META_COLS = (
-    "dim", "n_lists", "m", "k_codes", "residual", "seed", "balance", "id_col"
+    "dim", "n_lists", "m", "k_codes", "residual", "seed", "balance",
+    "id_col", "n_vectors",
 )
 
 
@@ -149,21 +150,40 @@ def build_ann_index(
     index_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_lists: int = 16,
+    n_lists: int | None = None,
     m: int = 8,
     k_codes: int = 32,
-    sample_size: int = 4096,
+    sample_size: int | None = None,
     seed: int = 23,
     residual: bool = True,
+    target_cell_rows: int = 4096,
 ) -> dict:
     """Train + persist the index (overwrites any existing one at
     ``index_dir``): centroids/codebooks from the same bounded seeded
     sample discipline as ``ivfpq_topk`` (identical fit given identical
     parameters — tested), corpus codes under ``batch_id=0``. Returns
-    {"n_vectors": ..., "n_lists": ..., "balance": ...}."""
+    {"n_vectors": ..., "n_lists": ..., "balance": ...}.
+
+    ``n_lists=None`` (the default — r9, mirroring ``semantic_dedup``'s
+    auto-sizing at operators/similarity.py:1076) derives the list count
+    from ONE corpus count job: ``n_lists = ceil(N / target_cell_rows)``,
+    so the mean cell stays ~``target_cell_rows`` no matter the corpus
+    scale — a fixed default of 16 lists over a 100x corpus would make
+    every n_probe=4 query scan 25% of all codes. ``sample_size=None``
+    scales the training sample with what is being fit:
+    ``max(4096, 32*n_lists, 32*k_codes)`` — at least 32 sample points per
+    k-means centroid and per PQ codeword. Pass explicit values to pin the
+    geometry (e.g. to compare against a fresh ``ivfpq_topk`` run)."""
     import numpy as np
 
     spark = corpus.sparkSession
+    n_corpus = None
+    if n_lists is None:
+        # one count job, driver-side arithmetic only (auto-size)
+        n_corpus = corpus.count()
+        n_lists = max(1, -(-n_corpus // max(1, int(target_cell_rows))))
+    if sample_size is None:
+        sample_size = max(4096, 32 * int(n_lists), 32 * int(k_codes))
     cents, balance = kmeans_centroids(
         corpus, id_col, vec_col, n_lists, sample_size, seed=seed
     )
@@ -178,16 +198,6 @@ def build_ann_index(
         books = _fit_pq(Xs, m, k_codes, iters=5, seed=seed)
 
     dim = int(Xs.shape[1])
-    spark.createDataFrame(
-        [
-            (
-                dim, int(len(C)), int(m), int(k_codes), bool(residual),
-                int(seed), float(balance), id_col,
-            )
-        ],
-        "dim int, n_lists int, m int, k_codes int, residual boolean, "
-        "seed int, balance double, id_col string",
-    ).write.mode("overwrite").parquet(f"{index_dir}/meta")
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(C)],
         "cell int, centroid array<double>",
@@ -219,6 +229,23 @@ def build_ann_index(
             .parquet(f"{index_dir}/codes")
         )
     n = spark.read.parquet(f"{index_dir}/codes").count()
+    # meta is written LAST: its presence marks a completed build (a crash
+    # mid-build leaves no meta, so _require_index fails loudly instead of
+    # serving a half-written index), and it carries n_vectors — the
+    # indexed-corpus size the semantic ingest's rebuild trigger compares
+    # its raw accepted count against. Meta is write-once-per-build on
+    # purpose: per-batch mutation would double-count under foreachBatch
+    # replays.
+    spark.createDataFrame(
+        [
+            (
+                dim, int(len(C)), int(m), int(k_codes), bool(residual),
+                int(seed), float(balance), id_col, int(n),
+            )
+        ],
+        "dim int, n_lists int, m int, k_codes int, residual boolean, "
+        "seed int, balance double, id_col string, n_vectors long",
+    ).write.mode("overwrite").parquet(f"{index_dir}/meta")
     return {"n_vectors": int(n), "n_lists": int(len(C)), "balance": balance}
 
 

@@ -547,6 +547,11 @@ def hamming_near_dup_pairs(
     pair count, which is the output size anyway.
     Returns (id_a, id_b, hamming) with id_a < id_b.
     """
+    if not (1 <= bits <= 64):
+        # JVM shiftright wraps the shift amount mod 64, so chunk offsets
+        # past 63 would silently extract the WRONG chunks and miss pairs
+        # despite the documented EXACT guarantee — fail loudly instead
+        raise ValueError(f"bits ({bits}) must be in [1, 64]")
     if bands is None:
         bands = max_hamming + 1
     if bands <= max_hamming:

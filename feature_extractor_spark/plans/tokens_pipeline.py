@@ -376,14 +376,34 @@ def _observe_packing(
     stage_counts["packing"] = obs
     nt = F.col(n_tok_col)
     live = ~F.col("oversize")
-    slots = F.when(live, F.col("bin_capacity") * nt / F.col("bin_fill"))
+    # a bin whose rows are ALL n_tok=0 has bin_fill=0 (pack_bins accepts
+    # zero-token rows): the per-row slot identity divides by bin_fill, so
+    # such bins' slots would be NULL and their capacity would silently
+    # drop out of the denominator, overstating fill. Guard the division
+    # and add those bins' capacity back explicitly — bin_capacity is one
+    # constant column across the call, so it is n_zero_fill_bins * max(cap).
+    # (Caveat: the distinct-count side stays fixed under a replayed scan
+    # while the sums double, so the ratio's replay-cancellation is exact
+    # only when no zero-fill bin exists — the degenerate all-zero-token
+    # case, accepted and documented.)
+    fill_pos = F.col("bin_fill") > 0
+    slots = F.when(live & fill_pos, F.col("bin_capacity") * nt / F.col("bin_fill"))
+    zero_fill_cap = F.coalesce(
+        F.approx_count_distinct(
+            F.when(live & ~fill_pos, F.col("bin_id")), 0.01
+        )
+        * F.max("bin_capacity"),
+        F.lit(0),
+    )
     return binned.observe(
         obs,
         F.approx_count_distinct("bin_id", 0.01).alias("n_bins"),
         F.approx_count_distinct(
             F.when(F.col("oversize"), F.col("bin_id")), 0.01
         ).alias("n_oversize_bins"),
-        (F.sum(F.when(live, nt)) / F.sum(slots)).alias("fill_ratio"),
+        (F.sum(F.when(live, nt)) / (F.sum(slots) + zero_fill_cap)).alias(
+            "fill_ratio"
+        ),
     )
 
 
@@ -419,7 +439,23 @@ def resolve_stage_counts(stage_counts: dict) -> dict:
             # subtree, see docstring): zero rows flowed, every metric is
             # its zero-rows value — emitted under the SAME key shape a
             # non-empty run produces (consumers index packing_fill_ratio
-            # etc. unconditionally)
+            # etc. unconditionally). The detection is a substring match on
+            # the py4j-wrapped JVM error (the AQE case surfaces only a bare
+            # "java.lang.AssertionError: assertion failed", with no
+            # CollectMetrics context to pin on), so WARN with the original
+            # text — an unrelated JVM assertion taking this path must at
+            # least leave a trace instead of silently becoming zeros.
+            import warnings
+
+            warnings.warn(
+                f"resolve_stage_counts: stage {k!r} resolved to its "
+                f"zero-rows values after an AssertionError from "
+                f"Observation.get (expected cause: AQE empty-relation "
+                f"elimination of the CollectMetrics node). Original "
+                f"error: {e}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             if k == "packing":
                 out["packing_n_bins"] = 0
                 out["packing_n_oversize_bins"] = 0

@@ -182,6 +182,11 @@ def ingest_batch(
     batch overwrites its own partition with identical content."""
     spark = batch_df.sparkSession
     batch_df = batch_df.persist()
+    # every persist taken below is registered here and released in the
+    # finally block — the pre-decontam frame in particular is shadowed by
+    # the post-decontam join, and unpersisting only the final frame would
+    # leak one cached DataFrame per micro-batch of a long-running stream
+    persisted: list[DataFrame] = []
     try:
         # 1. within-batch transitive dedup
         pairs = minhash_lsh_pairs(
@@ -215,6 +220,7 @@ def ingest_batch(
             # execute the whole dedup + index-flag lineage twice per
             # micro-batch (once here, once for the writes below)
             accepted = accepted.persist()
+            persisted.append(accepted)
             cflags = contamination_flags(
                 accepted, benchmark, id_col, text_col,
                 bench_id_col=id_col, bench_text_col=text_col, n=decontam_n,
@@ -224,6 +230,7 @@ def ingest_batch(
                 id_col,
             )
         accepted = accepted.persist()
+        persisted.append(accepted)
         # 3. accepted docs + their index rows, idempotent per batch
         bid = F.lit(int(batch_id))
         with restore_conf(
@@ -241,8 +248,9 @@ def ingest_batch(
             new_shingles.withColumn("batch_id", bid).write.mode(
                 "overwrite"
             ).partitionBy("batch_id").parquet(f"{index_dir}/shingles")
-        accepted.unpersist()
     finally:
+        for df in persisted:
+            df.unpersist()
         batch_df.unpersist()
 
 

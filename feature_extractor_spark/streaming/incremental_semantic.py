@@ -76,6 +76,15 @@ def _probe_cells(df: DataFrame, C, vec_col: str, id_col: str, n_probe: int):
         for pdf in batches:
             if pdf.empty:
                 continue
+            if pdf[id_col].isna().any():
+                # a NULL id would slip through the candidate join's
+                # null-unsafe __new_id != __corpus_id filter and be
+                # reported is_dup=false — silently admitting potential
+                # duplicates. Reject loudly (pack_bins discipline).
+                raise ValueError(
+                    f"_probe_cells: NULL {id_col!r} in input — NULL ids "
+                    "cannot be dedup-checked; assign ids upstream"
+                )
             X = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
@@ -151,7 +160,11 @@ def flag_against_ann_index(
             )
         ),
         "cell",
-    ).filter(F.col("__new_id") != F.col("__corpus_id"))
+        # null-safe negation: _probe_cells already rejects NULL new-side
+        # ids loudly, but a NULL corpus id must not silently drop the
+        # candidate either (eqNullSafe keeps it, and the cosine check
+        # still runs against its reconstruction)
+    ).filter(~F.col("__new_id").eqNullSafe(F.col("__corpus_id")))
 
     bc = spark.sparkContext.broadcast(
         (
@@ -228,11 +241,21 @@ def flag_against_ann_index(
 
 
 def _within_batch_semantic_pairs(
-    batch: DataFrame, C, id_col: str, vec_col: str, threshold: float
+    batch: DataFrame,
+    C,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    max_cell_rows: int = 20_000,
 ) -> DataFrame:
     """(id_a, id_b) cosine >= threshold pairs WITHIN the batch, cells
     from the index centroids (bounded quadratic per cell; micro-batches
-    are small by contract)."""
+    are small by contract). A cell larger than ``max_cell_rows`` RAISES
+    rather than silently going quadratic — a skewed micro-batch
+    concentrated in one cell is a configuration problem (batch too big,
+    or the index's cell geometry too coarse for the incoming
+    distribution), the same loud-failure contract as
+    ``semantic_dedup``'s max_cluster_rows guard."""
     from typing import Iterator
 
     import numpy as np
@@ -248,12 +271,20 @@ def _within_batch_semantic_pairs(
         ]
     )
     thr = float(threshold)
+    cap = int(max_cell_rows)
 
     def pairs(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
         n = len(pdf)
         if n < 2:
             empty = pdf[id_col].iloc[0:0]
             return pd.DataFrame({"id_a": empty, "id_b": empty})
+        if n > cap:
+            raise ValueError(
+                f"_within_batch_semantic_pairs: cell {key[0]} with {n} "
+                f"rows exceeds max_cell_rows={cap}; shrink the "
+                "micro-batch or rebuild the index with more lists "
+                "(within-cell pair work is quadratic by design)"
+            )
         pdf = pdf.sort_values(id_col, kind="mergesort")
         X = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
@@ -275,11 +306,32 @@ def ann_semantic_ingest_batch(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_probe: int = 4,
+    max_cell_rows: int = 20_000,
+    max_unindexed_frac: float | None = 0.5,
+    stats_dir: str | None = None,
 ) -> None:
     """One micro-batch of the semantic ingest (usable for batch backfills
     too). Idempotent per batch_id: the accepted write and the code append
     are dynamic-partition overwrites keyed on batch_id. The index's codes
-    partition uses ``batch_id + 1`` (0 is the build)."""
+    partition uses ``batch_id + 1`` (0 is the build).
+
+    ``max_unindexed_frac`` (r9) is the MECHANICAL rebuild trigger the r8
+    verdict asked for: step 2b's exact check grows with every accepted
+    vector since the index build, so once the raw accepted count exceeds
+    ``max_unindexed_frac * n_vectors_at_build`` the batch RAISES with the
+    rebuild procedure instead of letting the per-batch GEMM grow without
+    bound (``None`` disables — for backfills that deliberately end with a
+    rebuild). The accepted count is read fresh per batch (one count job
+    over the accepted parquet, excluding this batch's own replayable
+    partition) rather than mutating index meta — meta stays
+    write-once-per-build, so replays can't double-count.
+
+    ``stats_dir`` (r9) enables the per-batch funnel: one row
+    (batch_id, n_input, n_within_dup, n_index_dup, n_raw_dup, n_accepted)
+    written as a dynamic-partition overwrite keyed on batch_id — a
+    replayed batch overwrites its own stats row, the curation-funnel
+    replay discipline. Disabled (None) the ingest runs no extra count
+    jobs."""
     spark = batch_df.sparkSession
     _require_index(spark, index_dir)
     meta, C, books = _load_model(spark, index_dir)  # loaded ONCE per batch
@@ -290,7 +342,8 @@ def ann_semantic_ingest_batch(
         from feature_extractor_spark.operators.dedup import near_dup_clusters
 
         pairs = _within_batch_semantic_pairs(
-            batch_df, C, id_col, vec_col, threshold
+            batch_df, C, id_col, vec_col, threshold,
+            max_cell_rows=max_cell_rows,
         )
         clusters = near_dup_clusters(pairs, batch_df, id_col)
         unique = batch_df.join(
@@ -323,6 +376,7 @@ def ann_semantic_ingest_batch(
         #     IVF-drift operating procedure.
         from feature_extractor_spark.operators.similarity import cosine_topk
 
+        n_raw_dup = 0
         if _path_exists(spark, accepted_dir):
             # filter out this batch's OWN partition (review r8): a replay
             # would otherwise self-match every previously-accepted row at
@@ -335,6 +389,22 @@ def ann_semantic_ingest_batch(
                 .filter(F.col("batch_id") != int(batch_id))
                 .select(id_col, vec_col)
             )
+            if max_unindexed_frac is not None:
+                n_indexed = int(meta.get("n_vectors") or 0)
+                n_prev = prev.count()
+                if n_indexed > 0 and n_prev > max_unindexed_frac * n_indexed:
+                    raise RuntimeError(
+                        f"ann_semantic_ingest_batch: {n_prev} raw accepted "
+                        f"vectors since the index build exceed "
+                        f"max_unindexed_frac={max_unindexed_frac} of the "
+                        f"{n_indexed} indexed vectors — step 2b's exact "
+                        "check is no longer bounded. Rebuild the index "
+                        "(build_ann_index over corpus + accepted_dir, then "
+                        "reset accepted_dir / restart the stream from a "
+                        "fresh checkpoint) before ingesting further, or "
+                        "pass max_unindexed_frac=None to disable the guard "
+                        "deliberately."
+                    )
             hits = (
                 cosine_topk(
                     survivors.select(id_col, vec_col), prev,
@@ -344,6 +414,11 @@ def ann_semantic_ingest_batch(
                 .select(F.col("query_id").alias(id_col))
                 .distinct()
             )
+            if stats_dir is not None:
+                # checkpoint so the count and the anti-join share one
+                # execution of the cosine_topk lineage
+                hits = hits.localCheckpoint(eager=True)
+                n_raw_dup = hits.count()
             survivors = survivors.join(hits, id_col, "left_anti")
         # localCheckpoint, NOT persist: the survivors plan READS
         # accepted_dir (step 2b), and Spark invalidates caches that
@@ -359,11 +434,40 @@ def ann_semantic_ingest_batch(
             accepted.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
                 "overwrite"
             ).partitionBy("batch_id").parquet(accepted_dir)
-        if accepted.limit(1).count() > 0:
+        n_accepted = accepted.count()
+        if n_accepted > 0:
             ann_index_append(
                 accepted, index_dir, batch_id=int(batch_id) + 1,
                 vec_col=vec_col, _model=(meta, C, books),
             )
+        if stats_dir is not None:
+            # per-batch funnel row (replay-idempotent: overwrites its own
+            # batch_id partition). flags is eagerly checkpointed, so the
+            # two counts over it are cheap re-reads, not re-executions.
+            n_input = batch_df.count()
+            n_unique = flags.count()  # one row per within-batch survivor
+            n_index_dup = flags.filter(F.col("is_dup")).count()
+            stats_row = spark.createDataFrame(
+                [
+                    (
+                        int(n_input),
+                        int(n_input - n_unique),
+                        int(n_index_dup),
+                        int(n_raw_dup),
+                        int(n_accepted),
+                    )
+                ],
+                "n_input long, n_within_dup long, n_index_dup long, "
+                "n_raw_dup long, n_accepted long",
+            )
+            with restore_conf(
+                spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            ):
+                stats_row.withColumn(
+                    "batch_id", F.lit(int(batch_id))
+                ).write.mode("overwrite").partitionBy("batch_id").parquet(
+                    stats_dir
+                )
     finally:
         batch_df.unpersist()
 
@@ -376,6 +480,9 @@ def stream_semantic_ingest(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_probe: int = 4,
+    max_cell_rows: int = 20_000,
+    max_unindexed_frac: float | None = 0.5,
+    stats_dir: str | None = None,
 ):
     """Wire ``ann_semantic_ingest_batch`` into a Structured Streaming
     query. Returns the DataStreamWriter (caller starts it, typically with
@@ -387,6 +494,8 @@ def stream_semantic_ingest(
         ann_semantic_ingest_batch(
             batch_df, batch_id, index_dir, accepted_dir,
             vec_col=vec_col, threshold=threshold, n_probe=n_probe,
+            max_cell_rows=max_cell_rows,
+            max_unindexed_frac=max_unindexed_frac, stats_dir=stats_dir,
         )
 
     return (

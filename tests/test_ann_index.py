@@ -157,3 +157,27 @@ def test_missing_index_raises(spark, corpus, tmp_path_factory):
         ann_index_topk(corpus.limit(1), idx)
     with pytest.raises(FileNotFoundError, match="missing tables"):
         ann_index_append(corpus.limit(1), idx, batch_id=1)
+
+
+def test_autosize_n_lists_scales_with_corpus(spark, tmp_path):
+    """r9: build_ann_index with default (None) n_lists derives the list
+    count from a corpus count — a 10x corpus gets ~10x the lists, so the
+    mean cell stays ~target_cell_rows without caller tuning (the fixed
+    16-list default would make every probe scan 25% of all codes at
+    100x)."""
+    from feature_extractor_spark.operators.ann_index import build_ann_index
+
+    small = _blobs(spark, n_per=20, n_clusters=4)  # 80 vectors
+    big = _blobs(spark, n_per=200, n_clusters=4)  # 800 vectors
+    idx_s = str(tmp_path / "s")
+    idx_b = str(tmp_path / "b")
+    st_s = build_ann_index(small, idx_s, target_cell_rows=40)
+    st_b = build_ann_index(big, idx_b, target_cell_rows=40)
+    assert st_s["n_lists"] == 2 and st_b["n_lists"] == 20
+    # mean cell size stays at ~target for both scales
+    for idx, st in ((idx_s, st_s), (idx_b, st_b)):
+        mean_cell = st["n_vectors"] / st["n_lists"]
+        assert mean_cell <= 40 * 1.01
+    # meta carries the indexed-corpus size (the rebuild trigger's anchor)
+    meta = spark.read.parquet(f"{idx_b}/meta").collect()[0].asDict()
+    assert meta["n_vectors"] == 800 and meta["n_lists"] == 20

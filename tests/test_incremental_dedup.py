@@ -427,3 +427,21 @@ def test_streaming_decontamination_flags_planted_leak(spark, tmp_path):
         threshold=0.5, benchmark=bench,
     )
     assert "tiny" in {r["doc_id"] for r in spark.read.parquet(acc).collect()}
+
+
+def test_benchmark_ingest_does_not_leak_cached_frames(spark, tmp_path):
+    """r9 (ADVICE): the benchmark branch persists a pre-decontam frame
+    that the post-decontam join shadows — every persist taken inside
+    ingest_batch must be released before it returns, or a long-running
+    stream grows one cached DataFrame per micro-batch."""
+    idx = str(tmp_path / "idx")
+    acc = str(tmp_path / "acc")
+    bench = _df(spark, [("q1", "totally unrelated benchmark text here")])
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    before = cm.numCachedEntries()
+    for bid in range(3):
+        ingest_batch(
+            _df(spark, [(f"d{bid}a", A + f" v{bid}"), (f"d{bid}b", B + f" v{bid}")]),
+            bid, idx, acc, threshold=0.5, benchmark=bench,
+        )
+    assert cm.numCachedEntries() == before

@@ -199,3 +199,154 @@ def test_flag_respects_stored_balance_widening(spark, built, tmp_path):
         new, idx, threshold=0.95, n_probe=1, balance_limit=0.0
     ).collect()[0]
     assert wide["is_dup"]  # widening doubled the probe set
+
+
+def test_null_id_new_vector_rejected(spark, built):
+    """r9 (ADVICE): a NULL-id new vector must RAISE, not slip through the
+    null-unsafe candidate filter and be reported is_dup=false."""
+    from feature_extractor_spark.streaming.incremental_semantic import (
+        flag_against_ann_index,
+    )
+
+    corpus, centers, idx = built
+    base = corpus.limit(1).collect()[0]["embedding"]
+    new = _vecs(spark, [(None, [float(x) + 0.01 for x in base])])
+    with pytest.raises(Exception, match="NULL .?vec_id"):
+        flag_against_ann_index(new, idx, threshold=0.95)
+
+
+def test_within_batch_cell_cap_guard(spark, built):
+    """r9: a micro-batch concentrated in one cell trips the quadratic
+    guard; a normal batch under the cap is unaffected."""
+    from feature_extractor_spark.streaming.incremental_semantic import (
+        _within_batch_semantic_pairs,
+    )
+
+    corpus, centers, idx = built
+    # 12 near-identical vectors -> all land in one cell
+    base = np.asarray(centers[0]) * 1.0
+    rows = [
+        (f"s{i:03d}", [float(x) + 0.001 * i for x in base]) for i in range(12)
+    ]
+    batch = _vecs(spark, rows)
+    C = np.asarray(centers, dtype=np.float64)
+    with pytest.raises(Exception, match="max_cell_rows"):
+        _within_batch_semantic_pairs(
+            batch, C, "vec_id", "embedding", 0.95, max_cell_rows=5
+        ).collect()
+    # under the cap: same batch computes pairs normally
+    got = _within_batch_semantic_pairs(
+        batch, C, "vec_id", "embedding", 0.95, max_cell_rows=100
+    ).count()
+    assert got > 0
+
+
+def test_rebuild_trigger_raises_past_threshold(spark, built, tmp_path):
+    """r9: once the raw accepted count exceeds max_unindexed_frac of the
+    indexed corpus, the next batch RAISES with the rebuild procedure
+    instead of letting step 2b's exact check grow unboundedly."""
+    import shutil
+
+    from feature_extractor_spark.streaming.incremental_semantic import (
+        ann_semantic_ingest_batch,
+    )
+
+    corpus, centers, idx0 = built
+    idx = str(tmp_path / "idx")
+    shutil.copytree(idx0, idx)
+    acc = str(tmp_path / "acc")
+    rng = np.random.RandomState(17)
+    # batch 0: 8 genuinely novel vectors all accepted — independent
+    # random DIRECTIONS (near-orthogonal in 16-d, |cos| ~ 0.25), never
+    # shared constant offsets (those would all align with the ones
+    # vector and dedup against each other)
+    novel = [
+        (f"n{i}", [float(x) for x in rng.randn(16) * 10.0])
+        for i in range(8)
+    ]
+    ann_semantic_ingest_batch(
+        _vecs(spark, novel), 0, idx, acc, threshold=0.95,
+        max_unindexed_frac=0.5,
+    )
+    n_acc = spark.read.parquet(acc).count()
+    assert n_acc > 0.05 * corpus.count()
+    # batch 1: with a tight fraction the guard trips and NAMES the
+    # rebuild procedure; nothing is written for the failed batch
+    one_more = _vecs(
+        spark, [("x1", [float(x) for x in rng.randn(16) * 10.0])]
+    )
+    with pytest.raises(RuntimeError, match="build_ann_index"):
+        ann_semantic_ingest_batch(
+            one_more, 1, idx, acc, threshold=0.95,
+            max_unindexed_frac=0.05,
+        )
+    assert spark.read.parquet(acc).count() == n_acc
+    # below the threshold (or disabled) the same batch ingests fine
+    ann_semantic_ingest_batch(
+        one_more, 1, idx, acc, threshold=0.95, max_unindexed_frac=None,
+    )
+    assert "x1" in {r["vec_id"] for r in spark.read.parquet(acc).collect()}
+
+
+def test_ingest_funnel_stats_counts_and_replay(spark, built, tmp_path):
+    """r9: per-batch funnel (n_input / within-batch dup / index dup /
+    raw-side dup / accepted) lands one row per batch_id and a replayed
+    batch overwrites its own row instead of appending."""
+    import shutil
+
+    from feature_extractor_spark.streaming.incremental_semantic import (
+        ann_semantic_ingest_batch,
+    )
+
+    corpus, centers, idx0 = built
+    idx = str(tmp_path / "idx")
+    shutil.copytree(idx0, idx)
+    acc = str(tmp_path / "acc")
+    st = str(tmp_path / "stats")
+    rng = np.random.RandomState(31)
+    fresh = rng.randn(16) * 6.0 + 40.0
+    a = [float(x) for x in fresh]
+    a_twin = [float(x) + 0.01 for x in fresh]
+    indexed = corpus.limit(1).collect()[0]["embedding"]
+    dup_idx = [float(x) + 0.005 for x in indexed]
+
+    # batch 0: 1 accept + 1 within-batch dup + 1 index dup
+    ann_semantic_ingest_batch(
+        _vecs(spark, [("a1", a), ("a2", a_twin), ("d1", dup_idx)]),
+        0, idx, acc, threshold=0.95, stats_dir=st,
+    )
+    s0 = spark.read.parquet(st).filter("batch_id = 0").collect()[0]
+    assert (
+        s0["n_input"], s0["n_within_dup"], s0["n_index_dup"],
+        s0["n_raw_dup"], s0["n_accepted"],
+    ) == (3, 1, 1, 0, 1)
+
+    # batch 1: a twin of the batch-0 ACCEPT. The index flags it via the
+    # appended codes (index dup), so raw-side stays 0 here; plus one
+    # genuinely new vector accepted.
+    b = [float(x) for x in rng.randn(16) * 6.0 - 45.0]
+    ann_semantic_ingest_batch(
+        _vecs(spark, [("a3", [x + 0.02 for x in a]), ("b1", b)]),
+        1, idx, acc, threshold=0.95, stats_dir=st,
+    )
+    s1 = spark.read.parquet(st).filter("batch_id = 1").collect()[0]
+    assert s1["n_input"] == 2 and s1["n_accepted"] == 1
+    assert s1["n_within_dup"] == 0
+    assert s1["n_index_dup"] + s1["n_raw_dup"] == 1
+
+    # replay batch 1: stats stay one-row-per-batch with identical values
+    ann_semantic_ingest_batch(
+        _vecs(spark, [("a3", [x + 0.02 for x in a]), ("b1", b)]),
+        1, idx, acc, threshold=0.95, stats_dir=st,
+    )
+    rows = spark.read.parquet(st).filter("batch_id = 1").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (
+        r["n_input"], r["n_within_dup"], r["n_index_dup"],
+        r["n_raw_dup"], r["n_accepted"],
+    ) == (
+        s1["n_input"], s1["n_within_dup"], s1["n_index_dup"],
+        s1["n_raw_dup"], s1["n_accepted"],
+    )
+    assert spark.read.parquet(st).count() == 2

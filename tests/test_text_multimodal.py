@@ -644,3 +644,16 @@ def test_decode_bpe_preserves_literal_marker_text(spark):
     assert toks == [2, 4, 5, 6, 7, 8, 11, 12]
     dec = decode_bpe(enc, vocab, out_col="rt").collect()[0]["rt"]
     assert dec == "a</w>b ok"
+
+
+def test_hamming_near_dup_pairs_rejects_bad_bits(spark):
+    """r9 (ADVICE): bits > 64 would wrap JVM shift amounts mod 64 and
+    silently miss pairs — the EXACT guarantee demands a loud reject."""
+    import pytest
+
+    from feature_extractor_spark.operators.dedup import hamming_near_dup_pairs
+
+    fp = spark.createDataFrame([("a", 3), ("b", 1)], "doc_id string, fp long")
+    for bad in (65, 128, 0, -1):
+        with pytest.raises(ValueError, match=r"bits .* \[1, 64\]"):
+            hamming_near_dup_pairs(fp, "doc_id", "fp", bits=bad)
