@@ -39,4 +39,5 @@ from feature_extractor_spark.functions.text import (  # noqa: F401
     decode_words,
     encode_bpe,
     encode_words,
+    learn_bpe,
 )

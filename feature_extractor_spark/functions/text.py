@@ -1027,3 +1027,187 @@ def decode_bpe(
             yield pdf
 
     return df.mapInPandas(run, schema)
+
+
+def learn_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 1000,
+    min_count: int = 1,
+    min_pair_count: int = 2,
+    lowercase: bool = False,
+    end_of_word: str = "</w>",
+    max_distinct_words: int = 2_000_000,
+    n_reserved: int = 2,
+    byte_fallback: bool = True,
+) -> "tuple[DataFrame, DataFrame]":
+    """BPE merge LEARNING (VERDICT r8 item 1) — fit the ``(left, right,
+    rank)`` merges table ``encode_bpe`` consumes, from the corpus itself
+    (public method: Sennrich, Haddow & Birch 2016, the reference BPE
+    training algorithm). Returns ``(merges, vocab)`` ready to feed
+    ``encode_bpe`` / ``decode_bpe`` unchanged.
+
+    Semantics (identical to the apply-encoder's conventions, so learned
+    tables round-trip through it):
+
+    - words split exactly like ``words()`` (ASCII whitespace only);
+      each word starts as its characters with ``end_of_word`` appended
+      to the last (Sennrich's ``</w>`` convention),
+    - per iteration the corpus-wide most frequent adjacent symbol pair
+      (frequency-weighted over distinct words; overlapping occurrences
+      each count, as in Sennrich's reference implementation) is merged
+      everywhere it occurs, left to right, non-overlapping — exactly
+      how ``encode_bpe`` replays a merge,
+    - ties break DETERMINISTICALLY to the lexicographically smallest
+      ``(left, right)`` pair (the reference implementation's dict-order
+      tie-break is insertion-order-dependent; a total order makes the
+      same corpus always learn the same table),
+    - learning stops at ``num_merges`` or when the best pair's count
+      drops below ``min_pair_count`` (merging hapax pairs memorizes the
+      corpus instead of compressing it).
+
+    The vocab assigns ids deterministically: ``0..n_reserved-1`` stay
+    unassigned for specials (0=PAD, 1=UNK — ``encode_bpe``'s unk_id
+    convention), then the 256 ``<0xNN>`` byte-fallback tokens (when
+    ``byte_fallback``, SentencePiece/Llama convention — they make any
+    unseen character encodable), then the bare ``end_of_word`` token,
+    then the initial alphabet sorted, then each merge's product in rank
+    order — so EVERY symbol reachable while applying the merges has an
+    id, including partially-merged symbols of words the trainer never
+    saw.
+
+    Scale shape — deliberately TWO-LEVEL, like every tokenizer trainer
+    that actually runs at corpus scale (subword-nmt, SentencePiece, HF
+    tokenizers all train on a word-frequency table, not raw text):
+
+    1. the 100 TB-bearing step is ONE distributed explode + map-side-
+       partial groupBy count producing the DISTINCT-word frequency
+       table — the corpus is never touched again;
+    2. the merge loop runs driver-side over that Zipf-bounded table
+       (incremental pair-statistics updates touch only the words that
+       contain the merged pair, Sennrich's optimization). The table is
+       a CONTRACT-BOUNDED collect: ``max_distinct_words`` RAISES before
+       collecting an unbounded vocabulary (same loud-bound discipline
+       as the dedup closure's driver_max_edges) — the fix is a higher
+       ``min_count``, which is also what shrinks noise merges.
+
+    The rejected alternative — re-segmenting the word table with a
+    Spark job per merge (groupBy-count, argmax, broadcast, re-segment)
+    — costs ``num_merges`` job round-trips (hours of pure scheduling at
+    a 32k-merge vocabulary) to avoid holding a word table that fits in
+    driver memory by Zipf construction. Wrong trade at every scale.
+    """
+    t = F.col(text_col)
+    ws = words(F.lower(t)) if lowercase else words(t)
+    word_freq = (
+        df.select(F.explode(ws).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if min_count > 1:
+        word_freq = word_freq.filter(F.col("n") >= int(min_count))
+    word_freq = word_freq.localCheckpoint(eager=True)
+    n_distinct = word_freq.count()
+    if n_distinct > max_distinct_words:
+        raise ValueError(
+            f"learn_bpe: {n_distinct} distinct words exceed "
+            f"max_distinct_words={max_distinct_words}; raise min_count "
+            "(frequency-thresholding the word table is the standard "
+            "trainer bound) or lift the cap deliberately."
+        )
+    rows = word_freq.collect()
+    spark = df.sparkSession
+    eow = end_of_word
+
+    # ---- driver-side Sennrich loop over the distinct-word table ----
+    syms_list: list[list[str]] = []
+    freqs: list[int] = []
+    for r in rows:
+        w = r["w"]
+        s = list(w)
+        s[-1] = s[-1] + eow
+        syms_list.append(s)
+        freqs.append(int(r["n"]))
+
+    from collections import defaultdict
+
+    stats: dict = defaultdict(int)  # pair -> weighted count
+    where: dict = defaultdict(set)  # pair -> word indices containing it
+    for i, s in enumerate(syms_list):
+        f = freqs[i]
+        for pair in zip(s, s[1:]):
+            stats[pair] += f
+            where[pair].add(i)
+
+    def merge_word(s: list[str], left: str, right: str) -> list[str]:
+        out: list[str] = []
+        i = 0
+        n = len(s)
+        while i < n:
+            if i + 1 < n and s[i] == left and s[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        return out
+
+    merges: list[tuple[str, str]] = []
+    for _rank in range(int(num_merges)):
+        if not stats:
+            break
+        # count DESC, then lexicographically smallest pair — total order
+        best_pair = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if stats[best_pair] < int(min_pair_count):
+            break
+        merges.append(best_pair)
+        left, right = best_pair
+        # touch ONLY the words containing the pair: subtract their old
+        # pair multiset, rewrite, add the new one
+        for i in sorted(where[best_pair]):
+            s = syms_list[i]
+            f = freqs[i]
+            for pair in zip(s, s[1:]):
+                stats[pair] -= f
+                if stats[pair] <= 0:
+                    del stats[pair]
+                where[pair].discard(i)
+            s2 = merge_word(s, left, right)
+            syms_list[i] = s2
+            for pair in zip(s2, s2[1:]):
+                stats[pair] += f
+                where[pair].add(i)
+
+    # ---- deterministic vocab ----
+    alphabet: set = set()
+    for r in rows:
+        w = r["w"]
+        if len(w) > 1:
+            alphabet.update(w[:-1])
+        alphabet.add(w[-1] + eow)
+    tokens: list[str] = []
+    seen: set = set()
+
+    def _add(tok: str) -> None:
+        if tok not in seen:
+            seen.add(tok)
+            tokens.append(tok)
+
+    if byte_fallback:
+        for b in range(256):
+            _add(f"<0x{b:02X}>")
+    _add(eow)
+    for a in sorted(alphabet):
+        _add(a)
+    for left, right in merges:
+        _add(left + right)
+
+    merges_df = spark.createDataFrame(
+        [(int(i), l, r_) for i, (l, r_) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+    vocab_df = spark.createDataFrame(
+        [(tok, int(n_reserved) + i) for i, tok in enumerate(tokens)],
+        "token string, id int",
+    )
+    return merges_df, vocab_df

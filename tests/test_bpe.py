@@ -185,3 +185,138 @@ def test_curate_encode_bpe_curate_tokens_handoff(spark, merges, vocab):
     # are... tails contain digits with no vocab entries, so UNKs exist —
     # just check the arrays are non-empty ints)
     assert all(len(r["tokens"]) == r["n_tok"] for r in rows)
+
+
+# ---------------------------------------------------------------- learn_bpe
+
+def _naive_learn(word_freqs, num_merges, min_pair_count=2):
+    """From-scratch Sennrich trainer oracle: recounts EVERY pair each
+    iteration (no incremental updates — an independent code path from
+    learn_bpe's). Tie-break: count desc, then lexicographically
+    smallest (left, right)."""
+    words = {}
+    for w, f in word_freqs.items():
+        s = list(w)
+        s[-1] += EOW
+        words[tuple(s)] = words.get(tuple(s), 0) + f
+    merges = []
+    for _ in range(num_merges):
+        stats = {}
+        for s, f in words.items():
+            for p in zip(s, s[1:]):
+                stats[p] = stats.get(p, 0) + f
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if stats[best] < min_pair_count:
+            break
+        merges.append(best)
+        l, r_ = best
+        new_words = {}
+        for s, f in words.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r_:
+                    out.append(l + r_)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            t = tuple(out)
+            new_words[t] = new_words.get(t, 0) + f
+        words = new_words
+    return merges
+
+
+CORPUS = [
+    "low low low lower lower newest newest newest newest widest",
+    "the newest gadget is the widest yet and the lowest too",
+    "new news newer knew lowly slowly slow slower wide wider",
+    "banana bandana cabana abracadabra",
+]
+
+
+def test_learn_bpe_matches_naive_trainer(spark):
+    """The distributed word-count + incremental driver loop must learn
+    EXACTLY the merge sequence the naive recount-everything oracle
+    learns."""
+    from collections import Counter
+
+    from feature_extractor_spark.functions.text import learn_bpe
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id int, text string"
+    )
+    merges_df, vocab_df = learn_bpe(docs, num_merges=40, min_pair_count=2)
+    got = [
+        (r["left"], r["right"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    wf = Counter(w for t in CORPUS for w in t.split())
+    want = _naive_learn(dict(wf), 40, min_pair_count=2)
+    assert got == want and len(got) > 10
+    # vocab covers every merge product and the full alphabet, ids unique
+    toks = {r["token"]: r["id"] for r in vocab_df.collect()}
+    assert len(set(toks.values())) == len(toks)
+    assert min(toks.values()) == 2  # 0/1 reserved for PAD/UNK
+    for l, r_ in got:
+        assert (l + r_) in toks
+    for ch in "lowestnwid":
+        assert ch in toks or f"{ch}{EOW}" in toks
+
+
+def test_learn_bpe_roundtrips_through_encoder(spark):
+    """learned merges+vocab -> encode_bpe -> decode_bpe reproduces the
+    training text (whitespace-normalized), including an UNSEEN word via
+    partial merges and an unseen CHARACTER via byte fallback."""
+    from feature_extractor_spark.functions.text import learn_bpe
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id int, text string"
+    )
+    merges_df, vocab_df = learn_bpe(docs, num_merges=60, min_pair_count=2)
+    probe = [
+        (0, CORPUS[0]),
+        (1, CORPUS[3]),
+        (2, "unseen lowlands widening"),  # unseen words, seen alphabet
+        (3, "café latte"),  # é -> byte fallback
+    ]
+    pdf = spark.createDataFrame(probe, "doc_id int, text string")
+    enc = encode_bpe(pdf, merges_df, vocab_df)
+    dec = decode_bpe(enc.drop("text"), vocab_df)
+    got = {r["doc_id"]: r["text"] for r in dec.collect()}
+    import re
+
+    for i, t in probe:
+        assert got[i] == re.sub(r"\s+", " ", t).strip()
+
+
+def test_learn_bpe_tiebreak_and_stop(spark):
+    """Equal-count pairs pick the lexicographically smallest; learning
+    stops when the best count drops below min_pair_count."""
+    from feature_extractor_spark.functions.text import learn_bpe
+
+    # "zb" and "ac" both occur exactly 3 times -> (a,c) merges first
+    docs = spark.createDataFrame(
+        [(0, "zbx ach"), (1, "zby acj"), (2, "zbq ack")],
+        "doc_id int, text string",
+    )
+    merges_df, _ = learn_bpe(docs, num_merges=2, min_pair_count=3)
+    got = [(r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()]
+    assert got[0] == ("a", "c")
+    assert got[1] == ("z", "b")
+    # min_pair_count binds: nothing else reaches 3 occurrences
+    assert len(got) == 2
+
+
+def test_learn_bpe_distinct_word_bound_raises(spark):
+    from feature_extractor_spark.functions.text import learn_bpe
+
+    docs = spark.createDataFrame(
+        [(0, "one two three four five six")], "doc_id int, text string"
+    )
+    with pytest.raises(ValueError, match="max_distinct_words"):
+        learn_bpe(docs, max_distinct_words=3)
+    # min_count thins the table below the bound
+    m, v = learn_bpe(docs, max_distinct_words=3, min_count=2, num_merges=5)
+    assert m.count() == 0  # no repeated words -> nothing to merge
