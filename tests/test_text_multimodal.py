@@ -657,3 +657,155 @@ def test_hamming_near_dup_pairs_rejects_bad_bits(spark):
     for bad in (65, 128, 0, -1):
         with pytest.raises(ValueError, match=r"bits .* \[1, 64\]"):
             hamming_near_dup_pairs(fp, "doc_id", "fp", bits=bad)
+
+
+# ------------------------------------------------------------- PNG decode
+
+def _png_encode(px, color_type, filters, palette=None):
+    """Test-local PNG writer, independent of decode_png: stdlib zlib +
+    explicit per-row filter application FORWARD per the spec, so the
+    decoder's unfiltering is checked against the inverse computed by a
+    different code path. px: (H, W, C) uint8."""
+    import struct as _s
+    import zlib
+
+    import numpy as np
+
+    h, w, c = px.shape
+    bpp = c
+    raw = bytearray()
+    prior = np.zeros(w * c, dtype=np.int64)
+    flat = px.reshape(h, w * c).astype(np.int64)
+    for y in range(h):
+        row = flat[y]
+        f = filters[y % len(filters)]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
+        pleft = np.concatenate([np.zeros(bpp, dtype=np.int64), prior[:-bpp]])
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = row - left
+        elif f == 2:
+            enc = row - prior
+        elif f == 3:
+            enc = row - (left + prior) // 2
+        elif f == 4:
+            p = left + prior - pleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - pleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, pleft)
+            )
+            enc = row - pred
+        raw.append(f)
+        raw += (enc % 256).astype(np.uint8).tobytes()
+        prior = row
+
+    def chunk(ctype, body):
+        return (
+            _s.pack(">I", len(body)) + ctype + body
+            + _s.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+    if palette is not None:
+        out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def _test_pixels(h=11, w=13, c=3, seed=7):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, c)).astype(np.uint8)
+
+
+def test_png_decode_all_filters_roundtrip():
+    """Every spec filter type (None/Sub/Up/Average/Paeth) unfilters back
+    to the source pixels, for gray, RGB, RGBA and palette images."""
+    import numpy as np
+
+    from feature_extractor_spark.operators.multimodal import decode_png
+
+    for c, ctype in ((1, 0), (3, 2)):
+        px = _test_pixels(c=c)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            got = decode_png(_png_encode(px, ctype, filters))
+            assert got.shape == px.shape
+            assert np.array_equal((got * 255).round().astype(np.uint8), px)
+    # RGBA: alpha dropped, RGB planes exact
+    px4 = _test_pixels(c=4)
+    got = decode_png(_png_encode(px4, 6, [0, 1, 2, 3, 4]))
+    assert np.array_equal(
+        (got * 255).round().astype(np.uint8), px4[:, :, :3]
+    )
+    # gray+alpha -> gray
+    px2 = _test_pixels(c=2)
+    got = decode_png(_png_encode(px2, 4, [4, 3, 2, 1, 0]))
+    assert np.array_equal(
+        (got * 255).round().astype(np.uint8), px2[:, :, :1]
+    )
+    # palette: indices map through PLTE
+    idx = _test_pixels(c=1, seed=9) % 16
+    pal = _test_pixels(h=1, w=16, c=3, seed=11).reshape(16, 3)
+    got = decode_png(_png_encode(idx, 3, [0, 1, 2], palette=pal))
+    assert np.array_equal(
+        (got * 255).round().astype(np.uint8), pal[idx[:, :, 0]]
+    )
+
+
+def test_png_and_ppm_same_pixels_same_perceptual_hash(spark):
+    """VERDICT r8 item 5 'done' criterion: PNG and PPM encodings of the
+    SAME pixels produce identical perceptual hashes through the real
+    distributed path."""
+    import numpy as np
+
+    from feature_extractor_spark.operators.multimodal import perceptual_hash
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(6):
+        px = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+        ppm = f"P6\n16 16\n255\n".encode() + px.tobytes()
+        png = _png_encode(px, 2, [0, 1, 2, 3, 4])
+        rows.append((f"ppm{i}", bytearray(ppm)))
+        rows.append((f"png{i}", bytearray(png)))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r["media_id"]: r["phash"]
+           for r in perceptual_hash(df, method="dhash").collect()}
+    for i in range(6):
+        assert got[f"ppm{i}"] == got[f"png{i}"]
+
+
+def test_png_unsupported_variants_raise_by_name():
+    import struct as _s
+    import zlib
+
+    import numpy as np
+    import pytest as _pt
+
+    from feature_extractor_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+    )
+
+    def hdr(depth=8, ctype=0, interlace=0):
+        def chunk(ct, body):
+            return (_s.pack(">I", len(body)) + ct + body
+                    + _s.pack(">I", zlib.crc32(ct + body)))
+        body = _s.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, interlace)
+        raw = bytes([0, 0, 0, 0, 0, 0])  # 2 rows x (filter + 2 px gray)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", body)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    with _pt.raises(NotImplementedError, match="bit depth 16"):
+        decode_png(hdr(depth=16))
+    with _pt.raises(NotImplementedError, match="interlace"):
+        decode_png(hdr(interlace=1))
+    with _pt.raises(NotImplementedError, match="color type 5"):
+        decode_png(hdr(ctype=5))
+    # JPEG magic stays an honest loud stub at the dispatcher
+    with _pt.raises(NotImplementedError, match="magic"):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
