@@ -2000,9 +2000,16 @@ def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", F.round(F.col("cosine"), 6))
 
 
-@_q(
-    "emb_near_dup_lsh",
-    """
+# ceded r9 (registry pinned at 50): this slot now carries
+# ann_persisted_topk, whose oracle recomputes the WHOLE persisted-index
+# query path (cell assignment, PQ codes, probe sets, ADC, ranking) from
+# the committed model fixture — emb_near_dup_lsh's oracle was literally
+# identical to emb_near_dup's (both hash the exact-cosine pair set), so
+# the driver signal was duplicated; the LSH path keeps the same
+# Spark-vs-DuckDB value check in
+# tests/test_ceded_rows.py::test_emb_near_dup_lsh_matches_duckdb plus
+# its recall/candidate-bound pytest coverage.
+EMB_NEAR_DUP_LSH_ORACLE_SQL = """
     WITH n AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nn
@@ -2012,8 +2019,9 @@ def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(list_dot_product(a.v, b.v) / (a.nn * b.nn), 6) AS cosine
     FROM n a JOIN n b ON a.vec_id < b.vec_id
     WHERE list_dot_product(a.v, b.v) / (a.nn * b.nn) >= 0.45
-    """,
-)
+    """
+
+
 def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH-bucketed scale path of embedding near-dup (no N^2 term).
     Threshold 0.45 (not 0.9): the driver's synthetic embeddings are
@@ -2032,6 +2040,143 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=2, n_tables=24, dim=64, exact=False,
     )
     return out.withColumn("cosine", F.round(F.col("cosine"), 6))
+
+
+# geometry of the ann_persisted_topk contract row — keep in sync with
+# tools/make_ann_index_fixture.py (the committed model fixture is built
+# by build_ann_index with EXACTLY these parameters; pytest pins the
+# fixture bit-equal to a fresh build). residual=False: residual ADC
+# needs a per-(query, probed-cell) distance table — SQL-expressible but
+# a combinatorial blow-up; the residual path keeps pytest bit-equality.
+_ANN_ROW_PARAMS = dict(
+    n_lists=16, m=8, k_codes=16, sample_size=4096, seed=23, residual=False
+)
+_ANN_ROW_N_PROBE = 4
+_ANN_IDX_DIRS: dict = {}
+
+
+def _ann_persisted_oracle() -> str:
+    cent = _fixture_path("ann_centroids", "sf0.01")
+    books = _fixture_path("ann_codebooks", "sf0.01")
+    # sub = 8: embeddings are 64-dim, m = 8 subspaces
+    return f"""
+    WITH cent AS (
+      SELECT cell, centroid::DOUBLE[] AS c FROM read_parquet('{cent}')
+    ),
+    books AS (
+      SELECT subspace AS s, code, vec::DOUBLE[] AS c
+      FROM read_parquet('{books}')
+    ),
+    vec AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    corpus_cell AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, ct.cell,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.e, ct.c) DESC, ct.cell ASC
+               ) AS rn
+        FROM vec v CROSS JOIN cent ct
+      ) WHERE rn = 1
+    ),
+    assign AS (
+      SELECT vec_id, s, code,
+             row_number() OVER (
+               PARTITION BY vec_id, s
+               ORDER BY list_dot_product(sl, sl) - 2*list_dot_product(sl, c)
+                        + list_dot_product(c, c) ASC,
+                        code ASC
+             ) AS rn
+      FROM (
+        SELECT v.vec_id, b.s, b.code, b.c,
+               v.e[(b.s*8+1):(b.s*8+8)] AS sl
+        FROM vec v CROSS JOIN books b
+      )
+    ),
+    codes AS (SELECT vec_id, s, code FROM assign WHERE rn = 1),
+    q AS (SELECT vec_id, e FROM vec WHERE vec_id % 50 = 0),
+    probe AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT qv.vec_id, ct.cell,
+               row_number() OVER (
+                 PARTITION BY qv.vec_id
+                 ORDER BY list_dot_product(qv.e, ct.c) DESC, ct.cell ASC
+               ) AS rn
+        FROM q qv CROSS JOIN cent ct
+      ) WHERE rn <= {_ANN_ROW_N_PROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, cc.vec_id AS neighbor_id
+      FROM probe p JOIN corpus_cell cc ON cc.cell = p.cell
+      WHERE cc.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT ca.query_id, ca.neighbor_id,
+             sum(
+               list_dot_product(q.e[(nc.s*8+1):(nc.s*8+8)],
+                                q.e[(nc.s*8+1):(nc.s*8+8)])
+               - 2*list_dot_product(q.e[(nc.s*8+1):(nc.s*8+8)], b.c)
+               + list_dot_product(b.c, b.c)
+             ) AS adc_distance
+      FROM cand ca
+      JOIN q ON q.vec_id = ca.query_id
+      JOIN codes nc ON nc.vec_id = ca.neighbor_id
+      JOIN books b ON b.s = nc.s AND b.code = nc.code
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc_distance,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY adc_distance ASC, neighbor_id ASC
+             ) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(adc_distance, 6) AS adc_distance,
+           rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@_q("ann_persisted_topk", _ann_persisted_oracle())
+def ann_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED ANN index query path under the hard driver signal
+    (VERDICT r8 item 6): the query TRAINS and persists the index
+    (build_ann_index, deterministic: seeded sample + fixed Lloyd/PQ
+    iterations), then searches it with ann_index_topk — while the DuckDB
+    oracle independently RECOMPUTES the entire query path from the
+    COMMITTED model fixture (tools/make_ann_index_fixture.py): corpus
+    cell assignment (argmax dot), per-subspace PQ codes (argmin), the
+    n_probe nearest-cell probe sets, ADC distances and the (distance,
+    id) ranking. The row is green only if trained model == committed
+    model AND persist -> read -> probe -> ADC reproduces the relational
+    recomputation exactly — so it value-checks build_ann_index,
+    _encode_with, the parquet round-trip and _adc_score end-to-end.
+    Unlike pq_topk_adc (inline PQ, no probe restriction), the CANDIDATE
+    SET here is probe-limited, so the oracle also pins which cells each
+    query scans."""
+    from feature_extractor_spark.operators.ann_index import (
+        ann_index_topk,
+        build_ann_index,
+    )
+
+    idx = _ANN_IDX_DIRS.get(sf_dir)
+    if idx is None:
+        import tempfile
+
+        idx = tempfile.mkdtemp(prefix="fx_ann_row_") + "/idx"
+        build_ann_index(
+            _t(spark, sf_dir, "embeddings"), idx, **_ANN_ROW_PARAMS
+        )
+        _ANN_IDX_DIRS[sf_dir] = idx
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.pmod(F.col("vec_id"), F.lit(50)) == 0)
+    out = ann_index_topk(q, idx, k=5, n_probe=_ANN_ROW_N_PROBE)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("adc_distance"), 6).alias("adc_distance"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 # ceded r8 (registry pinned at 50): the slot now carries pack_bins_bfd,

@@ -118,3 +118,22 @@ def test_j1_doc_token_join_matches_duckdb(spark):
     got = _canon(j1_doc_token_join(spark, SF).toPandas())
     exp = _canon(con.sql(J1_DOC_TOKEN_ORACLE_SQL).df())
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_emb_near_dup_lsh_matches_duckdb(spark):
+    """Ceded r9 (slot given to ann_persisted_topk): same value check as
+    the old registry row — LSH-bucketed near-dup pairs equal the exact
+    cosine pair set at the contract's (n_planes, n_tables)."""
+    from feature_extractor_spark.plans.entry_queries import (
+        EMB_NEAR_DUP_LSH_ORACLE_SQL,
+        emb_near_dup_lsh,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    got = _canon(emb_near_dup_lsh(spark, SF).toPandas())
+    exp = _canon(con.sql(EMB_NEAR_DUP_LSH_ORACLE_SQL).df())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

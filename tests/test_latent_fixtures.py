@@ -132,3 +132,56 @@ def test_fixture_keys_survive_non_utc_session_timezone(spark):
         assert out.filter("is_match != 1").count() == 0
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_ann_model_fixture_matches_fresh_build(spark, tmp_path):
+    """ann_persisted_topk contract: the committed centroid/codebook
+    fixture must be BIT-EQUAL to what build_ann_index trains with the
+    row's parameters — a drifted trainer (numpy change, edited params)
+    fails here before it silently flips the driver row red. Also pins
+    that a perturbed model changes the engine's result set."""
+    import numpy as np
+    import pyarrow.parquet as pq_reader
+
+    from feature_extractor_spark.operators.ann_index import build_ann_index
+    from feature_extractor_spark.plans.entry_queries import _ANN_ROW_PARAMS
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = str(tmp_path / "idx")
+    build_ann_index(emb, idx, **_ANN_ROW_PARAMS)
+
+    fresh_c = pq_reader.read_table(idx + "/centroids").to_pandas()
+    fresh_c = fresh_c.sort_values("cell").reset_index(drop=True)
+    fix_c = pq_reader.read_table(
+        _fixture_path("ann_centroids", SF)
+    ).to_pandas().sort_values("cell").reset_index(drop=True)
+    assert list(fresh_c["cell"]) == list(fix_c["cell"])
+    assert np.array_equal(
+        np.asarray([np.asarray(v) for v in fresh_c["centroid"]]),
+        np.asarray([np.asarray(v) for v in fix_c["centroid"]]),
+    )
+    fresh_b = pq_reader.read_table(idx + "/codebooks").to_pandas()
+    fresh_b = fresh_b.sort_values(["subspace", "code"]).reset_index(drop=True)
+    fix_b = pq_reader.read_table(
+        _fixture_path("ann_codebooks", SF)
+    ).to_pandas().sort_values(["subspace", "code"]).reset_index(drop=True)
+    assert np.array_equal(
+        np.asarray([np.asarray(v) for v in fresh_b["vec"]]),
+        np.asarray([np.asarray(v) for v in fix_b["vec"]]),
+    )
+
+    # engine output vs the oracle, value for value (the driver's check)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    oracle = {
+        (r[0], r[1], round(r[2], 6), r[3])
+        for r in con.execute(ORACLE_SQL["ann_persisted_topk"]).fetchall()
+    }
+    sp = ENTRY_QUERIES["ann_persisted_topk"](spark, SF).collect()
+    got = {
+        (r["query_id"], r["neighbor_id"], round(r["adc_distance"], 6), r["rank"])
+        for r in sp
+    }
+    assert got == oracle and len(got) == 50
