@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "tokens_pack_bins",
     # round-8: subword BPE apply-encoder over the documents table
     "text_encode_bpe",
+    # round-9: BPE merge LEARNING — one distributed word-count shuffle +
+    # the bounded driver merge loop (functions/text.learn_bpe)
+    "text_learn_bpe",
     # round-8: perceptual image near-dup (decode + dHash + banded Hamming)
     "image_near_dup",
     # round-8: top-k ADC search against the PERSISTED ANN index (the
@@ -240,6 +243,21 @@ def main() -> None:
 
     qs["text_encode_bpe"] = _encode_bpe_query
 
+    # round-9 operator: learn the merges table itself from the corpus —
+    # the timed cost is the distributed word-frequency shuffle plus the
+    # bounded driver-side merge loop (200 merges; the returned merges
+    # frame is tiny, so the noop write adds nothing)
+    def _learn_bpe_query(s, d):
+        from feature_extractor_spark.functions.text import learn_bpe
+
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        merges_df, _vocab_df = learn_bpe(
+            docs, num_merges=200, min_count=2, lowercase=True
+        )
+        return merges_df
+
+    qs["text_learn_bpe"] = _learn_bpe_query
+
     # round-8 operator: perceptual image near-dup over distributively
     # generated P6 payloads. Pixels are hash-decorrelated per image (the
     # affine _synth_ppm pattern shares gradient SIGNS across images,
@@ -325,6 +343,13 @@ def main() -> None:
     # every artifact so cross-round box-state drift (r5 measured a uniform
     # +15-45% from box aging alone) can be normalized out when comparing
     # BENCH_r{N}.json files. Same protocol as the queries: warm + min-of-N.
+    # r9 (VERDICT r8 item 8): the control is INTERLEAVED — sampled before
+    # the query sweep, after it, and after the parity block — because a
+    # single up-front draw spread 0.12-0.61 s in r8 (cold first sample)
+    # and left cross-round normalization ambiguous. The artifact carries
+    # the per-phase samples plus BOTH estimators: min (the kernel-cost
+    # floor, backward-compatible field) and median (robust to the cold
+    # tail; bench_compare normalizes by it).
     def _control() -> list[float]:
         one = spark.read.parquet(f"{sf_dir}/region.parquet").limit(1)
         one.count()  # warm
@@ -335,7 +360,7 @@ def main() -> None:
             out.append(round(time.time() - t0, 4))
         return out
 
-    control_samples = _control()
+    control_phases: dict[str, list[float]] = {"before": _control()}
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -354,6 +379,8 @@ def main() -> None:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
         timings[name] = round(min(samples), 3)
+
+    control_phases["mid"] = _control()
 
     head_samples = []
     n_seq = 0
@@ -381,9 +408,23 @@ def main() -> None:
     parity_samples = [parity_run(spark) for _ in range(3)]
     parity = min(parity_samples, key=lambda p: p["wall_sec"])
     parity["samples_wall_sec"] = [p["wall_sec"] for p in parity_samples]
+    control_phases["after"] = _control()
+    control_samples = [s for ph in control_phases.values() for s in ph]
     control_min = min(control_samples)
+    control_sorted = sorted(control_samples)
+    mid = len(control_sorted) // 2
+    control_median = (
+        control_sorted[mid]
+        if len(control_sorted) % 2
+        else (control_sorted[mid - 1] + control_sorted[mid]) / 2
+    )
     parity["parity_normalized"] = (
         round(parity["wall_sec"] / control_min, 1) if control_min > 0 else None
+    )
+    parity["parity_normalized_median"] = (
+        round(parity["wall_sec"] / control_median, 1)
+        if control_median > 0
+        else None
     )
 
     print(
@@ -395,7 +436,9 @@ def main() -> None:
                 "protocol": f"min-of-{n_runs} (headline samples listed; per-query min of {n_runs - 1} timed runs after 1 warm; composed pipelines min-of-2; parity warm discarded then min-of-3, control-normalized ratio in parity_normalized)",
                 "headline_samples": head_samples,
                 "control_1row_count_sec": round(min(control_samples), 4),
+                "control_median_sec": round(control_median, 4),
                 "control_samples": control_samples,
+                "control_phases": control_phases,
                 "queries": timings,
                 "sf": sf,
                 "sequences": n_seq,

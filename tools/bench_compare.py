@@ -12,6 +12,14 @@ run's times expressed in units of its own session overhead. Queries much
 larger than the control are barely affected; control-sized queries stop
 producing fake 2x "regressions".
 
+r9 (VERDICT r8 item 8): artifacts now interleave the control
+(before/mid/after phases) and carry BOTH estimators — min
+(control_1row_count_sec, the kernel-cost floor) and median
+(control_median_sec, robust to the cold first draw that made the r8
+min/median ambiguous). The comparator normalizes by MEDIAN when both
+artifacts carry it (falling back to min for older artifacts) and prints
+both ratios so the choice is visible, not baked in.
+
 Usage:
     python tools/bench_compare.py BENCH_r06.json BENCH_r07.json
 """
@@ -29,19 +37,32 @@ def _load(path: str) -> dict:
     return raw.get("parsed", raw)
 
 
+def _controls(art: dict) -> tuple:
+    """(min, median) control estimators; median falls back to the min
+    field for pre-r9 artifacts that did not record it."""
+    cmin = float(art.get("control_1row_count_sec") or 0.0)
+    cmed = float(art.get("control_median_sec") or 0.0) or cmin
+    return cmin, cmed
+
+
 def compare(old: dict, new: dict) -> list[tuple]:
-    ca = float(old.get("control_1row_count_sec") or 0.0)
-    cb = float(new.get("control_1row_count_sec") or 0.0)
+    ca_min, ca_med = _controls(old)
+    cb_min, cb_med = _controls(new)
     rows = []
     qa, qb = old.get("queries", {}), new.get("queries", {})
     for name in sorted(set(qa) | set(qb)):
         a, b = qa.get(name), qb.get(name)
         if a is None or b is None:
-            rows.append((name, a, b, None, None))
+            rows.append((name, a, b, None, None, None))
             continue
         raw = b / a if a else float("inf")
-        norm = (b / cb) / (a / ca) if (a and ca and cb) else None
-        rows.append((name, a, b, raw, norm))
+        norm_min = (
+            (b / cb_min) / (a / ca_min) if (a and ca_min and cb_min) else None
+        )
+        norm_med = (
+            (b / cb_med) / (a / ca_med) if (a and ca_med and cb_med) else None
+        )
+        rows.append((name, a, b, raw, norm_min, norm_med))
     return rows
 
 
@@ -49,19 +70,32 @@ def main(argv: list[str]) -> None:
     if len(argv) != 2:
         sys.exit(__doc__)
     old, new = _load(argv[0]), _load(argv[1])
-    ca = old.get("control_1row_count_sec")
-    cb = new.get("control_1row_count_sec")
-    print(f"old: {argv[0]}  control={ca}s  headline={old.get('value')}s")
-    print(f"new: {argv[1]}  control={cb}s  headline={new.get('value')}s")
-    if ca and cb:
-        print(f"box-state factor (new control / old control): {cb / ca:.2f}x")
-    print(f"{'query':<34}{'old_s':>8}{'new_s':>8}{'raw':>7}{'norm':>7}")
-    for name, a, b, raw, norm in compare(old, new):
+    ca_min, ca_med = _controls(old)
+    cb_min, cb_med = _controls(new)
+    print(
+        f"old: {argv[0]}  control(min/med)={ca_min}/{ca_med}s  "
+        f"headline={old.get('value')}s"
+    )
+    print(
+        f"new: {argv[1]}  control(min/med)={cb_min}/{cb_med}s  "
+        f"headline={new.get('value')}s"
+    )
+    if ca_med and cb_med:
+        print(
+            f"box-state factor (new/old control): "
+            f"{cb_min / ca_min:.2f}x by min, {cb_med / ca_med:.2f}x by median"
+        )
+    print(
+        f"{'query':<34}{'old_s':>8}{'new_s':>8}{'raw':>7}"
+        f"{'n_min':>7}{'n_med':>7}"
+    )
+    for name, a, b, raw, norm_min, norm_med in compare(old, new):
         fa = f"{a:.3f}" if a is not None else "-"
         fb = f"{b:.3f}" if b is not None else "-"
         fr = f"{raw:.2f}x" if raw is not None else "-"
-        fn = f"{norm:.2f}x" if norm is not None else "-"
-        print(f"{name:<34}{fa:>8}{fb:>8}{fr:>7}{fn:>7}")
+        fm = f"{norm_min:.2f}x" if norm_min is not None else "-"
+        fd = f"{norm_med:.2f}x" if norm_med is not None else "-"
+        print(f"{name:<34}{fa:>8}{fb:>8}{fr:>7}{fm:>7}{fd:>7}")
     sa, sb = old.get("sequences_per_sec"), new.get("sequences_per_sec")
     if sa and sb:
         print(f"headline sequences/sec: {sa} -> {sb} ({sb / sa:.2f}x raw)")
@@ -69,14 +103,25 @@ def main(argv: list[str]) -> None:
     pb = new.get("reference_parity_w144") or {}
     wa, wb = pa.get("wall_sec"), pb.get("wall_sec")
     if wa and wb:
-        # parity_normalized is in the artifact from r8 on; derive it for
-        # older artifacts from their own control so the series is complete
-        na = pa.get("parity_normalized") or (wa / ca if ca else None)
-        nb = pb.get("parity_normalized") or (wb / cb if cb else None)
+        # normalized parity fields are in artifacts from r8 (min) / r9
+        # (median) on; derive them for older artifacts from their own
+        # control so the series is complete
+        na = pa.get("parity_normalized") or (wa / ca_min if ca_min else None)
+        nb = pb.get("parity_normalized") or (wb / cb_min if cb_min else None)
+        ma = (
+            pa.get("parity_normalized_median")
+            or (wa / ca_med if ca_med else None)
+        )
+        mb = (
+            pb.get("parity_normalized_median")
+            or (wb / cb_med if cb_med else None)
+        )
         raw = wb / wa
         line = f"reference_parity_w144: {wa}s -> {wb}s ({raw:.2f}x raw"
         if na and nb:
-            line += f", {(nb / na):.2f}x control-normalized"
+            line += f", {(nb / na):.2f}x min-normalized"
+        if ma and mb:
+            line += f", {(mb / ma):.2f}x median-normalized"
         print(line + ")")
 
 

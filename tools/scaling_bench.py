@@ -37,7 +37,7 @@ def ensure_data(spark) -> None:
     df.write.mode("overwrite").parquet(DATA_DIR)
 
 
-STAGE = os.environ.get("SCALE_STAGE", "full")  # full | asof_window | dedup | packing
+STAGE = os.environ.get("SCALE_STAGE", "full")  # full | asof_window | dedup | packing | bpe
 N_DOCS = int(os.environ.get("SCALE_DOCS", "200000"))
 DOCS_DIR = os.environ.get("SCALE_DOCS_DATA", "/tmp/fx_scale_docs")
 
@@ -159,9 +159,26 @@ def _packing_stage(spark):
     )
 
 
+def _bpe_stage(spark):
+    """r9: BPE merge learning at scale. The corpus-bearing cost is the
+    ONE explode + map-side-partial word-frequency shuffle (the only
+    stage that touches corpus bytes); the driver merge loop over the
+    Zipf-bounded distinct-word table is parallelism-independent and is
+    deliberately included in the wall — it is part of the real operator
+    cost and bounds how much of the wall can scale (Amdahl share is
+    reported by comparing against a num_merges=0 run if needed)."""
+    from feature_extractor_spark.functions.text import learn_bpe
+
+    docs = spark.read.parquet(DOCS_DIR)
+    merges_df, _vocab = learn_bpe(docs, num_merges=200, min_count=2)
+    return merges_df
+
+
 def pipeline(spark, heavy=None):
     if STAGE == "dedup":
         return _dedup_stage(spark)
+    if STAGE == "bpe":
+        return _bpe_stage(spark)
     if STAGE == "packing":
         return _packing_stage(spark)
     if STAGE == "asof_window":
@@ -217,7 +234,7 @@ def main() -> None:
     from feature_extractor_spark.session import get_spark
 
     spark = get_spark("scaling-bench", cores=cores)
-    if STAGE == "dedup":
+    if STAGE in ("dedup", "bpe"):
         ensure_docs(spark)
     else:
         ensure_data(spark)
@@ -228,7 +245,7 @@ def main() -> None:
 
     heavy = (
         None
-        if STAGE == "dedup"
+        if STAGE in ("dedup", "bpe")
         else detect_heavy_hitters(
             spark.read.parquet(DATA_DIR), "doc_id", threshold_share=0.02
         )
@@ -248,7 +265,7 @@ def main() -> None:
     # analytic sequence count (windows per doc = max(n_i - W + 1, 0)):
     # counting via the pipeline would re-run the whole encoder stage.
     # asof_window mode emits one feature row per input row.
-    if STAGE == "dedup":
+    if STAGE in ("dedup", "bpe"):
         n_seq = N_DOCS
     elif STAGE in ("asof_window", "packing"):
         n_seq = N_ROWS
