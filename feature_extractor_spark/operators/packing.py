@@ -220,6 +220,7 @@ def pack_bins(
     n_shards: int | None = None,
     out_bin_col: str = "bin_id",
     fit: str = "best",
+    max_ffd_shard_rows: int = 200_000,
 ) -> DataFrame:
     """Padding-aware bin packing — the OTHER standard way (besides
     contiguous ``pack_sequences`` and strided ``chunk_tokens``) training
@@ -249,7 +250,11 @@ def pack_bins(
       fits, O(n * open_bins) per shard. In decreasing order most early
       bins cannot take later items, so the scan degenerates toward
       quadratic on large shards; kept for parity with the textbook FFD
-      and for small-shard use.
+      and for small-shard use. A shard larger than
+      ``max_ffd_shard_rows`` RAISES under this fit (review r8 item 4 —
+      the guard makes the documented degeneration loud instead of a
+      silent stall; raise ``n_shards`` or use ``fit="best"``). The
+      best-fit path needs no guard: it is O(n log n) by construction.
 
     Scale shape (VERDICT r7 item 1 — metadata-only packing): global
     packing is inherently sequential, so the distributed form shards
@@ -324,6 +329,14 @@ def pack_bins(
             raise ValueError(
                 f"pack_bins: duplicate {id_col!r} (e.g. {dup!r}) — the "
                 "id column must be unique (the assignment joins back on it)"
+            )
+        if fit == "first" and len(pdf) > int(max_ffd_shard_rows):
+            raise ValueError(
+                f"pack_bins: shard {key[0]} has {len(pdf)} rows > "
+                f"max_ffd_shard_rows={max_ffd_shard_rows} under "
+                'fit="first" (the FFD scan is O(n*open_bins) and '
+                "degenerates toward quadratic); raise n_shards or use "
+                'fit="best"'
             )
         shard = int(key[0])
         base = shard << 40

@@ -348,3 +348,34 @@ def test_pack_bins_null_and_duplicate_ids_raise(spark):
     )
     with pytest.raises(Exception, match="duplicate 'sid'"):
         pack_bins(dups, "sid", capacity=32, n_shards=2).collect()
+
+
+def test_ffd_shard_size_guard(spark):
+    """r9 (review r8 item 4): the documented FFD degeneration is loud —
+    a shard above max_ffd_shard_rows raises under fit="first" while the
+    O(n log n) best-fit path packs the same input unguarded."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from feature_extractor_spark.operators.packing import pack_bins
+
+    df = spark.range(50).select(
+        F.col("id").alias("seq_id"), (F.col("id") % 7 + 1).alias("n_tok")
+    )
+    with pytest.raises(Exception, match="max_ffd_shard_rows"):
+        pack_bins(
+            df, "seq_id", capacity=16, n_shards=1, fit="first",
+            max_ffd_shard_rows=10,
+        ).collect()
+    assert (
+        pack_bins(df, "seq_id", capacity=16, n_shards=1, fit="best").count()
+        == 50
+    )
+    # under the bound, FFD itself is unaffected
+    assert (
+        pack_bins(
+            df, "seq_id", capacity=16, n_shards=1, fit="first",
+            max_ffd_shard_rows=100,
+        ).count()
+        == 50
+    )

@@ -80,7 +80,15 @@ def ensure_docs(spark) -> None:
             ).alias("text"),
         )
     )
-    df.write.mode("overwrite").parquet(DOCS_DIR)
+    # fixed 64-way layout regardless of which config generates the data:
+    # spark.range inherits the GENERATING session's parallelism, so a
+    # 4-core generator would write ~4 big files and cap every later
+    # config's pre-shuffle (scan + explode) stage at the file split
+    # count — the r9 bpe stage measured 0.30 "efficiency" that was
+    # really a 4-file input starving 16 cores. 64 files give both
+    # configs identical, sufficient split opportunities (the harness's
+    # stated contract).
+    df.repartition(64).write.mode("overwrite").parquet(DOCS_DIR)
 
 
 def _dedup_stage(spark):
@@ -163,14 +171,23 @@ def _bpe_stage(spark):
     """r9: BPE merge learning at scale. The corpus-bearing cost is the
     ONE explode + map-side-partial word-frequency shuffle (the only
     stage that touches corpus bytes); the driver merge loop over the
-    Zipf-bounded distinct-word table is parallelism-independent and is
-    deliberately included in the wall — it is part of the real operator
-    cost and bounds how much of the wall can scale (Amdahl share is
-    reported by comparing against a num_merges=0 run if needed)."""
+    distinct-word table is parallelism-INDEPENDENT by design — its cost
+    depends on the distinct-word count and alphabet, not the corpus
+    size, so at real corpus scale its share vanishes while on this
+    synthetic corpus (2000 distinct words over an 11-char alphabet) it
+    is a large fixed term. SCALE_BPE_MERGES picks the variant:
+    the default 200 measures the whole operator (driver loop included,
+    honest Amdahl share at THIS corpus size); 0 isolates the
+    distributed word-count portion — the part whose scaling the 100 TB
+    argument rests on."""
     from feature_extractor_spark.functions.text import learn_bpe
 
     docs = spark.read.parquet(DOCS_DIR)
-    merges_df, _vocab = learn_bpe(docs, num_merges=200, min_count=2)
+    merges_df, _vocab = learn_bpe(
+        docs,
+        num_merges=int(os.environ.get("SCALE_BPE_MERGES", "200")),
+        min_count=2,
+    )
     return merges_df
 
 
