@@ -410,7 +410,12 @@ def main() -> None:
     parity["samples_wall_sec"] = [p["wall_sec"] for p in parity_samples]
     control_phases["after"] = _control()
     control_samples = [s for ph in control_phases.values() for s in ph]
-    control_min = min(control_samples)
+    # legacy min field: min of the BEFORE phase only — the same protocol
+    # position r6-r8 sampled, keeping the cross-round series continuous
+    # (the interleaved mid-phase runs JIT-hot and draws ~4x lower, which
+    # would discontinue every normalized comparison if min-of-all fed
+    # the old field). The median spans ALL phases — that is its point.
+    control_min = min(control_phases["before"])
     control_sorted = sorted(control_samples)
     mid = len(control_sorted) // 2
     control_median = (
@@ -435,7 +440,7 @@ def main() -> None:
                 "unit": "sec",
                 "protocol": f"min-of-{n_runs} (headline samples listed; per-query min of {n_runs - 1} timed runs after 1 warm; composed pipelines min-of-2; parity warm discarded then min-of-3, control-normalized ratio in parity_normalized)",
                 "headline_samples": head_samples,
-                "control_1row_count_sec": round(min(control_samples), 4),
+                "control_1row_count_sec": round(control_min, 4),
                 "control_median_sec": round(control_median, 4),
                 "control_samples": control_samples,
                 "control_phases": control_phases,

@@ -40,4 +40,6 @@ from feature_extractor_spark.functions.text import (  # noqa: F401
     encode_bpe,
     encode_words,
     learn_bpe,
+    load_tokenizer,
+    save_tokenizer,
 )

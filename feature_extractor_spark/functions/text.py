@@ -1211,3 +1211,45 @@ def learn_bpe(
         "token string, id int",
     )
     return merges_df, vocab_df
+
+
+def save_tokenizer(merges: DataFrame, vocab: DataFrame, dir_path: str) -> None:
+    """Persist a learned tokenizer (the ``learn_bpe`` output pair) as two
+    parquet tables under ``dir_path`` — train once, apply from any later
+    session, the same build-once/use-many artifact discipline as the
+    persisted ANN index:
+
+        <dir_path>/merges/   (rank int, left string, right string)
+        <dir_path>/vocab/    (token string, id int)
+
+    Plain overwrite writes: the artifact is tiny (vocab-sized) and
+    immutable once written — re-training writes a new one wholesale."""
+    merges.select("rank", "left", "right").write.mode("overwrite").parquet(
+        f"{dir_path}/merges"
+    )
+    vocab.select("token", "id").write.mode("overwrite").parquet(
+        f"{dir_path}/vocab"
+    )
+
+
+def load_tokenizer(spark, dir_path: str) -> "tuple[DataFrame, DataFrame]":
+    """Load a persisted tokenizer: ``(merges, vocab)`` ready for
+    ``encode_bpe`` / ``decode_bpe``. A missing artifact RAISES by name
+    (a silent empty merges table would degrade every word to byte
+    fallback / UNK and look like a data problem downstream)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    missing = []
+    for sub in ("merges", "vocab"):
+        p = jvm.org.apache.hadoop.fs.Path(f"{dir_path}/{sub}")
+        if not p.getFileSystem(conf).exists(p):
+            missing.append(sub)
+    if missing:
+        raise FileNotFoundError(
+            f"load_tokenizer: {dir_path!r} is missing tables {missing}; "
+            "run learn_bpe + save_tokenizer first"
+        )
+    return (
+        spark.read.parquet(f"{dir_path}/merges"),
+        spark.read.parquet(f"{dir_path}/vocab"),
+    )

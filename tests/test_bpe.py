@@ -320,3 +320,37 @@ def test_learn_bpe_distinct_word_bound_raises(spark):
     # min_count thins the table below the bound
     m, v = learn_bpe(docs, max_distinct_words=3, min_count=2, num_merges=5)
     assert m.count() == 0  # no repeated words -> nothing to merge
+
+
+def test_tokenizer_save_load_roundtrip(spark, tmp_path):
+    """learn -> save -> load in a 'new consumer' -> encode must equal
+    encoding with the in-memory tables; a missing artifact raises by
+    name."""
+    from feature_extractor_spark.functions.text import (
+        learn_bpe,
+        load_tokenizer,
+        save_tokenizer,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id int, text string"
+    )
+    merges, vocab = learn_bpe(docs, num_merges=30, min_pair_count=2)
+    tok_dir = str(tmp_path / "tok")
+    save_tokenizer(merges, vocab, tok_dir)
+    m2, v2 = load_tokenizer(spark, tok_dir)
+    probe = spark.createDataFrame(
+        [(0, CORPUS[1]), (1, "fresh unseen widest text")],
+        "doc_id int, text string",
+    )
+    direct = {
+        r["doc_id"]: r["tokens"]
+        for r in encode_bpe(probe, merges, vocab).collect()
+    }
+    loaded = {
+        r["doc_id"]: r["tokens"] for r in encode_bpe(probe, m2, v2).collect()
+    }
+    assert direct == loaded
+
+    with pytest.raises(FileNotFoundError, match="missing tables"):
+        load_tokenizer(spark, str(tmp_path / "nope"))
