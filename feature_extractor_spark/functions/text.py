@@ -1096,6 +1096,17 @@ def learn_bpe(
     — costs ``num_merges`` job round-trips (hours of pure scheduling at
     a 32k-merge vocabulary) to avoid holding a word table that fits in
     driver memory by Zipf construction. Wrong trade at every scale.
+
+    No driver (DuckDB-oracle) row for this operator, deliberately: each
+    iteration both aggregates over and rewrites the whole working word
+    table, and recursive CTEs cannot aggregate over their own recursive
+    reference — replaying the training loop in SQL would mean carrying
+    the entire segmented corpus through the recursion (unlike
+    pack_bins_bfd's oracle, whose recursion carries only an open-bin
+    remainder list). Correctness is pinned instead by pytest parity
+    against an independent recount-everything trainer plus the
+    learned-table round-trip through encode_bpe/decode_bpe
+    (tests/test_bpe.py).
     """
     t = F.col(text_col)
     ws = words(F.lower(t)) if lowercase else words(t)

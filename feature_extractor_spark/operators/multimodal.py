@@ -122,11 +122,13 @@ def decode_png(payload: bytes) -> np.ndarray:
     not PPM (VERDICT r8 item 5); JPEG stays behind the loud stub because
     its arithmetic/Huffman+DCT pipeline genuinely needs a codec library.
 
-    Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
-    4 (gray+alpha), 6 (RGBA), non-interlaced. Alpha is DROPPED (the
-    feature/hash consumers are defined over opaque luminance). 16-bit
-    depth, 1/2/4-bit packed depths, and Adam7 interlace raise
-    NotImplementedError BY NAME.
+    Supported: 8- and 16-bit depth (the filters operate on bytes, so
+    the unfilter core is depth-independent; 16-bit samples parse as
+    big-endian u16 after unfiltering), color types 0 (gray), 2 (RGB),
+    3 (palette, 8-bit by spec), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced. Alpha is DROPPED (the feature/hash consumers are
+    defined over opaque luminance). 1/2/4-bit packed depths and Adam7
+    interlace raise NotImplementedError BY NAME.
 
     Unfiltering follows the spec per scanline (filter byte then raw
     bytes): None and Up are fully vectorized; Sub is a per-byte-lane
@@ -166,18 +168,23 @@ def decode_png(payload: bytes) -> np.ndarray:
         )
     if interlace != 0:
         raise NotImplementedError("decode_png: Adam7 interlace unsupported")
-    if depth != 8:
+    if depth not in (8, 16):
         raise NotImplementedError(
-            f"decode_png: bit depth {depth} unsupported (8 only)"
+            f"decode_png: bit depth {depth} unsupported (8/16 only; "
+            "1/2/4-bit packed rows need sub-byte unpacking)"
         )
     n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if n_ch is None:
         raise NotImplementedError(f"decode_png: color type {color_type}")
     if color_type == 3 and plte is None:
         raise ValueError("decode_png: palette image missing PLTE chunk")
+    if color_type == 3 and depth == 16:
+        raise ValueError("decode_png: 16-bit palette images are invalid")
 
     raw = zlib.decompress(bytes(idat))
-    stride = width * n_ch
+    # the spec's filters operate on BYTES regardless of sample depth —
+    # only bpp (the byte distance to the pixel to the left) changes
+    stride = width * n_ch * (depth // 8)
     if len(raw) != height * (stride + 1):
         raise ValueError(
             f"decode_png: decompressed size {len(raw)} != expected "
@@ -186,7 +193,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     filters = raw[:, 0]
     data = raw[:, 1:]
-    bpp = n_ch  # bytes per pixel at depth 8
+    bpp = n_ch * (depth // 8)  # bytes per pixel
     out = np.zeros((height, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
@@ -223,14 +230,24 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"decode_png: filter type {f} (spec: 0-4)")
         out[y] = rec
         prior = rec
-    px = out.reshape(height, width, n_ch)
+    if depth == 16:
+        px = (
+            out.reshape(height, stride)
+            .view(">u2")
+            .reshape(height, width, n_ch)
+        )
+        maxval = 65535.0
+    else:
+        px = out.reshape(height, width, n_ch)
+        maxval = 255.0
     if color_type == 3:
         px = plte[px[:, :, 0]]
+        maxval = 255.0  # palette entries are 8-bit by spec
     elif color_type == 4:  # gray+alpha -> gray
         px = px[:, :, :1]
     elif color_type == 6:  # RGBA -> RGB
         px = px[:, :, :3]
-    return px.astype(np.float64) / 255.0
+    return px.astype(np.float64) / maxval
 
 
 def decode_image(payload: bytes) -> np.ndarray:

@@ -665,17 +665,26 @@ def _png_encode(px, color_type, filters, palette=None):
     """Test-local PNG writer, independent of decode_png: stdlib zlib +
     explicit per-row filter application FORWARD per the spec, so the
     decoder's unfiltering is checked against the inverse computed by a
-    different code path. px: (H, W, C) uint8."""
+    different code path. px: (H, W, C) uint8, or uint16 for 16-bit
+    samples (filtering always happens on the raw BYTES, per spec)."""
     import struct as _s
     import zlib
 
     import numpy as np
 
     h, w, c = px.shape
-    bpp = c
+    depth = 16 if px.dtype == np.uint16 else 8
+    # byte-level representation: filters are defined over bytes
+    if depth == 16:
+        row_bytes = (
+            px.astype(">u2").reshape(h, -1).view(np.uint8).astype(np.int64)
+        )
+    else:
+        row_bytes = px.reshape(h, -1).astype(np.int64)
+    bpp = c * (depth // 8)
     raw = bytearray()
-    prior = np.zeros(w * c, dtype=np.int64)
-    flat = px.reshape(h, w * c).astype(np.int64)
+    prior = np.zeros(row_bytes.shape[1], dtype=np.int64)
+    flat = row_bytes
     for y in range(h):
         row = flat[y]
         f = filters[y % len(filters)]
@@ -707,7 +716,9 @@ def _png_encode(px, color_type, filters, palette=None):
         )
 
     out = b"\x89PNG\r\n\x1a\n"
-    out += chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+    out += chunk(
+        b"IHDR", _s.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    )
     if palette is not None:
         out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
     out += chunk(b"IDAT", zlib.compress(bytes(raw)))
@@ -754,6 +765,15 @@ def test_png_decode_all_filters_roundtrip():
     assert np.array_equal(
         (got * 255).round().astype(np.uint8), pal[idx[:, :, 0]]
     )
+    # 16-bit samples (r9): filters run on bytes, samples parse as
+    # big-endian u16 — every filter type, gray and RGB
+    rng16 = np.random.RandomState(13)
+    for c16, ct16 in ((1, 0), (3, 2)):
+        px16 = rng16.randint(0, 65536, size=(9, 7, c16)).astype(np.uint16)
+        got = decode_png(_png_encode(px16, ct16, [0, 1, 2, 3, 4]))
+        assert np.array_equal(
+            (got * 65535).round().astype(np.uint16), px16
+        )
 
 
 def test_png_and_ppm_same_pixels_same_perceptual_hash(spark):
@@ -800,8 +820,8 @@ def test_png_unsupported_variants_raise_by_name():
         return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", body)
                 + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 
-    with _pt.raises(NotImplementedError, match="bit depth 16"):
-        decode_png(hdr(depth=16))
+    with _pt.raises(NotImplementedError, match="bit depth 4"):
+        decode_png(hdr(depth=4))
     with _pt.raises(NotImplementedError, match="interlace"):
         decode_png(hdr(interlace=1))
     with _pt.raises(NotImplementedError, match="color type 5"):
