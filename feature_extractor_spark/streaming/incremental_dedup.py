@@ -166,10 +166,17 @@ def ingest_batch(
     threshold: float = 0.9,
     benchmark: DataFrame | None = None,
     decontam_n: int = 13,
+    stats_dir: str | None = None,
 ) -> None:
     """One micro-batch of the dedup ingest (usable directly for batch
     backfills too). Idempotent per (batch_id): all three writes are
     dynamic-partition overwrites keyed on batch_id.
+
+    ``stats_dir`` (r9, the text twin of the semantic ingest's funnel):
+    one row (batch_id, n_input, n_within_dup, n_index_dup, n_decontam,
+    n_accepted) per batch, written as a dynamic-partition overwrite
+    keyed on batch_id — a replayed batch overwrites its own stats row.
+    Disabled (None) the ingest runs no extra count jobs.
 
     ``benchmark`` (r8): a static eval-set frame with the same id/text
     columns enables per-batch decontamination, matching the batch
@@ -202,9 +209,24 @@ def ingest_batch(
         # 2. against the existing index. Only a MISSING index (first
         # batch, probed explicitly) skips the cross-batch check; read or
         # compute failures propagate so the stream retries the batch.
+        flags = cflags = None
         if _index_exists(spark, index_dir):
-            idx_bands = spark.read.parquet(f"{index_dir}/bands")
-            idx_shingles = spark.read.parquet(f"{index_dir}/shingles")
+            # exclude this batch's OWN index partitions (r9, mirroring the
+            # semantic ingest's hardened replay contract): a replayed
+            # batch previously matched its own docs at jaccard 1.0 via the
+            # rows its first run appended, emptying the accepted set — the
+            # on-disk outcome stayed correct only because an empty dynamic
+            # overwrite writes no partitions (an accidental no-op), and
+            # any side artifact that always writes (the stats funnel)
+            # diverged from the original run. Partition-pruned exclusion
+            # makes the replay RE-DERIVE identical content instead; the
+            # compacted history partition (-1) never collides.
+            idx_bands = spark.read.parquet(f"{index_dir}/bands").filter(
+                F.col("batch_id") != int(batch_id)
+            )
+            idx_shingles = spark.read.parquet(
+                f"{index_dir}/shingles"
+            ).filter(F.col("batch_id") != int(batch_id))
             flags = flag_against_index(
                 unique, idx_bands, idx_shingles, id_col, text_col,
                 num_hashes, bands, shingle_n, threshold,
@@ -248,6 +270,42 @@ def ingest_batch(
             new_shingles.withColumn("batch_id", bid).write.mode(
                 "overwrite"
             ).partitionBy("batch_id").parquet(f"{index_dir}/shingles")
+        if stats_dir is not None:
+            # per-batch funnel row (replay-idempotent: overwrites its own
+            # batch_id partition). flags/cflags are eagerly checkpointed
+            # by their producers, so counting them is a cheap re-read.
+            n_input = batch_df.count()
+            n_accepted = accepted.count()
+            if flags is not None:
+                n_unique = flags.count()  # one row per within-batch survivor
+                n_index_dup = flags.filter(F.col("is_dup")).count()
+            else:  # first batch: no index, no cross-batch flags
+                n_unique = unique.count()
+                n_index_dup = 0
+            n_decontam = (
+                cflags.filter(F.col("is_contaminated")).count()
+                if cflags is not None
+                else 0
+            )
+            stats_row = spark.createDataFrame(
+                [
+                    (
+                        int(n_input),
+                        int(n_input - n_unique),
+                        int(n_index_dup),
+                        int(n_decontam),
+                        int(n_accepted),
+                    )
+                ],
+                "n_input long, n_within_dup long, n_index_dup long, "
+                "n_decontam long, n_accepted long",
+            )
+            with restore_conf(
+                spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            ):
+                stats_row.withColumn("batch_id", bid).write.mode(
+                    "overwrite"
+                ).partitionBy("batch_id").parquet(stats_dir)
     finally:
         for df in persisted:
             df.unpersist()
@@ -267,11 +325,13 @@ def stream_dedup_ingest(
     threshold: float = 0.9,
     benchmark: DataFrame | None = None,
     decontam_n: int = 13,
+    stats_dir: str | None = None,
 ):
     """Wire ``ingest_batch`` into a Structured Streaming query. Returns
     the DataStreamWriter (caller starts it, typically with
     ``.trigger(availableNow=True)`` for backfills). ``benchmark`` adds
-    per-batch decontamination (see ingest_batch)."""
+    per-batch decontamination; ``stats_dir`` the per-batch funnel (see
+    ingest_batch)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -279,7 +339,7 @@ def stream_dedup_ingest(
         ingest_batch(
             batch_df, batch_id, index_dir, accepted_dir,
             id_col, text_col, num_hashes, bands, shingle_n, threshold,
-            benchmark=benchmark, decontam_n=decontam_n,
+            benchmark=benchmark, decontam_n=decontam_n, stats_dir=stats_dir,
         )
 
     return (

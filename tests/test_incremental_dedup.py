@@ -445,3 +445,50 @@ def test_benchmark_ingest_does_not_leak_cached_frames(spark, tmp_path):
             bid, idx, acc, threshold=0.5, benchmark=bench,
         )
     assert cm.numCachedEntries() == before
+
+
+def test_ingest_funnel_stats_counts_and_replay(spark, tmp_path):
+    """r9: the text ingest's per-batch funnel (input / within-batch dup /
+    index dup / decontam / accepted) — counts planted for every stage,
+    replay overwrites its own row."""
+    idx = str(tmp_path / "idx")
+    acc = str(tmp_path / "acc")
+    st = str(tmp_path / "stats")
+    leak = (
+        "what is the airspeed velocity of an unladen swallow crossing "
+        "the channel in deep winter fog"
+    )
+    bench = _df(spark, [("q1", leak)])
+
+    # batch 0 (no index yet): A + near-dup of A (within-batch dup) + B
+    ingest_batch(
+        _df(spark, [("a1", A), ("a2", A_NEAR), ("b1", B)]), 0, idx, acc,
+        threshold=0.5, benchmark=bench, stats_dir=st,
+    )
+    s0 = spark.read.parquet(st).filter("batch_id = 0").collect()[0]
+    assert (
+        s0["n_input"], s0["n_within_dup"], s0["n_index_dup"],
+        s0["n_decontam"], s0["n_accepted"],
+    ) == (3, 1, 0, 0, 2)
+
+    # batch 1: a near-dup of indexed A (index dup) + a planted benchmark
+    # leak (decontam) + a clean doc (accepted)
+    leaked = "prefix words then " + leak + " and a closing remark"
+    ingest_batch(
+        _df(spark, [("a3", A_NEAR), ("bad1", leaked), ("c1", C)]),
+        1, idx, acc, threshold=0.5, benchmark=bench, stats_dir=st,
+    )
+    s1 = spark.read.parquet(st).filter("batch_id = 1").collect()[0]
+    assert (
+        s1["n_input"], s1["n_within_dup"], s1["n_index_dup"],
+        s1["n_decontam"], s1["n_accepted"],
+    ) == (3, 0, 1, 1, 1)
+
+    # replay batch 1: one identical row, not two
+    ingest_batch(
+        _df(spark, [("a3", A_NEAR), ("bad1", leaked), ("c1", C)]),
+        1, idx, acc, threshold=0.5, benchmark=bench, stats_dir=st,
+    )
+    rows = spark.read.parquet(st).filter("batch_id = 1").collect()
+    assert len(rows) == 1 and rows[0]["n_accepted"] == 1
+    assert spark.read.parquet(st).count() == 2
