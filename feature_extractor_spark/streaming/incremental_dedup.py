@@ -188,6 +188,21 @@ def ingest_batch(
     is deterministic, so the replay contract is unchanged — a replayed
     batch overwrites its own partition with identical content."""
     spark = batch_df.sparkSession
+    # NULL-id guard (r9, same class as the semantic ingest's): a NULL id
+    # drops out of every join in the dedup path, so the doc would be
+    # silently LOST (or, via band-key candidates, admitted unverified).
+    # assert_true embeds the check in the plan as a filter predicate —
+    # it raises on the first NULL row inside the existing jobs, no extra
+    # count pass, and Catalyst cannot prune a filter condition.
+    batch_df = batch_df.filter(
+        F.assert_true(
+            F.col(id_col).isNotNull(),
+            F.lit(
+                f"ingest_batch: NULL {id_col} — ids must be non-null "
+                "(they key dedup, the index, and the accept write)"
+            ),
+        ).isNull()
+    )
     batch_df = batch_df.persist()
     # every persist taken below is registered here and released in the
     # finally block — the pre-decontam frame in particular is shadowed by

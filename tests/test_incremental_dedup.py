@@ -492,3 +492,14 @@ def test_ingest_funnel_stats_counts_and_replay(spark, tmp_path):
     rows = spark.read.parquet(st).filter("batch_id = 1").collect()
     assert len(rows) == 1 and rows[0]["n_accepted"] == 1
     assert spark.read.parquet(st).count() == 2
+
+
+def test_null_doc_id_rejected(spark, tmp_path):
+    """r9: a NULL-id doc must RAISE (it would silently drop out of every
+    dedup join or ride band-key candidates unverified), same discipline
+    as the semantic ingest's NULL-vector-id guard."""
+    with pytest.raises(Exception, match="NULL doc_id"):
+        ingest_batch(
+            _df(spark, [("ok", A), (None, B)]), 0,
+            str(tmp_path / "idx"), str(tmp_path / "acc"), threshold=0.5,
+        )
