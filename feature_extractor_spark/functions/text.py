@@ -1029,6 +1029,27 @@ def decode_bpe(
     return df.mapInPandas(run, schema)
 
 
+def _word_freqs(
+    df: DataFrame, text_col: str, lowercase: bool, min_count: int
+) -> DataFrame:
+    """The corpus-bearing step of ``learn_bpe`` as a LAZY plan: explode +
+    groupBy count on the word key. Factored out so tests can pin the
+    plan shape — the groupBy must plan as partial (map-side) + final
+    HashAggregate around one Exchange on the word key, which is what
+    keeps the shuffle at |distinct words| rows per partition instead of
+    |corpus words|."""
+    t = F.col(text_col)
+    ws = words(F.lower(t)) if lowercase else words(t)
+    out = (
+        df.select(F.explode(ws).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n") >= int(min_count))
+    return out
+
+
 def learn_bpe(
     df: DataFrame,
     text_col: str = "text",
@@ -1108,15 +1129,7 @@ def learn_bpe(
     learned-table round-trip through encode_bpe/decode_bpe
     (tests/test_bpe.py).
     """
-    t = F.col(text_col)
-    ws = words(F.lower(t)) if lowercase else words(t)
-    word_freq = (
-        df.select(F.explode(ws).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    if min_count > 1:
-        word_freq = word_freq.filter(F.col("n") >= int(min_count))
+    word_freq = _word_freqs(df, text_col, lowercase, min_count)
     word_freq = word_freq.localCheckpoint(eager=True)
     n_distinct = word_freq.count()
     if n_distinct > max_distinct_words:

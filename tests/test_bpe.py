@@ -354,3 +354,43 @@ def test_tokenizer_save_load_roundtrip(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="missing tables"):
         load_tokenizer(spark, str(tmp_path / "nope"))
+
+
+def test_word_freq_plan_is_partial_aggregated(spark):
+    """Plan pin: learn_bpe's corpus-bearing word count must plan as
+    partial (map-side) + final HashAggregate around ONE exchange on the
+    word key — the shape that bounds the shuffle at |distinct words|
+    rows per map partition instead of |corpus words|."""
+    from feature_extractor_spark.functions.text import _word_freqs
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id int, text string"
+    )
+    plan = (
+        _word_freqs(docs, "text", False, 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_count" in plan, plan
+
+
+def test_learn_bpe_on_driver_documents_roundtrip(spark, sf_small):
+    """Integration on the driver's real parquet: learn a tokenizer from
+    the documents table and round-trip a sample of the SAME corpus
+    through encode/decode (whitespace-normalized)."""
+    import re
+
+    from feature_extractor_spark.functions.text import learn_bpe
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    merges, vocab = learn_bpe(docs, num_merges=150, min_count=2)
+    assert merges.count() > 50
+    sample = docs.limit(8).select("doc_id", "text")
+    enc = encode_bpe(sample, merges, vocab)
+    dec = {
+        r["doc_id"]: r["rt"]
+        for r in decode_bpe(enc, vocab, out_col="rt").collect()
+    }
+    for r in sample.collect():
+        want = re.sub(r"[ \t\n\x0b\f\r]+", " ", r["text"]).strip()
+        assert dec[r["doc_id"]] == want
