@@ -27,6 +27,11 @@ from feature_extractor_spark.functions.decompose import (  # noqa: F401
 from feature_extractor_spark.functions.text import compression_ratio  # noqa: F401
 from feature_extractor_spark.functions.decompose import spectral_features  # noqa: F401
 from feature_extractor_spark.functions.text import top_ngrams  # noqa: F401
+from feature_extractor_spark.functions.classifier import (  # noqa: F401
+    quality_sample,
+    score_quality,
+    train_quality_classifier,
+)
 from feature_extractor_spark.functions.lm import lm_buckets  # noqa: F401
 from feature_extractor_spark.functions.text import (  # noqa: F401
     normalize_unicode,

@@ -1,0 +1,248 @@
+"""Seed-set quality classifier (GPT-3 / CCNet family, public method).
+
+The OTHER classic web-corpus quality filter (Brown et al. 2020, GPT-3
+appendix A; also the fastText filters of CCNet/phi lineages): train a
+LINEAR classifier to separate a trusted "high-quality" seed set from the
+raw corpus, score every document with it, and keep documents with a
+probability-weighted acceptance (Pareto-thresholded in GPT-3, so some
+lower-scored docs survive and the kept set is not a hard cliff).
+
+This implementation is dependency-free and Spark-first:
+
+- features: hashed bag-of-words (the hashing trick) — each lowercased
+  word maps to ``xxhash64(word) % dim`` with a sign bit, so the feature
+  space is fixed-width with NO vocabulary state to ship; L2-normalized
+  per document.
+- training: full-batch logistic regression with L2, run as ``iters``
+  Spark jobs — each job computes per-partition gradient PARTIALS with
+  one Arrow pass (``mapInPandas`` emitting a single dense gradient row
+  per partition) that the driver sums and steps. The training input is
+  a BOUNDED seeded sample per class (``sample_per_class``, same
+  discipline as kmeans_centroids / train_char_lm): the classifier is
+  trained on a bounded set and APPLIED to the whole corpus — exactly
+  how the production filters operate at web scale, where the expensive
+  side is the apply pass, not the fit.
+- apply: weights broadcast once; scoring is one Arrow map pass, no
+  shuffle (plan-pinned in tests).
+- selection: ``quality_sample`` keeps doc d iff
+  ``u(d) < score(d)^alpha`` where ``u(d)`` is a DETERMINISTIC per-doc
+  uniform from xxhash64(id, seed) — the GPT-3 Pareto-style soft keep
+  made reproducible (no RNG state; replays keep the same docs).
+
+Determinism: seeded samples, fixed iteration count, float64 driver
+steps, and a fixed partition count for the gradient pass (repartition
+by id hash), so the same inputs always fit the same weights.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_M31 = (1 << 31) - 1
+
+
+def _hash_features(texts, dim: int):
+    """NumPy hashed-BoW featurizer for a batch of texts: returns a list
+    of (idx array, val array) L2-normalized sparse rows. Python-side
+    xxhash is not available; the 64-bit FNV-1a below is the SAME hash
+    the JVM side never needs to reproduce (features exist only inside
+    this module's train and apply passes, which share it)."""
+    import numpy as np
+
+    out = []
+    mask = (1 << 64) - 1
+    for t in texts:
+        if t is None:
+            out.append((np.empty(0, np.int64), np.empty(0, np.float64)))
+            continue
+        counts: dict[int, float] = {}
+        for w in t.lower().split():
+            h = 0xCBF29CE484222325
+            for b in w.encode("utf-8"):
+                h = ((h ^ b) * 0x100000001B3) & mask
+            sign = 1.0 if (h >> 63) == 0 else -1.0
+            counts[h % dim] = counts.get(h % dim, 0.0) + sign
+        if not counts:
+            out.append((np.empty(0, np.int64), np.empty(0, np.float64)))
+            continue
+        idx = np.fromiter(counts.keys(), np.int64, len(counts))
+        val = np.fromiter(counts.values(), np.float64, len(counts))
+        n = np.linalg.norm(val)
+        out.append((idx, val / (n if n > 0 else 1.0)))
+    return out
+
+
+def _bounded_sample(df: DataFrame, id_col: str, text_col: str, n: int, seed: int):
+    """Deterministic bounded sample: TakeOrdered over a seeded id hash
+    (map-side partial top-k, never a full collect)."""
+    return (
+        df.select(text_col)
+        .orderBy(
+            F.pmod(
+                F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)),
+                F.lit(_M31),
+            )
+        )
+        .limit(int(n))
+    )
+
+
+def train_quality_classifier(
+    quality_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 1 << 18,
+    iters: int = 25,
+    lr: float = 2.0,
+    l2: float = 1e-4,
+    sample_per_class: int = 10_000,
+    seed: int = 17,
+    n_parts: int = 32,
+) -> "tuple":
+    """Fit the seed-vs-corpus logistic regression; returns
+    ``(weights: np.ndarray (dim,), bias: float)``.
+
+    ``quality_docs`` is the trusted seed set (label 1), ``corpus_docs``
+    the raw corpus (label 0 — the standard noisy-negative assumption).
+    Each class contributes a bounded seeded sample; gradients are
+    full-batch over the combined sample, computed distributed (one
+    Arrow pass per iteration, one dense partial per partition) and
+    stepped on the driver in float64.
+
+    Scale notes: driver memory is O(dim) (2 MB at the default 2^18);
+    per-iteration traffic is ``n_parts * dim * 8`` bytes of partials —
+    keep ``n_parts`` modest (the sample is bounded, so 32 partitions
+    hold it comfortably; this is NOT the corpus-wide pass)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = quality_docs.sparkSession
+    pos = _bounded_sample(quality_docs, id_col, text_col, sample_per_class, seed)
+    neg = _bounded_sample(
+        corpus_docs, id_col, text_col, sample_per_class, seed + 1
+    )
+    train = (
+        pos.withColumn("__y", F.lit(1.0))
+        .unionByName(neg.withColumn("__y", F.lit(0.0)))
+        .repartition(int(n_parts))  # deterministic partial count
+        .persist()
+    )
+    n_total = train.count()  # materializes the cache
+    if n_total == 0:
+        raise ValueError("train_quality_classifier: empty training sample")
+
+    grad_schema = T.StructType(
+        [
+            T.StructField("g", T.ArrayType(T.DoubleType())),
+            T.StructField("gb", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    w = np.zeros(dim, dtype=np.float64)
+    b = 0.0
+    try:
+        for _ in range(int(iters)):
+            bw = spark.sparkContext.broadcast((w, b))
+
+            def partial(batches):
+                ww, bb = bw.value
+                g = np.zeros(dim, dtype=np.float64)
+                gb = 0.0
+                n = 0
+                for pdf in batches:
+                    feats = _hash_features(pdf[text_col], dim)
+                    ys = pdf["__y"].to_numpy()
+                    for (idx, val), y in zip(feats, ys):
+                        z = float(val @ ww[idx]) + bb
+                        p = 1.0 / (1.0 + np.exp(-z))
+                        err = p - y
+                        np.add.at(g, idx, err * val)
+                        gb += err
+                        n += 1
+                yield pd.DataFrame(
+                    {"g": [g.tolist()], "gb": [gb], "n": [n]}
+                )
+
+            parts = train.mapInPandas(partial, grad_schema).collect()
+            g = np.zeros(dim, dtype=np.float64)
+            gb = 0.0
+            for r in parts:
+                g += np.asarray(r["g"], dtype=np.float64)
+                gb += r["gb"]
+            g = g / n_total + l2 * w
+            gb = gb / n_total
+            w = w - lr * g
+            b = b - lr * gb
+            bw.destroy()
+    finally:
+        train.unpersist()
+    return w, float(b)
+
+
+def score_quality(
+    docs: DataFrame,
+    weights,
+    bias: float,
+    text_col: str = "text",
+    out_col: str = "quality_score",
+) -> DataFrame:
+    """Sigmoid classifier score per document — one Arrow MAP pass, no
+    shuffle (weights broadcast once). NULL text scores NULL."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+
+    spark = docs.sparkSession
+    w = np.asarray(weights, dtype=np.float64)
+    dim = len(w)
+    bw = spark.sparkContext.broadcast((w, float(bias)))
+    schema = T.StructType(
+        list(docs.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def run(batches):
+        ww, bb = bw.value
+        for pdf in batches:
+            scores = []
+            for (idx, val), t in zip(
+                _hash_features(pdf[text_col], dim), pdf[text_col]
+            ):
+                if t is None:
+                    scores.append(None)
+                else:
+                    z = float(val @ ww[idx]) + bb
+                    scores.append(1.0 / (1.0 + np.exp(-z)))
+            pdf = pdf.copy()
+            pdf[out_col] = scores
+            yield pdf
+
+    return docs.mapInPandas(run, schema)
+
+
+def quality_sample(
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+    alpha: float = 2.0,
+    seed: int = 29,
+) -> DataFrame:
+    """GPT-3-style soft keep, made deterministic: keep doc d iff
+    ``u(d) < score^alpha`` with ``u(d)`` a per-doc uniform derived from
+    ``xxhash64(id, seed)`` — high-scored docs almost always survive,
+    low-scored docs survive with small probability (no hard cliff), and
+    a replay keeps exactly the same docs. Pure JVM expressions — this
+    IS the corpus-wide pass, so it must not touch Python."""
+    u = (
+        F.pmod(
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(int(seed))),
+            F.lit(_M31),
+        ).cast("double")
+        / float(_M31)
+    )
+    return scored.filter(
+        F.col(score_col).isNotNull()
+        & (u < F.pow(F.col(score_col), F.lit(float(alpha))))
+    )

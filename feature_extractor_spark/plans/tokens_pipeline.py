@@ -122,6 +122,8 @@ def curate(
     seed: int = 0,
     redact: bool = False,
     lm_max_bits: float | None = None,
+    quality_classifier: "tuple | None" = None,
+    classifier_alpha: float = 2.0,
     benchmark: DataFrame | None = None,
     decontam_n: int = 13,
     c4_rules: bool = False,
@@ -142,6 +144,10 @@ def curate(
     columns) enables GPT-3-style decontamination: any surviving doc
     sharing a ``decontam_n``-gram with the benchmark is dropped
     (operators/dedup.contamination_flags — benchmark grams broadcast).
+    ``quality_classifier`` (r9) is a pre-trained ``(weights, bias)``
+    pair from ``functions/classifier.train_quality_classifier``: docs
+    are scored map-side and kept by the deterministic Pareto-style rule
+    ``u(id) < score^classifier_alpha``.
 
     ``stage_counts``, if given, collects per-stage survivor counts via
     ``observe()`` on the returned plan — the metrics ride the caller's
@@ -278,6 +284,26 @@ def curate(
             F.col("lm_bits_per_char") <= F.lit(float(lm_max_bits))
         )
         filtered = _count(filtered, "lm_filter")
+
+    # 4.2 optional seed-set quality classifier (GPT-3-style, r9): score
+    #     with the PRE-TRAINED (weights, bias) pair — training is a
+    #     separate bounded job (functions/classifier.train_quality_
+    #     classifier), never hidden inside the corpus pass — then the
+    #     deterministic Pareto-style soft keep (u(id) < score^alpha)
+    if quality_classifier is not None:
+        from feature_extractor_spark.functions.classifier import (
+            quality_sample,
+            score_quality,
+        )
+
+        qw, qb = quality_classifier
+        filtered = quality_sample(
+            score_quality(filtered, qw, qb, text_col),
+            id_col=id_col,
+            alpha=classifier_alpha,
+            seed=seed + 101,
+        )
+        filtered = _count(filtered, "classifier_filter")
 
     # 4.5 optional benchmark decontamination (BEFORE redaction: scrubbed
     #     text would hide grams the original shares with the benchmark): drop docs sharing any

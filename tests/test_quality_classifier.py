@@ -1,0 +1,161 @@
+"""Seed-set quality classifier (functions/classifier.py): distributed
+full-batch logistic regression matches a from-scratch single-process
+NumPy oracle on the same sample, the fitted scores separate planted
+distributions, the apply pass is map-only, and the deterministic
+Pareto-style keep is reproducible and monotone in score."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from feature_extractor_spark.functions.classifier import (
+    _hash_features,
+    quality_sample,
+    score_quality,
+    train_quality_classifier,
+)
+
+QUALITY_WORDS = [
+    "theorem", "analysis", "carefully", "derivation", "method",
+    "precise", "evidence", "measured", "study", "结论",
+]
+NOISE_WORDS = ["click", "buy", "free", "winner", "casino", "now", "!!!", "$$$"]
+
+
+def _docs(spark, words, n, prefix, seed):
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        k = rng.randint(8, 20)
+        text = " ".join(words[j] for j in rng.randint(0, len(words), k))
+        rows.append((f"{prefix}{i:04d}", text))
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def _numpy_train(texts, ys, dim, iters, lr, l2):
+    """Independent full-batch LR oracle over the SAME featurizer."""
+    feats = _hash_features(texts, dim)
+    w = np.zeros(dim)
+    b = 0.0
+    n = len(texts)
+    for _ in range(iters):
+        g = np.zeros(dim)
+        gb = 0.0
+        for (idx, val), y in zip(feats, ys):
+            p = 1.0 / (1.0 + np.exp(-(float(val @ w[idx]) + b)))
+            np.add.at(g, idx, (p - y) * val)
+            gb += p - y
+        w = w - lr * (g / n + l2 * w)
+        b = b - lr * (gb / n)
+    return w, b
+
+
+def test_distributed_trainer_matches_numpy_oracle(spark):
+    pos = _docs(spark, QUALITY_WORDS, 30, "p", 1)
+    neg = _docs(spark, NOISE_WORDS, 30, "n", 2)
+    dim = 1 << 12
+    w, b = train_quality_classifier(
+        pos, neg, dim=dim, iters=8, lr=1.0, l2=1e-3,
+        sample_per_class=100, n_parts=8,
+    )
+    # replicate the bounded sample exactly as the trainer draws it
+    # (seeded xxhash order is JVM-side; the sampling is not under test)
+    def drawn(df, seed):
+        return [
+            r["text"]
+            for r in df.select("text")
+            .orderBy(
+                F.pmod(
+                    F.xxhash64(F.col("doc_id").cast("string"), F.lit(seed)),
+                    F.lit((1 << 31) - 1),
+                )
+            )
+            .limit(100)
+            .collect()
+        ]
+
+    texts = drawn(pos, 17) + drawn(neg, 18)
+    ys = [1.0] * 30 + [0.0] * 30
+    w2, b2 = _numpy_train(texts, ys, dim, 8, 1.0, 1e-3)
+    assert np.allclose(w, w2, atol=1e-9) and abs(b - b2) < 1e-9
+
+
+def test_scores_separate_planted_distributions_and_map_only(spark):
+    pos = _docs(spark, QUALITY_WORDS, 80, "p", 3)
+    neg = _docs(spark, NOISE_WORDS, 80, "n", 4)
+    w, b = train_quality_classifier(
+        pos, neg, dim=1 << 14, iters=30, lr=2.0, sample_per_class=100,
+        n_parts=8,
+    )
+    held_pos = _docs(spark, QUALITY_WORDS, 30, "hp", 5)
+    held_neg = _docs(spark, NOISE_WORDS, 30, "hn", 6)
+    sp = [r["quality_score"] for r in score_quality(held_pos, w, b).collect()]
+    sn = [r["quality_score"] for r in score_quality(held_neg, w, b).collect()]
+    assert min(sp) > 0.8 and max(sn) < 0.2
+    # the corpus-wide apply pass is one Arrow map — no shuffle
+    plan = (
+        score_quality(held_pos, w, b)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "MapInPandas" in plan
+    # NULL text scores NULL
+    nulls = score_quality(
+        spark.createDataFrame([("x", None)], "doc_id string, text string"),
+        w, b,
+    ).collect()[0]
+    assert nulls["quality_score"] is None
+
+
+def test_quality_sample_deterministic_and_monotone(spark):
+    rows = [(f"d{i:04d}", 0.95 if i % 2 == 0 else 0.05) for i in range(1000)]
+    scored = spark.createDataFrame(rows, "doc_id string, quality_score double")
+    kept1 = {r["doc_id"] for r in quality_sample(scored, alpha=2.0).collect()}
+    kept2 = {r["doc_id"] for r in quality_sample(scored, alpha=2.0).collect()}
+    assert kept1 == kept2  # deterministic replay
+    hi = sum(1 for d in kept1 if int(d[1:]) % 2 == 0)
+    lo = len(kept1) - hi
+    # p(keep) = score^alpha: ~0.9 for the high class, ~0.0025 for the low
+    assert hi > 400 and lo < 25
+    # NULL scores are dropped, not kept
+    with_null = spark.createDataFrame(
+        [("a", None), ("b", 1.0)], "doc_id string, quality_score double"
+    )
+    assert {r["doc_id"] for r in quality_sample(with_null).collect()} == {"b"}
+    # alpha tightens the keep: higher alpha keeps fewer of the low class
+    loose = quality_sample(scored, alpha=1.0).count()
+    tight = quality_sample(scored, alpha=4.0).count()
+    assert tight < loose
+
+
+def test_curate_with_quality_classifier_stage(spark):
+    """The classifier plugs into curate as a composable stage: noise
+    docs are (mostly) dropped, quality docs (mostly) kept, and the
+    funnel carries the classifier_filter count."""
+    from feature_extractor_spark.plans.tokens_pipeline import (
+        curate,
+        resolve_stage_counts,
+    )
+
+    pos = _docs(spark, QUALITY_WORDS, 60, "p", 7)
+    neg = _docs(spark, NOISE_WORDS, 60, "n", 8)
+    w, b = train_quality_classifier(
+        pos, neg, dim=1 << 14, iters=30, lr=2.0, sample_per_class=100,
+        n_parts=8,
+    )
+    mixed = (
+        _docs(spark, QUALITY_WORDS, 40, "mq", 9)
+        .unionByName(_docs(spark, NOISE_WORDS, 40, "mn", 10))
+        .withColumn("source", F.lit("web"))
+    )
+    counts: dict = {}
+    out = curate(
+        mixed, near_dup_threshold=0.99, quality_classifier=(w, b),
+        classifier_alpha=2.0, stage_counts=counts,
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    got = resolve_stage_counts(counts)
+    n_q = sum(1 for d in kept if d.startswith("mq"))
+    n_n = sum(1 for d in kept if d.startswith("mn"))
+    assert n_q >= 30 and n_n <= 5
+    assert 0 < got["classifier_filter"] <= 80
+    assert got["classifier_filter"] == len(kept)
