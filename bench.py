@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     # round-9: BPE merge LEARNING — one distributed word-count shuffle +
     # the bounded driver merge loop (functions/text.learn_bpe)
     "text_learn_bpe",
+    # round-9: seed-set quality classifier — bounded distributed LR fit
+    # + the map-only corpus scoring pass + deterministic Pareto keep
+    "text_quality_classifier",
     # round-8: perceptual image near-dup (decode + dHash + banded Hamming)
     "image_near_dup",
     # round-8: top-k ADC search against the PERSISTED ANN index (the
@@ -257,6 +260,35 @@ def main() -> None:
         return merges_df
 
     qs["text_learn_bpe"] = _learn_bpe_query
+
+    # round-9 operator: seed-set quality classifier. The "seed" is a
+    # deterministic slice of the documents table (longest docs as the
+    # quality proxy). The warm run FITS once per sf (bounded samples —
+    # the fit cost is corpus-size-independent); timed runs measure the
+    # corpus-scaling part: the map-only scoring pass + the hash-Pareto
+    # keep — the fit-once score-everything operating point, same pattern
+    # as ann_persisted_topk's warm index build.
+    _clf_cache: dict = {}
+
+    def _quality_clf_query(s, d):
+        from pyspark.sql import functions as FF
+
+        from feature_extractor_spark.functions.classifier import (
+            quality_sample,
+            score_quality,
+            train_quality_classifier,
+        )
+
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        if d not in _clf_cache:
+            seed_docs = docs.filter(FF.length("text") > 900)
+            _clf_cache[d] = train_quality_classifier(
+                seed_docs, docs, dim=1 << 16, iters=10, sample_per_class=2000,
+            )
+        w, b = _clf_cache[d]
+        return quality_sample(score_quality(docs, w, b), alpha=1.0)
+
+    qs["text_quality_classifier"] = _quality_clf_query
 
     # round-8 operator: perceptual image near-dup over distributively
     # generated P6 payloads. Pixels are hash-decorrelated per image (the
