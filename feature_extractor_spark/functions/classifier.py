@@ -42,25 +42,37 @@ from pyspark.sql import functions as F
 _M31 = (1 << 31) - 1
 
 
-def _hash_features(texts, dim: int):
+def _hash_features(texts, dim: int, ngram: int = 1):
     """NumPy hashed-BoW featurizer for a batch of texts: returns a list
-    of (idx array, val array) L2-normalized sparse rows. Python-side
-    xxhash is not available; the 64-bit FNV-1a below is the SAME hash
-    the JVM side never needs to reproduce (features exist only inside
-    this module's train and apply passes, which share it)."""
+    of (idx array, val array) L2-normalized sparse rows. ``ngram=2``
+    additionally hashes adjacent word bigrams (the fastText-family
+    recipe — quality signals like "click here" live in bigrams unigram
+    bags cannot see). Python-side xxhash is not available; the 64-bit
+    FNV-1a below is the SAME hash the JVM side never needs to reproduce
+    (features exist only inside this module's train and apply passes,
+    which share it)."""
     import numpy as np
 
     out = []
     mask = (1 << 64) - 1
+
+    def fnv(s: bytes) -> int:
+        h = 0xCBF29CE484222325
+        for b in s:
+            h = ((h ^ b) * 0x100000001B3) & mask
+        return h
+
     for t in texts:
         if t is None:
             out.append((np.empty(0, np.int64), np.empty(0, np.float64)))
             continue
+        ws = t.lower().split()
+        grams = list(ws)
+        if ngram >= 2:
+            grams += [a + "\x1f" + b for a, b in zip(ws, ws[1:])]
         counts: dict[int, float] = {}
-        for w in t.lower().split():
-            h = 0xCBF29CE484222325
-            for b in w.encode("utf-8"):
-                h = ((h ^ b) * 0x100000001B3) & mask
+        for g in grams:
+            h = fnv(g.encode("utf-8"))
             sign = 1.0 if (h >> 63) == 0 else -1.0
             counts[h % dim] = counts.get(h % dim, 0.0) + sign
         if not counts:
@@ -100,6 +112,7 @@ def train_quality_classifier(
     sample_per_class: int = 10_000,
     seed: int = 17,
     n_parts: int = 32,
+    ngram: int = 1,
 ) -> "tuple":
     """Fit the seed-vs-corpus logistic regression; returns
     ``(weights: np.ndarray (dim,), bias: float)``.
@@ -153,7 +166,7 @@ def train_quality_classifier(
                 gb = 0.0
                 n = 0
                 for pdf in batches:
-                    feats = _hash_features(pdf[text_col], dim)
+                    feats = _hash_features(pdf[text_col], dim, ngram)
                     ys = pdf["__y"].to_numpy()
                     for (idx, val), y in zip(feats, ys):
                         z = float(val @ ww[idx]) + bb
@@ -188,6 +201,7 @@ def score_quality(
     bias: float,
     text_col: str = "text",
     out_col: str = "quality_score",
+    ngram: int = 1,
 ) -> DataFrame:
     """Sigmoid classifier score per document — one Arrow MAP pass, no
     shuffle (weights broadcast once). NULL text scores NULL."""
@@ -198,6 +212,7 @@ def score_quality(
     spark = docs.sparkSession
     w = np.asarray(weights, dtype=np.float64)
     dim = len(w)
+    ng = int(ngram)  # MUST match the ngram the classifier was trained with
     bw = spark.sparkContext.broadcast((w, float(bias)))
     schema = T.StructType(
         list(docs.schema.fields) + [T.StructField(out_col, T.DoubleType())]
@@ -208,7 +223,7 @@ def score_quality(
         for pdf in batches:
             scores = []
             for (idx, val), t in zip(
-                _hash_features(pdf[text_col], dim), pdf[text_col]
+                _hash_features(pdf[text_col], dim, ng), pdf[text_col]
             ):
                 if t is None:
                     scores.append(None)

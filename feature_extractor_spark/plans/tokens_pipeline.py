@@ -296,9 +296,14 @@ def curate(
             score_quality,
         )
 
-        qw, qb = quality_classifier
+        # (weights, bias) or (weights, bias, ngram) — ngram MUST be the
+        # one the classifier was trained with
+        qw, qb = quality_classifier[0], quality_classifier[1]
+        q_ngram = (
+            int(quality_classifier[2]) if len(quality_classifier) > 2 else 1
+        )
         filtered = quality_sample(
-            score_quality(filtered, qw, qb, text_col),
+            score_quality(filtered, qw, qb, text_col, ngram=q_ngram),
             id_col=id_col,
             alpha=classifier_alpha,
             seed=seed + 101,

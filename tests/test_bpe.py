@@ -394,3 +394,37 @@ def test_learn_bpe_on_driver_documents_roundtrip(spark, sf_small):
     for r in sample.collect():
         want = re.sub(r"[ \t\n\x0b\f\r]+", " ", r["text"]).strip()
         assert dec[r["doc_id"]] == want
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abcx", min_size=1, max_size=5)
+_corpus = st.lists(
+    st.lists(_word, min_size=1, max_size=8).map(" ".join),
+    min_size=1, max_size=10,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpus, n=st.integers(min_value=1, max_value=12))
+def test_learn_bpe_property_matches_naive(spark, texts, n):
+    """Property: on ANY small corpus (tiny alphabet maximizes pair
+    collisions, overlap runs like 'aaaa', and tie-breaks), the
+    distributed trainer's merge sequence equals the naive
+    recount-everything oracle's."""
+    from collections import Counter
+
+    from feature_extractor_spark.functions.text import learn_bpe
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    merges_df, _ = learn_bpe(docs, num_merges=n, min_pair_count=2)
+    got = [(r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()]
+    wf = Counter(w for t in texts for w in t.split())
+    assert got == _naive_learn(dict(wf), n, min_pair_count=2)

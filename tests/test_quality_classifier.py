@@ -159,3 +159,52 @@ def test_curate_with_quality_classifier_stage(spark):
     assert n_q >= 30 and n_n <= 5
     assert 0 < got["classifier_filter"] <= 80
     assert got["classifier_filter"] == len(kept)
+
+
+def test_bigram_features_separate_phrase_level_signal(spark):
+    """ngram=2: two classes built from the SAME unigram vocabulary but
+    opposite word ORDER are indistinguishable to unigram bags; bigram
+    hashing separates them."""
+    pairs_pos = [("alpha", "beta"), ("gamma", "delta"), ("epsilon", "zeta")]
+    pairs_neg = [(b, a) for a, b in pairs_pos]
+
+    def phrase_docs(pairs, n, prefix, seed):
+        rng = np.random.RandomState(seed)
+        rows = []
+        for i in range(n):
+            ps = [pairs[j] for j in rng.randint(0, len(pairs), 10)]
+            rows.append(
+                (f"{prefix}{i:04d}", " ".join(f"{a} {b}" for a, b in ps))
+            )
+        return spark.createDataFrame(rows, "doc_id string, text string")
+
+    pos = phrase_docs(pairs_pos, 60, "p", 11)
+    neg = phrase_docs(pairs_neg, 60, "n", 12)
+    w2, b2 = train_quality_classifier(
+        pos, neg, dim=1 << 14, iters=40, lr=2.0, sample_per_class=100,
+        n_parts=8, ngram=2,
+    )
+    hp = phrase_docs(pairs_pos, 20, "hp", 13)
+    hn = phrase_docs(pairs_neg, 20, "hn", 14)
+    sp = [
+        r["quality_score"]
+        for r in score_quality(hp, w2, b2, ngram=2).collect()
+    ]
+    sn = [
+        r["quality_score"]
+        for r in score_quality(hn, w2, b2, ngram=2).collect()
+    ]
+    # unigram mass is shared between the classes, so individual docs
+    # carry diluted signal — require full separation of the CLASSES
+    # (every positive above every negative) and well-separated means
+    assert min(sp) > max(sn)
+    assert float(np.mean(sp)) > 0.75 and float(np.mean(sn)) < 0.25
+    # the unigram classifier on the same data CANNOT separate them
+    w1, b1 = train_quality_classifier(
+        pos, neg, dim=1 << 14, iters=40, lr=2.0, sample_per_class=100,
+        n_parts=8, ngram=1,
+    )
+    s1 = [
+        r["quality_score"] for r in score_quality(hp, w1, b1).collect()
+    ] + [r["quality_score"] for r in score_quality(hn, w1, b1).collect()]
+    assert all(0.3 < s < 0.7 for s in s1)
