@@ -167,6 +167,8 @@ def ingest_batch(
     benchmark: DataFrame | None = None,
     decontam_n: int = 13,
     stats_dir: str | None = None,
+    quality_classifier: "tuple | None" = None,
+    classifier_alpha: float = 2.0,
 ) -> None:
     """One micro-batch of the dedup ingest (usable directly for batch
     backfills too). Idempotent per (batch_id): all three writes are
@@ -174,9 +176,16 @@ def ingest_batch(
 
     ``stats_dir`` (r9, the text twin of the semantic ingest's funnel):
     one row (batch_id, n_input, n_within_dup, n_index_dup, n_decontam,
-    n_accepted) per batch, written as a dynamic-partition overwrite
-    keyed on batch_id — a replayed batch overwrites its own stats row.
-    Disabled (None) the ingest runs no extra count jobs.
+    n_quality, n_accepted) per batch, written as a dynamic-partition
+    overwrite keyed on batch_id — a replayed batch overwrites its own
+    stats row. Disabled (None) the ingest runs no extra count jobs.
+
+    ``quality_classifier`` (r9): a pre-trained ``(weights, bias[,
+    ngram])`` tuple (functions/classifier) applies the map-side score +
+    deterministic Pareto keep AFTER dedup and decontamination, the same
+    stage order as batch ``curate`` — deterministic (hash-keyed
+    uniform), so the replay contract is unchanged. Accepted rows carry
+    their ``quality_score``.
 
     ``benchmark`` (r8): a static eval-set frame with the same id/text
     columns enables per-batch decontamination, matching the batch
@@ -266,6 +275,23 @@ def ingest_batch(
                 cflags.filter(~F.col("is_contaminated")).select(id_col),
                 id_col,
             )
+        if quality_classifier is not None:
+            from feature_extractor_spark.functions.classifier import (
+                quality_sample,
+                score_quality,
+            )
+
+            qw, qb = quality_classifier[0], quality_classifier[1]
+            q_ngram = (
+                int(quality_classifier[2])
+                if len(quality_classifier) > 2
+                else 1
+            )
+            accepted = quality_sample(
+                score_quality(accepted, qw, qb, text_col, ngram=q_ngram),
+                id_col=id_col,
+                alpha=classifier_alpha,
+            )
         accepted = accepted.persist()
         persisted.append(accepted)
         # 3. accepted docs + their index rows, idempotent per batch
@@ -302,6 +328,13 @@ def ingest_batch(
                 if cflags is not None
                 else 0
             )
+            # quality drops derive arithmetically — every earlier stage
+            # is already counted, so no extra job
+            n_quality = (
+                (n_unique - n_index_dup - n_decontam - n_accepted)
+                if quality_classifier is not None
+                else 0
+            )
             stats_row = spark.createDataFrame(
                 [
                     (
@@ -309,11 +342,12 @@ def ingest_batch(
                         int(n_input - n_unique),
                         int(n_index_dup),
                         int(n_decontam),
+                        int(n_quality),
                         int(n_accepted),
                     )
                 ],
                 "n_input long, n_within_dup long, n_index_dup long, "
-                "n_decontam long, n_accepted long",
+                "n_decontam long, n_quality long, n_accepted long",
             )
             with restore_conf(
                 spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
@@ -341,11 +375,14 @@ def stream_dedup_ingest(
     benchmark: DataFrame | None = None,
     decontam_n: int = 13,
     stats_dir: str | None = None,
+    quality_classifier: "tuple | None" = None,
+    classifier_alpha: float = 2.0,
 ):
     """Wire ``ingest_batch`` into a Structured Streaming query. Returns
     the DataStreamWriter (caller starts it, typically with
     ``.trigger(availableNow=True)`` for backfills). ``benchmark`` adds
-    per-batch decontamination; ``stats_dir`` the per-batch funnel (see
+    per-batch decontamination; ``stats_dir`` the per-batch funnel;
+    ``quality_classifier`` the map-side quality keep (see
     ingest_batch)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -355,6 +392,8 @@ def stream_dedup_ingest(
             batch_df, batch_id, index_dir, accepted_dir,
             id_col, text_col, num_hashes, bands, shingle_n, threshold,
             benchmark=benchmark, decontam_n=decontam_n, stats_dir=stats_dir,
+            quality_classifier=quality_classifier,
+            classifier_alpha=classifier_alpha,
         )
 
     return (

@@ -181,3 +181,21 @@ def test_autosize_n_lists_scales_with_corpus(spark, tmp_path):
     # meta carries the indexed-corpus size (the rebuild trigger's anchor)
     meta = spark.read.parquet(f"{idx_b}/meta").collect()[0].asDict()
     assert meta["n_vectors"] == 800 and meta["n_lists"] == 20
+
+
+def test_autosize_balance_under_widening_threshold_on_uniform(spark, tmp_path):
+    """r8 verdict 'done' criterion: an auto-sized default build over
+    uniform (unclustered) vectors stores a balance below the n_probe
+    widening threshold — the defaults must not ship a skewed index."""
+    import numpy as np
+
+    from feature_extractor_spark.operators.ann_index import build_ann_index
+
+    rng = np.random.RandomState(41)
+    rows = [
+        (f"u{i:05d}", [float(x) for x in rng.randn(16)]) for i in range(2000)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    st = build_ann_index(corpus, str(tmp_path / "u"), target_cell_rows=100)
+    assert st["n_lists"] == 20
+    assert st["balance"] < 4.0  # the ann_index_topk widening threshold

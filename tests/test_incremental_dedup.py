@@ -503,3 +503,65 @@ def test_null_doc_id_rejected(spark, tmp_path):
             _df(spark, [("ok", A), (None, B)]), 0,
             str(tmp_path / "idx"), str(tmp_path / "acc"), threshold=0.5,
         )
+
+
+def test_ingest_quality_classifier_filters_noise(spark, tmp_path):
+    """r9: the streaming ingest applies the pre-trained quality
+    classifier after dedup/decontam — noise docs are kept out of the
+    accepted corpus AND the index, the funnel counts them, and the
+    replay stays idempotent (hash-keyed deterministic keep)."""
+    import numpy as np
+
+    from feature_extractor_spark.functions.classifier import (
+        train_quality_classifier,
+    )
+
+    q_words = ["theorem", "analysis", "method", "precise", "evidence",
+               "measured", "study", "derivation"]
+    n_words = ["click", "buy", "free", "winner", "casino", "now"]
+
+    def mk(words, n, prefix, seed):
+        rng = np.random.RandomState(seed)
+        return _df(
+            spark,
+            [
+                (
+                    f"{prefix}{i}",
+                    " ".join(words[j] for j in rng.randint(0, len(words), 14)),
+                )
+                for i in range(n)
+            ],
+        )
+
+    w, b = train_quality_classifier(
+        mk(q_words, 50, "p", 1), mk(n_words, 50, "n", 2),
+        dim=1 << 14, iters=30, sample_per_class=100, n_parts=8,
+    )
+    idx = str(tmp_path / "idx")
+    acc = str(tmp_path / "acc")
+    st = str(tmp_path / "stats")
+    batch = mk(q_words, 5, "good", 3).unionByName(mk(n_words, 5, "bad", 4))
+    ingest_batch(
+        batch, 0, idx, acc, threshold=0.5,
+        stats_dir=st, quality_classifier=(w, b), classifier_alpha=2.0,
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(acc).collect()}
+    assert all(d.startswith("good") for d in got) and len(got) >= 4
+    # noise never entered the index either
+    idx_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{idx}/bands").select("doc_id").collect()
+    }
+    assert not any(d.startswith("bad") for d in idx_ids)
+    s0 = spark.read.parquet(st).filter("batch_id = 0").collect()[0]
+    assert s0["n_quality"] >= 5 and s0["n_accepted"] == len(got)
+    # accepted rows carry their score
+    assert "quality_score" in spark.read.parquet(acc).columns
+    # replay: byte-identical accepted set and stats
+    ingest_batch(
+        batch, 0, idx, acc, threshold=0.5,
+        stats_dir=st, quality_classifier=(w, b), classifier_alpha=2.0,
+    )
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == got
+    s0r = spark.read.parquet(st).filter("batch_id = 0").collect()
+    assert len(s0r) == 1 and s0r[0]["n_accepted"] == len(got)
