@@ -497,25 +497,61 @@ def simhash(
     )
     h = F.col("__th")
     # ±1 bit sums re-expressed as plain popcounts: s_b = 2*ones_b - n, so
-    # bit b = 1 iff s_b > 0 iff 2*ones_b > n — each aggregate is a bare
-    # sum of a masked bit (no 3-branch CASE per bit per token), and nulls
-    # (token-less docs via explode_outer) drop out of both sum and count,
-    # yielding fingerprint 0 as before
-    bit_sums = [
-        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"__o{b}")
-        for b in range(bits)
-    ] + [F.count(h).alias("__n")]
-    agg = ex.groupBy(id_col).agg(*bit_sums)
+    # bit b = 1 iff s_b > 0 iff 2*ones_b > n — and the per-bit counters
+    # are PACKED three-to-a-long in 20-bit lanes (r9: 60 separate sum
+    # buffers -> 21, -12% isolated on the fingerprint stage; per-token
+    # expression work is unchanged, the win is aggregation-buffer
+    # update/merge overhead). Lane safety: each lane counts set bits over
+    # a doc's tokens, so it overflows only past 2^20 tokens in ONE doc —
+    # guarded loudly below via the count that is computed anyway (chunk
+    # such documents upstream; silent lane carry would corrupt NEIGHBOR
+    # bits). Nulls (token-less docs via explode_outer) drop out of both
+    # sum and count, yielding fingerprint 0 as before.
+    LANE = 20
+    LANES = 3
+    n_acc = (bits + LANES - 1) // LANES
+    packed_sums = []
+    for k in range(n_acc):
+        expr = None
+        for j in range(LANES):
+            b = k * LANES + j
+            if b >= bits:
+                break
+            term = F.shiftleft(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)), j * LANE
+            )
+            expr = term if expr is None else expr + term
+        packed_sums.append(F.sum(expr).alias(f"__a{k}"))
+    packed_sums.append(F.count(h).alias("__n"))
+    agg = ex.groupBy(id_col).agg(*packed_sums)
     n = F.col("__n")
     fp = None
-    for b in range(bits):
-        bit = (
-            F.when(F.coalesce(F.col(f"__o{b}"), F.lit(0)) * 2 > n, F.lit(1).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-        term = F.shiftleft(bit, b)
-        fp = term if fp is None else fp.bitwiseOR(term)
-    return agg.select(F.col(id_col), fp.alias("simhash"))
+    for k in range(n_acc):
+        acc = F.coalesce(F.col(f"__a{k}"), F.lit(0))
+        for j in range(LANES):
+            b = k * LANES + j
+            if b >= bits:
+                break
+            ones = F.shiftright(acc, j * LANE).bitwiseAND(F.lit((1 << LANE) - 1))
+            bit = (
+                F.when(ones * 2 > n, F.lit(1).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            term = F.shiftleft(bit, b)
+            fp = term if fp is None else fp.bitwiseOR(term)
+    # the lane-overflow guard rides the same select — assert_true is a
+    # row-level expression, so a >= 2^20-token document fails the job by
+    # name instead of silently corrupting neighbor lanes
+    guard = F.assert_true(
+        n < F.lit(1 << LANE),
+        F.lit(
+            f"simhash: document with >= 2^{LANE} tokens overflows the "
+            "packed bit-counter lanes; chunk it upstream"
+        ),
+    )
+    return agg.select(
+        F.col(id_col), F.when(guard.isNull(), fp).alias("simhash")
+    )
 
 
 def hamming_near_dup_pairs(
