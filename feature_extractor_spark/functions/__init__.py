@@ -29,6 +29,7 @@ from feature_extractor_spark.functions.decompose import spectral_features  # noq
 from feature_extractor_spark.functions.text import top_ngrams  # noqa: F401
 from feature_extractor_spark.functions.classifier import (  # noqa: F401
     quality_sample,
+    resolve_classifier,
     score_quality,
     train_quality_classifier,
 )

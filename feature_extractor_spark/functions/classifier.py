@@ -87,17 +87,32 @@ def _hash_features(texts, dim: int, ngram: int = 1):
 
 def _bounded_sample(df: DataFrame, id_col: str, text_col: str, n: int, seed: int):
     """Deterministic bounded sample: TakeOrdered over a seeded id hash
-    (map-side partial top-k, never a full collect)."""
+    (map-side partial top-k, never a full collect). The id is the
+    tie-break key — the hash lives in only 2^31 values, so two ids
+    colliding at the limit boundary would otherwise make the drawn
+    sample (and the fitted weights) depend on partitioning."""
     return (
-        df.select(text_col)
+        df.select(id_col, text_col)
         .orderBy(
             F.pmod(
                 F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)),
                 F.lit(_M31),
-            )
+            ),
+            F.col(id_col),
         )
         .limit(int(n))
+        .select(text_col)
     )
+
+
+def resolve_classifier(clf) -> "tuple":
+    """Normalize the ``(weights, bias[, ngram])`` tuple every consumer
+    (curate, the streaming ingest, direct score_quality callers) shares
+    to ``(weights, bias, ngram)`` — the positional convention lives
+    HERE, next to the trainer that produces it, not at each call site."""
+    if len(clf) == 2:
+        return clf[0], clf[1], 1
+    return clf[0], clf[1], int(clf[2])
 
 
 def train_quality_classifier(
@@ -141,9 +156,33 @@ def train_quality_classifier(
         pos.withColumn("__y", F.lit(1.0))
         .unionByName(neg.withColumn("__y", F.lit(0.0)))
         .repartition(int(n_parts))  # deterministic partial count
-        .persist()
     )
-    n_total = train.count()  # materializes the cache
+    # featurize ONCE (review r9): the per-byte Python FNV hashing is the
+    # dominant fit cost, and re-running it inside every gradient pass
+    # would pay it `iters` times over. One Arrow pass caches the sparse
+    # (idx, val, y) rows; the iteration loop then touches only the cheap
+    # gradient math.
+    feat_schema = T.StructType(
+        [
+            T.StructField("idx", T.ArrayType(T.LongType())),
+            T.StructField("val", T.ArrayType(T.DoubleType())),
+            T.StructField("__y", T.DoubleType()),
+        ]
+    )
+
+    def featurize(batches):
+        for pdf in batches:
+            feats = _hash_features(pdf[text_col], dim, ngram)
+            yield pd.DataFrame(
+                {
+                    "idx": [i.tolist() for i, _ in feats],
+                    "val": [v.tolist() for _, v in feats],
+                    "__y": pdf["__y"],
+                }
+            )
+
+    train_feat = train.mapInPandas(featurize, feat_schema).persist()
+    n_total = train_feat.count()  # materializes the cache
     if n_total == 0:
         raise ValueError("train_quality_classifier: empty training sample")
 
@@ -166,9 +205,10 @@ def train_quality_classifier(
                 gb = 0.0
                 n = 0
                 for pdf in batches:
-                    feats = _hash_features(pdf[text_col], dim, ngram)
                     ys = pdf["__y"].to_numpy()
-                    for (idx, val), y in zip(feats, ys):
+                    for idx_l, val_l, y in zip(pdf["idx"], pdf["val"], ys):
+                        idx = np.asarray(idx_l, dtype=np.int64)
+                        val = np.asarray(val_l, dtype=np.float64)
                         z = float(val @ ww[idx]) + bb
                         p = 1.0 / (1.0 + np.exp(-z))
                         err = p - y
@@ -179,7 +219,7 @@ def train_quality_classifier(
                     {"g": [g.tolist()], "gb": [gb], "n": [n]}
                 )
 
-            parts = train.mapInPandas(partial, grad_schema).collect()
+            parts = train_feat.mapInPandas(partial, grad_schema).collect()
             g = np.zeros(dim, dtype=np.float64)
             gb = 0.0
             for r in parts:
@@ -191,7 +231,7 @@ def train_quality_classifier(
             b = b - lr * gb
             bw.destroy()
     finally:
-        train.unpersist()
+        train_feat.unpersist()
     return w, float(b)
 
 

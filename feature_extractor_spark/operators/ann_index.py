@@ -42,10 +42,6 @@ from feature_extractor_spark.operators.similarity import (
     kmeans_centroids,
 )
 
-_META_COLS = (
-    "dim", "n_lists", "m", "k_codes", "residual", "seed", "balance",
-    "id_col", "n_vectors",
-)
 
 
 def _path_exists(spark, path: str) -> bool:
@@ -177,6 +173,18 @@ def build_ann_index(
     import numpy as np
 
     spark = corpus.sparkSession
+    # REBUILD crash safety (review r9): meta-written-last marks a
+    # completed build, but only if a rebuild over an existing index
+    # cannot leave the PREVIOUS build's meta pairing with new
+    # centroids/codebooks/codes after a mid-rebuild crash. Delete the
+    # old meta FIRST: any crash between here and the final meta write
+    # leaves the index meta-less, so _require_index fails loudly and
+    # the operator re-runs the build — never a silently mixed model.
+    if _path_exists(spark, f"{index_dir}/meta"):
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/meta")
+        p.getFileSystem(conf).delete(p, True)
     n_corpus = None
     if n_lists is None:
         # one count job, driver-side arithmetic only (auto-size)
@@ -230,8 +238,10 @@ def build_ann_index(
         )
     n = spark.read.parquet(f"{index_dir}/codes").count()
     # meta is written LAST: its presence marks a completed build (a crash
-    # mid-build leaves no meta, so _require_index fails loudly instead of
-    # serving a half-written index), and it carries n_vectors — the
+    # mid-build leaves no meta — the old meta is deleted FIRST at build
+    # start, so this holds for REBUILDS over an existing index too — and
+    # _require_index fails loudly instead of serving a half-written or
+    # mixed index), and it carries n_vectors — the
     # indexed-corpus size the semantic ingest's rebuild trigger compares
     # its raw accepted count against. Meta is write-once-per-build on
     # purpose: per-batch mutation would double-count under foreachBatch

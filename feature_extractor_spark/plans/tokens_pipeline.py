@@ -293,15 +293,11 @@ def curate(
     if quality_classifier is not None:
         from feature_extractor_spark.functions.classifier import (
             quality_sample,
+            resolve_classifier,
             score_quality,
         )
 
-        # (weights, bias) or (weights, bias, ngram) — ngram MUST be the
-        # one the classifier was trained with
-        qw, qb = quality_classifier[0], quality_classifier[1]
-        q_ngram = (
-            int(quality_classifier[2]) if len(quality_classifier) > 2 else 1
-        )
+        qw, qb, q_ngram = resolve_classifier(quality_classifier)
         filtered = quality_sample(
             score_quality(filtered, qw, qb, text_col, ngram=q_ngram),
             id_col=id_col,

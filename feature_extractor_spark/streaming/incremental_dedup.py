@@ -153,6 +153,23 @@ def _index_exists(spark, index_dir: str) -> bool:
     return True
 
 
+def write_stats_row(spark, stats_dir: str, batch_id: int, row: dict) -> None:
+    """Shared per-batch funnel writer (text + semantic ingests): one
+    all-long row under a ``batch_id`` dynamic-partition overwrite, so a
+    replayed batch overwrites its own stats row — the replay-idempotence
+    mechanics live in ONE place for every funnel."""
+    stats_row = spark.createDataFrame(
+        [tuple(int(v) for v in row.values())],
+        ", ".join(f"{k} long" for k in row),
+    )
+    with restore_conf(
+        spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    ):
+        stats_row.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+            "overwrite"
+        ).partitionBy("batch_id").parquet(stats_dir)
+
+
 def ingest_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -169,6 +186,7 @@ def ingest_batch(
     stats_dir: str | None = None,
     quality_classifier: "tuple | None" = None,
     classifier_alpha: float = 2.0,
+    classifier_seed: int = 101,
 ) -> None:
     """One micro-batch of the dedup ingest (usable directly for batch
     backfills too). Idempotent per (batch_id): all three writes are
@@ -182,10 +200,13 @@ def ingest_batch(
 
     ``quality_classifier`` (r9): a pre-trained ``(weights, bias[,
     ngram])`` tuple (functions/classifier) applies the map-side score +
-    deterministic Pareto keep AFTER dedup and decontamination, the same
-    stage order as batch ``curate`` — deterministic (hash-keyed
-    uniform), so the replay contract is unchanged. Accepted rows carry
-    their ``quality_score``.
+    deterministic Pareto keep after dedup and BEFORE decontamination —
+    the same stage order AND the same default keep seed
+    (``classifier_seed=101`` = curate's ``seed + 101`` at curate's
+    default seed 0) as the batch path, so the two paths keep the same
+    docs for the same classifier. Deterministic (hash-keyed uniform),
+    so the replay contract is unchanged. Accepted rows carry their
+    ``quality_score``.
 
     ``benchmark`` (r8): a static eval-set frame with the same id/text
     columns enables per-batch decontamination, matching the batch
@@ -260,6 +281,24 @@ def ingest_batch(
             )
         else:  # first batch: no index yet
             accepted = unique
+        if quality_classifier is not None:
+            # BEFORE decontamination — the same stage order as batch
+            # curate, and the same keep seed (review r9: diverging seed
+            # or order would make the batch and streaming paths keep
+            # different borderline docs for the same classifier)
+            from feature_extractor_spark.functions.classifier import (
+                quality_sample,
+                resolve_classifier,
+                score_quality,
+            )
+
+            qw, qb, q_ngram = resolve_classifier(quality_classifier)
+            accepted = quality_sample(
+                score_quality(accepted, qw, qb, text_col, ngram=q_ngram),
+                id_col=id_col,
+                alpha=classifier_alpha,
+                seed=classifier_seed,
+            )
         if benchmark is not None:
             # persist BEFORE the flags pass: contamination_flags eagerly
             # localCheckpoints, so an un-persisted `accepted` would
@@ -274,23 +313,6 @@ def ingest_batch(
             accepted = accepted.join(
                 cflags.filter(~F.col("is_contaminated")).select(id_col),
                 id_col,
-            )
-        if quality_classifier is not None:
-            from feature_extractor_spark.functions.classifier import (
-                quality_sample,
-                score_quality,
-            )
-
-            qw, qb = quality_classifier[0], quality_classifier[1]
-            q_ngram = (
-                int(quality_classifier[2])
-                if len(quality_classifier) > 2
-                else 1
-            )
-            accepted = quality_sample(
-                score_quality(accepted, qw, qb, text_col, ngram=q_ngram),
-                id_col=id_col,
-                alpha=classifier_alpha,
             )
         accepted = accepted.persist()
         persisted.append(accepted)
@@ -335,26 +357,17 @@ def ingest_batch(
                 if quality_classifier is not None
                 else 0
             )
-            stats_row = spark.createDataFrame(
-                [
-                    (
-                        int(n_input),
-                        int(n_input - n_unique),
-                        int(n_index_dup),
-                        int(n_decontam),
-                        int(n_quality),
-                        int(n_accepted),
-                    )
-                ],
-                "n_input long, n_within_dup long, n_index_dup long, "
-                "n_decontam long, n_quality long, n_accepted long",
+            write_stats_row(
+                spark, stats_dir, batch_id,
+                {
+                    "n_input": n_input,
+                    "n_within_dup": n_input - n_unique,
+                    "n_index_dup": n_index_dup,
+                    "n_decontam": n_decontam,
+                    "n_quality": n_quality,
+                    "n_accepted": n_accepted,
+                },
             )
-            with restore_conf(
-                spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            ):
-                stats_row.withColumn("batch_id", bid).write.mode(
-                    "overwrite"
-                ).partitionBy("batch_id").parquet(stats_dir)
     finally:
         for df in persisted:
             df.unpersist()
@@ -377,6 +390,7 @@ def stream_dedup_ingest(
     stats_dir: str | None = None,
     quality_classifier: "tuple | None" = None,
     classifier_alpha: float = 2.0,
+    classifier_seed: int = 101,
 ):
     """Wire ``ingest_batch`` into a Structured Streaming query. Returns
     the DataStreamWriter (caller starts it, typically with
@@ -394,6 +408,7 @@ def stream_dedup_ingest(
             benchmark=benchmark, decontam_n=decontam_n, stats_dir=stats_dir,
             quality_classifier=quality_classifier,
             classifier_alpha=classifier_alpha,
+            classifier_seed=classifier_seed,
         )
 
     return (

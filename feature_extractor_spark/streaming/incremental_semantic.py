@@ -442,32 +442,25 @@ def ann_semantic_ingest_batch(
             )
         if stats_dir is not None:
             # per-batch funnel row (replay-idempotent: overwrites its own
-            # batch_id partition). flags is eagerly checkpointed, so the
-            # two counts over it are cheap re-reads, not re-executions.
+            # batch_id partition via the shared writer). flags is eagerly
+            # checkpointed, so the two counts over it are cheap re-reads.
+            from feature_extractor_spark.streaming.incremental_dedup import (
+                write_stats_row,
+            )
+
             n_input = batch_df.count()
             n_unique = flags.count()  # one row per within-batch survivor
             n_index_dup = flags.filter(F.col("is_dup")).count()
-            stats_row = spark.createDataFrame(
-                [
-                    (
-                        int(n_input),
-                        int(n_input - n_unique),
-                        int(n_index_dup),
-                        int(n_raw_dup),
-                        int(n_accepted),
-                    )
-                ],
-                "n_input long, n_within_dup long, n_index_dup long, "
-                "n_raw_dup long, n_accepted long",
+            write_stats_row(
+                spark, stats_dir, batch_id,
+                {
+                    "n_input": n_input,
+                    "n_within_dup": n_input - n_unique,
+                    "n_index_dup": n_index_dup,
+                    "n_raw_dup": n_raw_dup,
+                    "n_accepted": n_accepted,
+                },
             )
-            with restore_conf(
-                spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            ):
-                stats_row.withColumn(
-                    "batch_id", F.lit(int(batch_id))
-                ).write.mode("overwrite").partitionBy("batch_id").parquet(
-                    stats_dir
-                )
     finally:
         batch_df.unpersist()
 

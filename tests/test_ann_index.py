@@ -199,3 +199,45 @@ def test_autosize_balance_under_widening_threshold_on_uniform(spark, tmp_path):
     st = build_ann_index(corpus, str(tmp_path / "u"), target_cell_rows=100)
     assert st["n_lists"] == 20
     assert st["balance"] < 4.0  # the ann_index_topk widening threshold
+
+
+def test_rebuild_crash_leaves_no_servable_mixed_index(spark, tmp_path):
+    """r9 review: build_ann_index deletes the OLD meta before writing
+    anything, so a crash mid-rebuild cannot leave the previous build's
+    meta pairing with new model tables — the index becomes meta-less
+    and every consumer fails loudly until the rebuild completes."""
+    import pytest as _pt
+
+    from feature_extractor_spark.operators.ann_index import (
+        ann_index_topk,
+        build_ann_index,
+    )
+
+    corpus = _blobs(spark, n_per=10, n_clusters=4)
+    idx = str(tmp_path / "idx")
+    build_ann_index(corpus, idx, residual=True, **PARAMS)
+
+    # simulate the crash window: a rebuild's first action (meta delete)
+    # happened, nothing else was written yet
+    class _Boom(RuntimeError):
+        pass
+
+    import feature_extractor_spark.operators.ann_index as ai
+
+    orig = ai.kmeans_centroids
+
+    def boom(*a, **k):
+        raise _Boom("crash mid-rebuild")
+
+    ai.kmeans_centroids = boom
+    try:
+        with _pt.raises(_Boom):
+            build_ann_index(corpus, idx, residual=True, **PARAMS)
+    finally:
+        ai.kmeans_centroids = orig
+    # the half-rebuilt index is NOT servable (meta gone -> loud failure)
+    with _pt.raises(FileNotFoundError, match="meta"):
+        ann_index_topk(corpus.limit(1), idx, k=3)
+    # completing the rebuild restores service
+    build_ann_index(corpus, idx, residual=True, **PARAMS)
+    assert ann_index_topk(corpus.limit(1), idx, k=3).count() > 0
