@@ -10,9 +10,10 @@ lower-scored docs survive and the kept set is not a hard cliff).
 This implementation is dependency-free and Spark-first:
 
 - features: hashed bag-of-words (the hashing trick) — each lowercased
-  word maps to ``xxhash64(word) % dim`` with a sign bit, so the feature
-  space is fixed-width with NO vocabulary state to ship; L2-normalized
-  per document.
+  word maps to ``fnv1a64(word) % dim`` with a sign bit (the hash lives
+  only inside this module's train/apply passes, so no JVM twin is
+  needed), making the feature space fixed-width with NO vocabulary
+  state to ship; L2-normalized per document.
 - training: full-batch logistic regression with L2, run as ``iters``
   Spark jobs — each job computes per-partition gradient PARTIALS with
   one Arrow pass (``mapInPandas`` emitting a single dense gradient row
@@ -30,8 +31,9 @@ This implementation is dependency-free and Spark-first:
   made reproducible (no RNG state; replays keep the same docs).
 
 Determinism: seeded samples, fixed iteration count, float64 driver
-steps, and a fixed partition count for the gradient pass (repartition
-by id hash), so the same inputs always fit the same weights.
+steps, and a fixed partition count for the gradient pass (round-robin
+repartition of the deterministic TakeOrdered sample), so the same
+inputs always fit the same weights.
 """
 
 from __future__ import annotations
@@ -42,24 +44,25 @@ from pyspark.sql import functions as F
 _M31 = (1 << 31) - 1
 
 
-def _hash_features(texts, dim: int, ngram: int = 1):
-    """NumPy hashed-BoW featurizer for a batch of texts: returns a list
-    of (idx array, val array) L2-normalized sparse rows. ``ngram=2``
-    additionally hashes adjacent word bigrams (the fastText-family
-    recipe — quality signals like "click here" live in bigrams unigram
-    bags cannot see). Python-side xxhash is not available; the 64-bit
-    FNV-1a below is the SAME hash the JVM side never needs to reproduce
-    (features exist only inside this module's train and apply passes,
-    which share it)."""
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+
+
+def _hash_features_scalar(texts, dim: int, ngram: int = 1):
+    """Reference (per-byte Python FNV-1a) form of the featurizer — the
+    parity oracle for the vectorized ``_hash_features`` below (which the
+    corpus-wide scoring pass uses; VERDICT r9 item 1). Semantics: each
+    gram hashes via 64-bit FNV-1a over its UTF-8 bytes; top bit is the
+    sign, ``h % dim`` the bucket; per-doc signed counts, L2-normalized."""
     import numpy as np
 
     out = []
     mask = (1 << 64) - 1
 
     def fnv(s: bytes) -> int:
-        h = 0xCBF29CE484222325
+        h = _FNV_OFFSET
         for b in s:
-            h = ((h ^ b) * 0x100000001B3) & mask
+            h = ((h ^ b) * _FNV_PRIME) & mask
         return h
 
     for t in texts:
@@ -82,6 +85,117 @@ def _hash_features(texts, dim: int, ngram: int = 1):
         val = np.fromiter(counts.values(), np.float64, len(counts))
         n = np.linalg.norm(val)
         out.append((idx, val / (n if n > 0 else 1.0)))
+    return out
+
+
+def _fnv_batch(grams: list, dim: int):
+    """Vectorized FNV-1a over a list of (unique) byte-strings: one NumPy
+    pass per BYTE POSITION instead of a Python loop per byte. Grams are
+    processed sorted by length descending so the still-live set at byte
+    j is a prefix slice, never a boolean gather. Returns (bucket int64,
+    sign float64) arrays aligned with ``grams``. Bit-identical to the
+    scalar ``fnv`` (uint64 wraparound is exactly the & mask)."""
+    import numpy as np
+
+    n = len(grams)
+    lens = np.fromiter(map(len, grams), np.int64, n)
+    order = np.argsort(-lens, kind="stable")
+    l_sorted = lens[order]
+    buf = np.frombuffer(b"".join([grams[i] for i in order]), dtype=np.uint8)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(l_sorted, out=offs[1:])
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    prime = np.uint64(_FNV_PRIME)
+    maxlen = int(l_sorted[0]) if n else 0
+    rev = l_sorted[::-1]
+    for j in range(maxlen):
+        k = n - int(np.searchsorted(rev, j, side="right"))
+        col = buf[offs[:k] + j]  # byte j of every gram longer than j
+        h[:k] = (h[:k] ^ col.astype(np.uint64)) * prime
+    out_h = np.empty_like(h)
+    out_h[order] = h
+    sign = np.where((out_h >> np.uint64(63)) == 0, 1.0, -1.0)
+    bucket = (out_h % np.uint64(dim)).astype(np.int64)
+    return bucket, sign
+
+
+def _featurize_flat(texts, dim: int, ngram: int = 1):
+    """Flat-array core of the featurizer (vectorized twin of
+    ``_hash_features_scalar``, same math): grams are INTERNED per batch
+    (real corpora are Zipf — unique grams are a small fraction of gram
+    instances), FNV-1a runs once per unique gram through ``_fnv_batch``,
+    and per-doc signed bucket counts come from one sort + reduceat
+    instead of a Python dict per doc.
+
+    Returns ``(ubucket, uval, doc_bounds)``: for doc d, its sparse row
+    is ``ubucket[doc_bounds[d]:doc_bounds[d+1]]`` with L2-normalized
+    values ``uval[...]``; docs with no grams (None/empty) own an empty
+    slice."""
+    import numpy as np
+
+    intern: dict[str, int] = {}
+    si = intern.setdefault
+    gram_ids: list[int] = []
+    n_docs = len(texts)
+    n_per_doc = np.zeros(n_docs, np.int64)
+    for d, t in enumerate(texts):
+        if t is None:
+            continue
+        ws = t.lower().split()
+        if ngram >= 2:
+            ws = ws + [a + "\x1f" + b for a, b in zip(ws, ws[1:])]
+        # si(g, len(intern)): the default is evaluated BEFORE insertion,
+        # so an unseen gram gets id == current table size
+        gram_ids.extend([si(g, len(intern)) for g in ws])
+        n_per_doc[d] = len(ws)
+
+    if not gram_ids:
+        z = np.zeros(n_docs + 1, np.int64)
+        return np.empty(0, np.int64), np.empty(0, np.float64), z
+
+    # encode only UNIQUE grams (dict preserves insertion order == id order)
+    bucket_u, sign_u = _fnv_batch([g.encode("utf-8") for g in intern], dim)
+    gid = np.asarray(gram_ids, dtype=np.int64)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_per_doc)
+    key = doc_idx * np.int64(dim) + bucket_u[gid]
+    korder = np.argsort(key, kind="stable")
+    ks = key[korder]
+    ss = sign_u[gid][korder]
+    starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+    uval = np.add.reduceat(ss, starts)
+    ukeys = ks[starts]
+    ubucket = ukeys % dim
+    doc_bounds = np.searchsorted(ukeys // dim, np.arange(n_docs + 1))
+    # L2-normalize per doc: segment norms via reduceat over the occupied
+    # (strictly increasing) segment starts only
+    counts = np.diff(doc_bounds)
+    ne = counts > 0
+    if ne.any():
+        seg_starts = doc_bounds[:-1][ne]
+        norms = np.sqrt(np.add.reduceat(uval * uval, seg_starts))
+        norms[norms == 0.0] = 1.0
+        uval = uval / np.repeat(norms, counts[ne])
+    return ubucket, uval, doc_bounds
+
+
+def _hash_features(texts, dim: int, ngram: int = 1):
+    """NumPy hashed-BoW featurizer for a batch of texts: returns a list
+    of (idx array, val array) L2-normalized sparse rows. ``ngram=2``
+    additionally hashes adjacent word bigrams (the fastText-family
+    recipe — quality signals like "click here" live in bigrams unigram
+    bags cannot see). Python-side xxhash is not available; the 64-bit
+    FNV-1a is the SAME hash the JVM side never needs to reproduce
+    (features exist only inside this module's train and apply passes,
+    which share it). Vectorized (r10): gram interning + batch FNV +
+    sort/reduceat bucket counts — see ``_featurize_flat``; parity with
+    the scalar reference form is pinned in tests."""
+    import numpy as np  # noqa: F401
+
+    ubucket, uval, doc_bounds = _featurize_flat(texts, dim, ngram)
+    out = []
+    for d in range(len(texts)):
+        lo, hi = doc_bounds[d], doc_bounds[d + 1]
+        out.append((ubucket[lo:hi], uval[lo:hi]))
     return out
 
 
@@ -261,15 +375,20 @@ def score_quality(
     def run(batches):
         ww, bb = bw.value
         for pdf in batches:
-            scores = []
-            for (idx, val), t in zip(
-                _hash_features(pdf[text_col], dim, ng), pdf[text_col]
-            ):
-                if t is None:
-                    scores.append(None)
-                else:
-                    z = float(val @ ww[idx]) + bb
-                    scores.append(1.0 / (1.0 + np.exp(-z)))
+            texts = pdf[text_col]
+            ubucket, uval, doc_bounds = _featurize_flat(texts, dim, ng)
+            # one reduceat over the flat (weight * value) products scores
+            # every doc in the batch — no per-doc Python at all
+            counts = np.diff(doc_bounds)
+            z = np.zeros(len(texts), np.float64)
+            ne = counts > 0
+            if ne.any():
+                contrib = ww[ubucket] * uval
+                z[ne] = np.add.reduceat(contrib, doc_bounds[:-1][ne])
+            s = 1.0 / (1.0 + np.exp(-(z + bb)))
+            scores = [
+                None if t is None else float(v) for t, v in zip(texts, s)
+            ]
             pdf = pdf.copy()
             pdf[out_col] = scores
             yield pdf

@@ -181,15 +181,28 @@ def decode_png(payload: bytes) -> np.ndarray:
     if color_type == 3 and depth == 16:
         raise ValueError("decode_png: 16-bit palette images are invalid")
 
-    raw = zlib.decompress(bytes(idat))
     # the spec's filters operate on BYTES regardless of sample depth —
     # only bpp (the byte distance to the pixel to the left) changes
     stride = width * n_ch * (depth // 8)
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    # bounded inflate (ADVICE r9): IHDR pins the exact decompressed size,
+    # so cap the inflater at expected+1 bytes — a corrupt/malicious IDAT
+    # stream in an untrusted corpus can otherwise decompression-bomb
+    # executor memory before the size check ever runs
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expected + 1)
+    if len(raw) > expected or dec.unconsumed_tail:
+        raise ValueError(
+            f"decode_png: decompressed stream exceeds expected "
+            f"{expected} bytes"
+        )
+    if len(raw) != expected:
         raise ValueError(
             f"decode_png: decompressed size {len(raw)} != expected "
-            f"{height * (stride + 1)}"
+            f"{expected}"
         )
+    if dec.unused_data:
+        raise ValueError("decode_png: trailing data after IDAT zlib stream")
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     filters = raw[:, 0]
     data = raw[:, 1:]

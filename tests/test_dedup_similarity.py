@@ -78,6 +78,29 @@ def test_minhash_lsh_finds_high_jaccard_pairs(spark):
     assert (1, 3) in got_pairs
 
 
+def test_size_prefilter_keeps_boundary_ratio_pair(spark):
+    """r10: the size-ratio candidate prefilter (jaccard <= min/max of the
+    distinct-gram set sizes) must be EXACT-preserving at the boundary —
+    a pair whose size ratio equals the threshold EXACTLY (B a prefix of
+    A: both the ratio and the true jaccard are (m-3)/(m-2)) survives,
+    and the reported jaccard is the exact set jaccard."""
+    m = 35
+    words = [f"w{i:03d}" for i in range(m)]
+    a_text = " ".join(words)
+    b_text = " ".join(words[:-1])  # 3-gram set of B ⊂ A: j = 32/33
+    thr = (m - 3) / (m - 2)
+    docs = spark.createDataFrame(
+        [(1, a_text), (2, b_text), (3, "completely different words here")],
+        "doc_id int, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=thr).collect()
+    }
+    assert (1, 2) in got
+    assert got[(1, 2)] == (m - 3) / (m - 2)
+
+
 def test_simhash_identical_and_different(spark):
     out = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark)).collect()}
     assert out[1] == out[2]  # identical text -> identical fingerprint

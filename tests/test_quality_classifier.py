@@ -161,6 +161,63 @@ def test_curate_with_quality_classifier_stage(spark):
     assert got["classifier_filter"] == len(kept)
 
 
+def test_vectorized_featurizer_parity_and_speedup():
+    """r10 (VERDICT r9 item 1): the vectorized featurizer (interned
+    grams + batch FNV + sort/reduceat) must be EXACTLY the scalar
+    per-byte FNV form — same buckets, values within 1e-12 — and beat it
+    by >=3x on a Zipf-ish corpus batch (driver-side microbench of
+    exactly the two code paths, the test_lm speedup-pin pattern)."""
+    import time
+
+    from feature_extractor_spark.functions.classifier import (
+        _hash_features_scalar,
+    )
+
+    rng = np.random.RandomState(42)
+    vocab = [
+        "".join(
+            "abcdefghijklmnopqrstuvwxyzé"[j]
+            for j in rng.randint(0, 27, rng.randint(2, 12))
+        )
+        for _ in range(2000)
+    ]
+    # Zipf-ish draw (real corpora repeat words; the vectorized path's
+    # interning exploits exactly that)
+    p = 1.0 / np.arange(1, len(vocab) + 1)
+    p /= p.sum()
+    texts = [
+        " ".join(rng.choice(vocab, rng.randint(0, 200), p=p))
+        for _ in range(400)
+    ]
+    texts[3] = None
+    texts[7] = "   "
+    texts[11] = ""
+    texts[13] = "UniCase Ünïcode nbsp-is-not-split trailing  spaces "
+    dim = 1 << 16
+
+    for ng in (1, 2):
+        a = _hash_features_scalar(texts, dim, ng)
+        b = _hash_features(texts, dim, ng)
+        assert len(a) == len(b)
+        for (ia, va), (ib, vb) in zip(a, b):
+            da = dict(zip(ia.tolist(), va.tolist()))
+            db = dict(zip(ib.tolist(), vb.tolist()))
+            assert set(da) == set(db)
+            for k, v in da.items():
+                assert abs(v - db[k]) < 1e-12
+
+    n = 3
+    t0 = time.perf_counter()
+    for _ in range(n):
+        _hash_features_scalar(texts, dim, 2)
+    t_py = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(n):
+        _hash_features(texts, dim, 2)
+    t_vec = time.perf_counter() - t0
+    assert t_py / t_vec >= 3.0, f"speedup only {t_py / t_vec:.1f}x"
+
+
 def test_bigram_features_separate_phrase_level_signal(spark):
     """ngram=2: two classes built from the SAME unigram vocabulary but
     opposite word ORDER are indistinguishable to unigram bags; bigram

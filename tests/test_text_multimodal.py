@@ -826,6 +826,21 @@ def test_png_unsupported_variants_raise_by_name():
         decode_png(hdr(interlace=1))
     with _pt.raises(NotImplementedError, match="color type 5"):
         decode_png(hdr(ctype=5))
+
+    # decompression-bomb guard (ADVICE r9): an IDAT stream inflating past
+    # the IHDR-derived size raises BEFORE materializing the payload — the
+    # inflater is capped at expected+1 bytes
+    def bomb():
+        def chunk(ct, body):
+            return (_s.pack(">I", len(body)) + ct + body
+                    + _s.pack(">I", zlib.crc32(ct + body)))
+        body = _s.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # expects 6 bytes
+        raw = bytes(10_000_000)  # inflates to 10 MB
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", body)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    with _pt.raises(ValueError, match="exceeds expected"):
+        decode_png(bomb())
     # JPEG magic stays an honest loud stub at the dispatcher
     with _pt.raises(NotImplementedError, match="magic"):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
