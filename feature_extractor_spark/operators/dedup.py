@@ -150,7 +150,12 @@ def _minhash_signature(hash_col, k: int, seed: int = 7):
 
 
 def _minhash_signatures_agg(
-    docs: DataFrame, id_col: str, hash_arr_col: str, k: int, seed: int = 7
+    docs: DataFrame,
+    id_col: str,
+    hash_arr_col: str,
+    k: int,
+    seed: int = 7,
+    carry: "list[str] | None" = None,
 ) -> DataFrame:
     """Same K minhashes as ``_minhash_signature`` (bit-identical, tested),
     computed as explode -> groupBy(id) -> K min() aggregates. Each affine
@@ -158,17 +163,27 @@ def _minhash_signatures_agg(
     interpreted HOF lambda — measured ~10x on long documents — and the
     groupBy's map-side partial aggregation reduces the exploded rows to one
     K-wide row per (doc, partition) before the shuffle, so the shuffle
-    volume is O(docs * K), independent of shingle count."""
+    volume is O(docs * K), independent of shingle count.
+
+    ``carry``: per-doc CONSTANT columns to thread through the aggregation
+    (as ``min()`` — compiled, no Expand, one extra buffer each). Used by
+    the LSH tail to ride the distinct-gram set size along instead of
+    re-joining it later (r10)."""
     params = _minhash_params(k, seed)
-    ex = docs.select(F.col(id_col), F.explode(hash_arr_col).alias("__sh"))
+    carry = list(carry or [])
+    ex = docs.select(
+        F.col(id_col), *[F.col(c) for c in carry], F.explode(hash_arr_col).alias("__sh")
+    )
     aggs = [
         F.min(F.pmod(F.col("__sh") * F.lit(a) + F.lit(b), F.lit(_M31))).alias(
             f"__m{i}"
         )
         for i, (a, b) in enumerate(params)
-    ]
+    ] + [F.min(c).alias(c) for c in carry]
     return ex.groupBy(id_col).agg(*aggs).select(
-        F.col(id_col), F.array(*[f"__m{i}" for i in range(k)]).alias("sig")
+        F.col(id_col),
+        F.array(*[f"__m{i}" for i in range(k)]).alias("sig"),
+        *[F.col(c) for c in carry],
     )
 
 
@@ -365,17 +380,24 @@ def minhash_lsh_pairs_tokens(
 
 
 def signature_bands(
-    docs: DataFrame, id_col: str, num_hashes: int, bands: int
+    docs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    carry: "list[str] | None" = None,
 ) -> DataFrame:
     """(id, band, bucket) LSH band-bucket rows from a hashed-gram frame
     (``__h`` column). Ids only — carrying the gram arrays through the
     exploded band join would amplify them x bands through the shuffle.
     Shared by the pairwise dedup tail and the incremental-ingest index
     (streaming/incremental_dedup.py): both sides of any candidate lookup
-    MUST use this exact bucketing or candidates silently vanish."""
+    MUST use this exact bucketing or candidates silently vanish.
+    ``carry``: extra per-doc scalar columns threaded through unchanged
+    (bucketing itself is byte-identical with or without them)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = _minhash_signatures_agg(docs, id_col, "__h", num_hashes)
+    carry = list(carry or [])
+    sig = _minhash_signatures_agg(docs, id_col, "__h", num_hashes, carry=carry)
     band_structs = F.array(
         *[
             F.struct(
@@ -393,8 +415,13 @@ def signature_bands(
             for i in range(bands)
         ]
     )
-    return sig.select(id_col, F.explode(band_structs).alias("bb")).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    return sig.select(
+        id_col, *carry, F.explode(band_structs).alias("bb")
+    ).select(
+        id_col,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+        *carry,
     )
 
 
@@ -420,50 +447,39 @@ def _lsh_pairs_from_grams(
     caches follow the documented cache-owned-by-the-returned-plan
     lifetime (LRU eviction / session teardown)."""
     docs = docs.persist()
-    banded = signature_bands(docs, id_col, num_hashes, bands)
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
     # r10 size-ratio prefilter (guide §2.3/§3.2 — decide with small rows,
     # move the heavy arrays only for survivors): jaccard <= min/max of the
     # two DISTINCT-gram set sizes, so any candidate with
     # least(sz)/greatest(sz) < threshold can never verify — measured 11.6M
     # distinct candidates -> 0.42M verified at the tokens path's
     # threshold 0.9, so most gram-array joins + intersections were
-    # provably wasted. The size table is two ints per doc (AQE broadcasts
-    # it at bench scale; at 10^9+ docs it degrades to a cheap int-only
-    # shuffle join, never an 8 GB broadcast), and the filter runs BEFORE
-    # the dropDuplicates exchange so the dedup shuffles only survivors
-    # (measured 12.7s -> 9.0s on the tokens-path LSH step vs filtering
-    # after). EXACT-preserving: double rounding is monotone, so
-    # fl(min/max) >= fl(inter/union) whenever the reals order that way —
-    # any pair passing the final jaccard >= threshold filter passes this
-    # one (pinned in tests).
-    sizes = docs.select(
-        F.col(id_col), F.size(F.array_distinct("__h")).alias("__sz")
+    # provably wasted. The set size rides the existing signature
+    # aggregation + band explode as one extra int (``carry``) — NO size
+    # join exists at any scale — and the filter runs directly on the band
+    # join output, BEFORE the dropDuplicates exchange, so the dedup
+    # shuffles only survivors. EXACT-preserving: double rounding is
+    # monotone, so fl(min/max) >= fl(inter/union) whenever the reals
+    # order that way — any pair passing the final jaccard >= threshold
+    # filter passes this one (boundary case pinned in tests).
+    docs_sz = docs.withColumn("__sz", F.size(F.array_distinct("__h")))
+    banded = signature_bands(docs_sz, id_col, num_hashes, bands, carry=["__sz"])
+    a = banded.select(
+        F.col(id_col).alias("id_a"), "band", "bucket",
+        F.col("__sz").alias("__sz_a"),
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), "band", "bucket",
+        F.col("__sz").alias("__sz_b"),
     )
     cand = (
-        cand.join(
-            sizes.select(
-                F.col(id_col).alias("id_a"), F.col("__sz").alias("__sz_a")
-            ),
-            "id_a",
-        )
-        .join(
-            sizes.select(
-                F.col(id_col).alias("id_b"), F.col("__sz").alias("__sz_b")
-            ),
-            "id_b",
-        )
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             F.least("__sz_a", "__sz_b").cast("double")
             / F.greatest("__sz_a", "__sz_b")
             >= F.lit(float(threshold))
         )
+        .select("id_a", "id_b", "__sz_a", "__sz_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     sh_a = docs.select(F.col(id_col).alias("id_a"), F.col("__h").alias("sh_a"))

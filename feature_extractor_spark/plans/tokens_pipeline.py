@@ -240,8 +240,15 @@ def curate(
     #    Jaccard pairs -> star-contraction closure -> keep component minima.
     #    _pair_guard (VERDICT r6 item 2) records pair count + max per-doc
     #    degree into the funnel and RAISES on max_pairs_per_doc blowup.
+    # eager=True (r10): the verified pairs are materialized inside the LSH
+    # call and its word-hash/gram caches released IMMEDIATELY. The old
+    # eager=False left both persists registered in the CacheManager for
+    # the session's lifetime (CacheManager holds strong refs — persists
+    # are never GC-collected, unlike localCheckpoint blocks), so every
+    # curate() invocation in a long-lived session leaked two dead caches
+    # and repeated bench runs degraded 2-3x from eviction/GC pressure.
     pairs = minhash_lsh_pairs(
-        survivors, id_col, text_col, threshold=near_dup_threshold, eager=False
+        survivors, id_col, text_col, threshold=near_dup_threshold, eager=True
     )
     pairs = _pair_guard(pairs, id_col, stage_counts, max_pairs_per_doc)
     cc_stats: dict = {}
@@ -363,16 +370,26 @@ def curate(
     # branch is pruned to (shuffle_key, id, n_tok) so Catalyst plans it as a
     # DIFFERENT exchange subtree than the full-width main branch — no
     # ReuseExchange — and without a barrier each action executes the
-    # whole dedup/filter pipeline TWICE. persist(), not localCheckpoint:
-    # the InMemoryRelation stays INSIDE the query plan, so the funnel's
-    # observe() nodes still report through the caller's action (a
-    # checkpoint would orphan them), and the curated survivors (tiny
-    # relative to the input) materialize once with both branches reading
-    # the cache. The cache is owned by the returned plan; callers that
-    # materialize their own copy (run_curation) or finish their action
-    # leave it to LRU eviction / session teardown, the same lifetime the
-    # dedup word-hash cache documents.
-    ordered = ordered.persist()
+    # whole dedup/filter pipeline TWICE. Two barrier forms (r10):
+    #
+    # - with stage_counts: persist() — the InMemoryRelation stays INSIDE
+    #   the query plan, so the funnel's observe() nodes still report
+    #   through the caller's action (a checkpoint materializes outside a
+    #   SQL execution and would orphan them). Cache owned by the returned
+    #   plan (LRU / session teardown), the documented funnel trade.
+    # - without stage_counts (the common/bench path): a LAZY
+    #   localCheckpoint — same one-materialization barrier (both pack
+    #   branches read the checkpointed RDD's cached blocks), but the
+    #   blocks are freed by the ContextCleaner when the plan is dropped,
+    #   where a persist stays registered in the CacheManager forever
+    #   (strong refs — never GC-collected). Repeated curate() calls in
+    #   one session previously accumulated dead barrier caches and
+    #   degraded later runs 2-3x from eviction/GC pressure.
+    ordered = (
+        ordered.persist()
+        if stage_counts is not None
+        else ordered.localCheckpoint(eager=False)
+    )
     out = pack_sequences(
         ordered, order_col=["shuffle_key", id_col], n_tok_col="n_tok",
         context_len=context_len,
@@ -607,9 +624,10 @@ def curate_tokens(
 
     # 2. transitive near-dup over token n-grams (pair density recorded /
     #    guarded by _pair_guard, VERDICT r6 item 2 — see curate)
+    # eager=True (r10): release the LSH caches at stage end — see curate
     pairs = minhash_lsh_pairs_tokens(
         survivors, "seq_id", tokens_col,
-        gram_n=gram_n, threshold=near_dup_threshold, eager=False,
+        gram_n=gram_n, threshold=near_dup_threshold, eager=True,
     )
     pairs = _pair_guard(pairs, "seq_id", stage_counts, max_pairs_per_doc)
     cc_stats: dict = {}
@@ -706,10 +724,15 @@ def curate_tokens(
         out = deterministic_shuffle(binned, "bin_id", seed=seed)
         return _count(out, "output")
     shuffled = deterministic_shuffle(filtered, "seq_id", seed=seed)
-    # same two-phase-scan barrier as the text path (see curate); native
-    # (shuffle_key, seq_id) two-column order replaces the old composite
-    # string key (r8)
-    ordered = shuffled.persist()
+    # same two-phase-scan barrier as the text path (see curate): persist
+    # only when the funnel needs in-plan observe() nodes, GC-cleaned lazy
+    # localCheckpoint otherwise (r10); native (shuffle_key, seq_id)
+    # two-column order replaces the old composite string key (r8)
+    ordered = (
+        shuffled.persist()
+        if stage_counts is not None
+        else shuffled.localCheckpoint(eager=False)
+    )
     out = pack_sequences(
         ordered, order_col=["shuffle_key", "seq_id"], n_tok_col=n_tok_col,
         context_len=context_len,

@@ -263,13 +263,24 @@ def test_curate_pack_barrier_single_materialization(spark):
     from feature_extractor_spark.plans.tokens_pipeline import curate
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # default barrier (r10): lazy localCheckpoint — both branches read
+    # the checkpointed RDD (shown as Scan ExistingRDD); the dedup/filter
+    # pipeline (and its parquet scan) never re-executes post-barrier
     out = curate(docs, context_len=512)
     out.write.format("noop").mode("overwrite").save()
     plan = _plan(out)
-    assert plan.count("InMemoryTableScan") >= 2  # offsets + main branch
+    assert plan.count("Scan ExistingRDD") >= 2  # offsets + main branch
+    assert "Scan parquet" not in plan
+    # funnel form (stage_counts): persist barrier — observe() nodes must
+    # stay in-plan, so both branches read the SAME InMemoryRelation
+    counts: dict = {}
+    out2 = curate(docs, context_len=512, stage_counts=counts)
+    out2.write.format("noop").mode("overwrite").save()
+    plan2 = _plan(out2)
+    assert plan2.count("InMemoryTableScan") >= 2  # offsets + main branch
     # the parquet source appears only inside the cached subtree, never as
     # a live scan in the post-barrier execution
     segments = [
-        seg for seg in plan.split("InMemoryRelation")[:1]  # pre-cache part
+        seg for seg in plan2.split("InMemoryRelation")[:1]  # pre-cache part
     ]
     assert "Scan parquet" not in segments[0]

@@ -386,7 +386,11 @@ def test_curate_tokens_exact_dedup_windows_on_hash_key(spark):
     from feature_extractor_spark.sources.tokens import synth_tokens
 
     toks = synth_tokens(spark, n_rows=300, n_docs=20)
-    out = curate_tokens(toks, context_len=256)
+    # stage_counts selects the persist barrier (r10): the default lazy
+    # localCheckpoint barrier hides the upstream subtree behind a Scan
+    # ExistingRDD in the plan STRING — the window-key shape this test
+    # pins is identical on both barrier forms
+    out = curate_tokens(toks, context_len=256, stage_counts={})
     plan = out._jdf.queryExecution().executedPlan().toString()
     # Catalyst extracts the window partition expression into a projected
     # `_w0` column: the Project must compute xxhash64(tokens) and the
@@ -486,7 +490,9 @@ def test_exact_dedup_window_key_is_two_independent_hashes(spark):
     from feature_extractor_spark.sources.tokens import synth_tokens
 
     toks = synth_tokens(spark, n_rows=200, n_docs=20)
-    out = curate_tokens(toks, context_len=128, min_tok=1)
+    # stage_counts selects the persist barrier so the upstream subtree
+    # stays visible in the plan string (see the hash-key pin above)
+    out = curate_tokens(toks, context_len=128, min_tok=1, stage_counts={})
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     lines = [
         l for l in plan.splitlines()
