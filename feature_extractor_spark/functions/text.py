@@ -48,9 +48,16 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation-ratio / stopword-ratio quality features and a
-    composite [0,1] score (simple, monotone, deterministic)."""
+    composite [0,1] score (simple, monotone, deterministic).
+
+    The words array is materialized as a real (multi-referenced) column
+    first (r10): inlining the ``words()`` subtree re-runs split+filter
+    once per consumer expression — the combine_word_hashes trap — and
+    this function references it three times (count, stopword intersect,
+    mean length)."""
     t = F.col(text_col)
-    ws = words(t)
+    df = df.withColumn("__qs_ws", words(t))
+    ws = F.col("__qs_ws")
     n_chars = F.length(t)
     n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), F.lit(0)))
     n_words = F.size(ws)
@@ -77,6 +84,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("stopword_ratio", stop_ratio)
         .withColumn("mean_word_len", mean_word_len)
         .withColumn("quality", score)
+        .drop("__qs_ws")
     )
 
 
@@ -265,6 +273,12 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     - ``dup_2gram_frac`` / ``dup_3gram_frac``: same over word n-grams.
     - ``top_2gram_frac``: fraction of words covered by occurrences of the
       single most frequent 2-gram (array_sort + linear run-scan).
+
+    The words array and both gram arrays are materialized as real
+    (multi-referenced) columns (r10): each is consumed by several
+    expressions below (distinct-count, size, sort + run-scan), and an
+    inline subtree re-evaluates the whole split/zip chain once per
+    consumer — the combine_word_hashes trap.
     """
     t = F.col(text_col)
     lines = F.filter(F.split(t, "\\n"), lambda ln: F.trim(ln) != F.lit(""))
@@ -274,7 +288,8 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         1.0 - F.size(F.array_distinct(lines)) / n_lines.cast("double"),
     ).otherwise(F.lit(0.0))
 
-    ws = words(t)
+    df = df.withColumn("__rs_ws", words(t))
+    ws = F.col("__rs_ws")
     n_words = F.size(ws)
 
     def ngrams(n: int):
@@ -324,7 +339,8 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         return state["best"]
 
-    g2, g3 = ngrams(2), ngrams(3)
+    df = df.withColumn("__rs_g2", ngrams(2)).withColumn("__rs_g3", ngrams(3))
+    g2, g3 = F.col("__rs_g2"), F.col("__rs_g3")
     top_2gram_frac = F.when(
         n_words >= 2,
         F.least(top_run(g2) * 2 / n_words.cast("double"), F.lit(1.0)),
@@ -334,6 +350,7 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("dup_2gram_frac", dup_frac(g2))
         .withColumn("dup_3gram_frac", dup_frac(g3))
         .withColumn("top_2gram_frac", top_2gram_frac)
+        .drop("__rs_ws", "__rs_g2", "__rs_g3")
     )
 
 

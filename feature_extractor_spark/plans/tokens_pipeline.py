@@ -262,6 +262,18 @@ def curate(
     keep = clusters.filter(F.col(id_col) == F.col("canonical_id")).select(id_col)
     survivors = survivors.join(keep, id_col)
     survivors = _count(survivors, "near_dup_dedup")
+    # r10: explicit repartition before the scoring/filter tail. AQE
+    # coalesces the keep-join's output by SHUFFLE BYTES (the curated
+    # survivors compress to a few MB -> ONE partition), but everything
+    # downstream of that exchange — quality_score's ngram sort/aggregate
+    # expressions, repetition_signals, token_counts' regexp passes — is
+    # per-doc compute AQE cannot see: the whole tail ran as a single
+    # 20 s task while the rest of the cluster idled (event-log profile,
+    # plans/r10). A user repartition is exempt from AQE coalescing and
+    # spreads the tail across the cluster (same fix, same reasoning as
+    # operators/fused.windowed_encode's group repartition).
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    survivors = survivors.repartition(par)
 
     # 3. quality + Gopher repetition filters (all map-side expressions)
     scored = repetition_signals(quality_score(survivors, text_col), text_col)
@@ -639,6 +651,12 @@ def curate_tokens(
     keep = clusters.filter(F.col("seq_id") == F.col("canonical_id")).select("seq_id")
     survivors = survivors.join(keep, "seq_id")
     survivors = _count(survivors, "near_dup_dedup")
+    # r10: spread the post-join tail (filters/chunking/EOS transforms)
+    # across the cluster — AQE coalesces the keep-join output to a
+    # handful of byte-sized partitions; see curate for the full note
+    survivors = survivors.repartition(
+        tokens_df.sparkSession.sparkContext.defaultParallelism
+    )
 
     # 3. token-count bounds + optional token-space repetition filter
     #    (both map-side)
