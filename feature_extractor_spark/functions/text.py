@@ -38,11 +38,16 @@ def words(text: Column) -> Column:
 
 
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace token count + BPE-ish regex token count."""
+    """Whitespace token count + BPE-ish regex token count.
+
+    ``regexp_count`` (r10), not ``size(regexp_extract_all(...))``: both
+    run the same non-overlapping find loop, but extract_all materializes
+    an array of matched substrings per row (one UTF8String copy per
+    token) only for ``size`` to throw it away — counting is the whole
+    job here (guide §1.2 "don't compute things you throw away")."""
     t = F.col(text_col)
     return df.withColumn("n_words", F.size(words(t))).withColumn(
-        "n_bpe_tokens",
-        F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), F.lit(0))),
+        "n_bpe_tokens", F.regexp_count(t, F.lit(BPE_TOKEN_RE))
     )
 
 
@@ -59,7 +64,9 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     df = df.withColumn("__qs_ws", words(t))
     ws = F.col("__qs_ws")
     n_chars = F.length(t)
-    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), F.lit(0)))
+    # regexp_count == size(regexp_extract_all(...)) without building the
+    # per-row match array (see token_counts)
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
     n_words = F.size(ws)
     n_stop = F.size(
         F.array_intersect(
@@ -978,6 +985,15 @@ def encode_bpe(
                 )
             yield pdf
 
+    # r10: the Python encode pass inherits the scan's split count — a
+    # compact corpus (few parquet files) serializes the per-word merge
+    # loop through a handful of tasks (measured: 8 tasks with a 0.69 s
+    # straggler spanning the whole stage on a 50k-doc corpus). Round-
+    # robin up to cluster parallelism first; a corpus whose scan already
+    # exceeds it is left untouched (the _adc_score widen-only pattern).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     return df.mapInPandas(run, schema)
 
 

@@ -228,9 +228,21 @@ def curate(
 
     from feature_extractor_spark.operators.dedup import _norm_text
 
+    # r10: pre-repartition on the window's own key at cluster width. AQE
+    # coalesces the window exchange by shuffle BYTES (a 50k-doc corpus
+    # compresses to a few MB -> ~11 partitions), but the per-row work in
+    # the stage it feeds — the md5 digest, the rank window, the keep-join
+    # probe — is compute AQE cannot see: the stage ran 11 tasks of ~1.6 s
+    # while 21 cores idled (event-log profile, plans/r10). A user
+    # repartition on the identical expression is exempt from coalescing
+    # and satisfies the window's ClusteredDistribution, so no second
+    # exchange appears (plan-verified). Same fix family as the post-join
+    # repartition below.
+    par = docs.sparkSession.sparkContext.defaultParallelism
     w_exact = Window.partitionBy(F.md5(_norm_text(text_col))).orderBy(id_col)
     survivors = (
-        docs.withColumn("__rn", F.row_number().over(w_exact))
+        docs.repartition(par, F.md5(_norm_text(text_col)))
+        .withColumn("__rn", F.row_number().over(w_exact))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
@@ -272,7 +284,6 @@ def curate(
     # plans/r10). A user repartition is exempt from AQE coalescing and
     # spreads the tail across the cluster (same fix, same reasoning as
     # operators/fused.windowed_encode's group repartition).
-    par = docs.sparkSession.sparkContext.defaultParallelism
     survivors = survivors.repartition(par)
 
     # 3. quality + Gopher repetition filters (all map-side expressions)
@@ -624,12 +635,22 @@ def curate_tokens(
     # would be a pure function of xxhash64(tokens) — zero added entropy.
     # xxhash64(lit, tokens) hashes the tokens under a DIFFERENT seed
     # (XXH64(lit, 42)), giving a genuinely independent second 64 bits.
+    # r10: pre-repartition on the window's keys at cluster width — the
+    # same AQE-coalescing fix as the text path's exact-dedup stage (see
+    # curate): user repartition on the identical expressions satisfies
+    # the window's distribution, no second exchange.
+    par = tokens_df.sparkSession.sparkContext.defaultParallelism
     w_exact = Window.partitionBy(
         F.xxhash64(F.col(tokens_col)),
         F.xxhash64(F.lit(0x9E3779B9), F.col(tokens_col)),
     ).orderBy("seq_id")
     survivors = (
-        seqs.withColumn("__rn", F.row_number().over(w_exact))
+        seqs.repartition(
+            par,
+            F.xxhash64(F.col(tokens_col)),
+            F.xxhash64(F.lit(0x9E3779B9), F.col(tokens_col)),
+        )
+        .withColumn("__rn", F.row_number().over(w_exact))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
@@ -654,9 +675,7 @@ def curate_tokens(
     # r10: spread the post-join tail (filters/chunking/EOS transforms)
     # across the cluster — AQE coalesces the keep-join output to a
     # handful of byte-sized partitions; see curate for the full note
-    survivors = survivors.repartition(
-        tokens_df.sparkSession.sparkContext.defaultParallelism
-    )
+    survivors = survivors.repartition(par)
 
     # 3. token-count bounds + optional token-space repetition filter
     #    (both map-side)

@@ -142,13 +142,30 @@ def test_encode_bpe_decode_roundtrip(spark, merges, vocab):
 
 
 def test_encode_bpe_is_map_only(spark, merges, vocab):
-    """Plan pin: the encoder is one MapInPandas over the scan — NO
-    Exchange anywhere (merges+vocab are broadcast dicts, never joined)."""
-    docs = spark.createDataFrame([(1, "low")], "doc_id long, text string")
+    """Plan pin: the encoder is one MapInPandas with no JOIN shuffle
+    (merges+vocab are broadcast dicts, never joined). A NARROW input
+    (fewer splits than the cluster) gets exactly one round-robin widen
+    ahead of the Python pass (r10 — a compact corpus otherwise
+    serializes the merge loop through a handful of tasks); an input
+    already at cluster width gets NO added exchange."""
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.createDataFrame(
+        [(1, "low")], "doc_id long, text string"
+    ).coalesce(1)
     enc = encode_bpe(docs, merges, vocab)
     plan = enc._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
     assert "MapInPandas" in plan
+    # already-wide input: the widen must NOT fire (scale contract — a
+    # well-partitioned corpus is untouched)
+    wide = spark.createDataFrame(
+        [(i, "low") for i in range(par)], "doc_id long, text string"
+    ).repartition(par)
+    enc_w = encode_bpe(wide, merges, vocab)
+    plan_w = enc_w._jdf.queryExecution().executedPlan().toString()
+    assert plan_w.count("Exchange") == 1, plan_w  # only the caller's own
+    assert "MapInPandas" in plan_w
 
 
 def test_curate_encode_bpe_curate_tokens_handoff(spark, merges, vocab):
