@@ -392,11 +392,15 @@ def test_curate_tokens_exact_dedup_windows_on_hash_key(spark):
     # pins is identical on both barrier forms
     out = curate_tokens(toks, context_len=256, stage_counts={})
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # Catalyst extracts the window partition expression into a projected
-    # `_w0` column: the Project must compute xxhash64(tokens) and the
-    # exchange must key on that LONG (`_w0#..L`), never on the raw array
+    # r10: the window's exchange is the user pre-repartition on the SAME
+    # two xxhash64 keys (AQE-exempt, cluster-width — see curate_tokens);
+    # the window's _w0/_w1 projection sits ABOVE it with no second
+    # exchange. The r6 invariant is unchanged: every exchange keys on
+    # the 8-byte hashes, never on the raw multi-KB token array.
     assert "xxhash64(tokens" in plan, plan
-    assert "hashpartitioning(_w0#" in plan, plan
+    assert "hashpartitioning(xxhash64(tokens" in plan, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "hashpartitioning(_w0#" not in plan, plan  # no second exchange
     assert "hashpartitioning(tokens#" not in plan, plan
 
 
